@@ -1,0 +1,307 @@
+"""compress_seq-compatible artifact reader/writer.
+
+Byte-for-byte compatible with the reference preprocessor's on-disk formats
+(``compress_seq.cc:306-1007``) so databases preprocessed by either tool are
+interchangeable:
+
+- ``.seq``  flat raw characters with EOS sentinels (uppercased, whitespace
+            stripped; chars outside 33..126 dropped — compress_seq.cc:544-575)
+- ``.hdr``  deflines joined by ``\\n`` (compress_seq.cc:405-537)
+- ``.idx``  ASCII index lines ``count headerpos seqpos rawfilepos``
+- ``.idb``  binary sortedvector<int64,int64>: count, then (key, hdrpos) pairs;
+            keys are each entry's first-char flat position, final sentinel
+            key = total_len + 1 (reproducing the reference's extra ``seqpos++``
+            at compress_seq.cc:600-607)
+- ``.tbl``/``.sqn``  observed-char table (A,C,G,T first — compress_seq.cc:707-712)
+            and byte-per-char normalized codes
+- ``.tbz``/``.sqz``  same table + MSB-first bit-packed codes, padded to
+            lcm(bits, 64)/8-byte units (char_io.t:59-102 unpacking)
+- ``.grd``  guard file marking an in-progress build (compress_seq.cc:336-345)
+
+Incremental rebuild follows the reference's make-style timestamp checks
+(compress_seq.cc:321-373).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+
+import numpy as np
+
+from .database import SeqDB, DEFAULT_EOS
+from .fasta import iter_fasta
+
+
+def _lcm(a: int, b: int) -> int:
+    return a * b // math.gcd(a, b)
+
+
+# ---------------------------------------------------------------------------
+# low-level artifact encoding
+
+
+def write_idb(path: str, keys: np.ndarray, values: np.ndarray) -> None:
+    """Binary sortedvector serialization (sortedvector.t bwrite): int64 count
+    then interleaved (key, value) int64 pairs, little-endian."""
+    n = len(keys)
+    buf = np.empty(1 + 2 * n, dtype="<i8")
+    buf[0] = n
+    buf[1::2] = keys
+    buf[2::2] = values
+    with open(path, "wb") as f:
+        f.write(buf.tobytes())
+
+
+def read_idb(path: str) -> tuple[np.ndarray, np.ndarray]:
+    raw = np.fromfile(path, dtype="<i8")
+    n = int(raw[0])
+    return raw[1 : 1 + 2 * n : 2].copy(), raw[2 : 1 + 2 * n : 2].copy()
+
+
+def pack_sqz(codes: np.ndarray, alphabet_size: int, eos_code: int = 0) -> bytes:
+    """MSB-first bit-packing, padded to lcm(bits, 64)/8-byte units by
+    repeating the EOS code (the reference writer keeps emitting eos_char after
+    EOF until the unit fills — compress_seq.cc:806-820)."""
+    bits = max(1, (alphabet_size - 1).bit_length())
+    unit_bytes = _lcm(bits, 64) // 8
+    codes_per_unit = unit_bytes * 8 // bits
+    pad = (-len(codes)) % codes_per_unit
+    if pad:
+        codes = np.concatenate(
+            [codes, np.full(pad, eos_code, dtype=np.uint8)]
+        )
+    shift = np.arange(bits - 1, -1, -1, dtype=np.uint8)
+    bitarr = ((codes[:, None] >> shift) & 1).astype(np.uint8).ravel()
+    packed = np.packbits(bitarr)  # MSB-first by default
+    return packed.tobytes()
+
+
+def unpack_sqz(data: bytes, alphabet_size: int, n_codes: int) -> np.ndarray:
+    bits = max(1, (alphabet_size - 1).bit_length())
+    bitarr = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    bitarr = bitarr[: n_codes * bits].reshape(n_codes, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint8)
+    return (bitarr * weights).sum(axis=1).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# the preprocessor
+
+
+def compress(
+    fasta_path: str,
+    eos: bool = True,
+    init_eos: bool = True,
+    eos_char: int = DEFAULT_EOS,
+    uppercase: bool = True,
+    normalize: bool = False,
+    dna_optimized: bool = True,
+    add_revcomp_chars: bool = False,
+    compress_bits: bool = False,
+    binindex: bool = True,
+    cleanup: bool = True,
+    force: bool = False,
+    check_only: bool = False,
+    verbose: bool = False,
+) -> bool:
+    """Build compress_seq artifacts next to ``fasta_path``.
+
+    Returns True if (re)build work was needed.  ``check_only`` reports without
+    writing (reference ``-c``, exit status semantics at compress_seq.cc:371-373).
+    """
+    base = fasta_path
+    src_time = os.path.getmtime(fasta_path)
+
+    def stale(ext: str) -> bool:
+        p = base + ext
+        return (not os.path.exists(p)) or os.path.getmtime(p) < src_time
+
+    need_pass1 = force or stale(".hdr") or stale(".idb" if binindex else ".idx")
+    have_seq_form = (
+        os.path.exists(base + ".seq")
+        or (normalize and os.path.exists(base + ".sqn"))
+        or (compress_bits and os.path.exists(base + ".sqz"))
+    )
+    need_pass1 = need_pass1 or not have_seq_form
+    need_norm = normalize and (force or stale(".sqn") or stale(".tbl"))
+    need_comp = compress_bits and (force or stale(".sqz") or stale(".tbz"))
+    if os.path.exists(base + ".grd"):
+        need_pass1 = True
+
+    if not (need_pass1 or need_norm or need_comp):
+        return False
+    if check_only:
+        return True
+
+    # guard file marks an in-progress build (crash-safe idempotent rebuild)
+    with open(base + ".grd", "w"):
+        pass
+
+    # pass 1: flat .seq + .hdr + index; census
+    from_raw = _read_raw(fasta_path, eos, init_eos, eos_char, uppercase)
+    raw, headers, entry_keys, hdr_offsets, raw_positions = from_raw
+
+    with open(base + ".seq", "wb") as f:
+        f.write(raw.tobytes())
+    with open(base + ".hdr", "wb") as f:
+        for h in headers:
+            f.write(h.encode("latin-1") + b"\n")
+    total_sentinel = len(raw) + (1 if eos else 0)  # reference's extra seqpos++
+    hdr_size = sum(len(h) + 1 for h in headers)
+    if binindex:
+        keys = np.concatenate([entry_keys, [total_sentinel]])
+        vals = np.concatenate([hdr_offsets, [hdr_size]])
+        write_idb(base + ".idb", keys, vals)
+    else:
+        with open(base + ".idx", "w") as f:
+            f.write(f"0 0 {1 if init_eos and eos else 0} 0\n")
+            for i in range(len(headers)):
+                end_key = (
+                    entry_keys[i + 1] - 1 if i + 1 < len(headers) else total_sentinel
+                )
+                f.write(f"{i+1} {hdr_offsets[i] + len(headers[i]) + 1} "
+                        f"{end_key} {raw_positions[i]}\n")
+
+    if normalize or compress_bits:
+        obs = np.zeros(256, dtype=bool)
+        obs[raw] = True
+        obs[eos_char] = True
+        if add_revcomp_chars:
+            from ..utils.iupac import REVCOMP_MAP
+
+            obs[REVCOMP_MAP[np.flatnonzero(obs)]] = True
+        order = np.arange(256)
+        if dna_optimized:
+            for i, ch in enumerate(b"ACGT"):
+                order[i], order[ch] = ch, i
+        table = bytes(int(b) for b in order if obs[b])
+        c2c = np.full(256, 0, dtype=np.uint8)
+        for code, ch in enumerate(table):
+            c2c[ch] = code
+        codes = c2c[raw]
+        if normalize:
+            with open(base + ".tbl", "wb") as f:
+                f.write(table)
+            with open(base + ".sqn", "wb") as f:
+                f.write(codes.tobytes())
+        if compress_bits:
+            with open(base + ".tbz", "wb") as f:
+                f.write(table)
+            with open(base + ".sqz", "wb") as f:
+                f.write(pack_sqz(codes, len(table), eos_code=int(c2c[eos_char])))
+        if cleanup and (normalize or compress_bits):
+            os.unlink(base + ".seq")
+
+    os.unlink(base + ".grd")
+    return True
+
+
+def _read_raw(fasta_path, eos, init_eos, eos_char, uppercase):
+    """Replicates compress_seq pass 1: char filter 33..126, uppercase, EOS
+    layout, entry keys and header offsets (compress_seq.cc:438-630)."""
+    headers: list[str] = []
+    parts: list[np.ndarray] = []
+    entry_keys: list[int] = []
+    hdr_offsets: list[int] = []
+    raw_positions: list[int] = []  # raw-file pos of each entry end (for .idx)
+    pos = 0
+    hdrpos = 0
+    eos_arr = np.array([eos_char], dtype=np.uint8)
+    if init_eos and eos:
+        parts.append(eos_arr)
+        pos += 1
+    for header, seq in iter_fasta(fasta_path):
+        entry_keys.append(pos)
+        hdr_offsets.append(hdrpos)
+        headers.append(header)
+        hdrpos += len(header) + 1
+        arr = np.frombuffer(seq, dtype=np.uint8)
+        arr = arr[(arr >= 33) & (arr <= 126)]
+        if uppercase:
+            low = (arr >= ord("a")) & (arr <= ord("z"))
+            arr = np.where(low, arr - 32, arr).astype(np.uint8)
+        parts.append(arr)
+        pos += len(arr)
+        if eos:
+            parts.append(eos_arr)
+            pos += 1
+        raw_positions.append(0)
+    raw = (
+        np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+    )
+    return (
+        raw,
+        headers,
+        np.asarray(entry_keys, dtype=np.int64),
+        np.asarray(hdr_offsets, dtype=np.int64),
+        raw_positions,
+    )
+
+
+# ---------------------------------------------------------------------------
+# loading preprocessed databases
+
+
+def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
+    """Load a SeqDB preferring preprocessed artifacts like pick_fasta_file's
+    auto mode (.sqn > .sqz > .seq > raw FASTA — select.t:22-188)."""
+    base = fasta_path
+    if os.path.exists(base + ".sqn") and os.path.exists(base + ".tbl"):
+        table = open(base + ".tbl", "rb").read()
+        codes = np.fromfile(base + ".sqn", dtype=np.uint8)
+        keys, vals = read_idb(base + ".idb")
+        headers = _read_headers(base + ".hdr", vals)
+        return _mk_db(codes, table, keys[:-1], headers, eos_char)
+    if os.path.exists(base + ".sqz") and os.path.exists(base + ".tbz"):
+        table = open(base + ".tbz", "rb").read()
+        keys, vals = read_idb(base + ".idb")
+        n = int(keys[-1]) - 1
+        codes = unpack_sqz(open(base + ".sqz", "rb").read(), len(table), n)
+        headers = _read_headers(base + ".hdr", vals)
+        return _mk_db(codes, table, keys[:-1], headers, eos_char)
+    if os.path.exists(base + ".seq") and os.path.exists(base + ".idb"):
+        raw = np.fromfile(base + ".seq", dtype=np.uint8)
+        keys, vals = read_idb(base + ".idb")
+        headers = _read_headers(base + ".hdr", vals)
+        obs = np.zeros(256, dtype=bool)
+        obs[raw] = True
+        order = np.arange(256)
+        for i, ch in enumerate(b"ACGT"):
+            order[i], order[ch] = ch, i
+        table = bytes(int(b) for b in order if obs[b])
+        c2c = np.zeros(256, dtype=np.uint8)
+        for code, ch in enumerate(table):
+            c2c[ch] = code
+        return _mk_db(c2c[raw], table, keys[:-1], headers, eos_char)
+    return SeqDB.from_fasta(fasta_path, eos_char=eos_char)
+
+
+def _read_headers(path: str, offsets: np.ndarray) -> list[str]:
+    data = open(path, "rb").read()
+    out = []
+    offs = list(offsets[:-1]) + [len(data)]
+    for i in range(len(offs) - 1):
+        out.append(data[offs[i] : offs[i + 1]].rstrip(b"\n").decode("latin-1"))
+    return out
+
+
+def _mk_db(codes, table, entry_keys, headers, eos_char) -> SeqDB:
+    starts = np.asarray(entry_keys, dtype=np.int64)
+    n = len(codes)
+    next_starts = np.concatenate([starts[1:], [n]])
+    # entry length: chars between start and next start minus the EOS sentinel
+    lengths = next_starts - starts - 1
+    if len(lengths):
+        eos_code = table.find(bytes([eos_char]))
+        trailing_eos = 1 if (eos_code >= 0 and n and codes[-1] == eos_code) else 0
+        lengths[-1] = n - starts[-1] - trailing_eos
+    return SeqDB(
+        codes=codes,
+        table=table,
+        entry_starts=starts,
+        entry_lengths=lengths,
+        headers=headers,
+        eos_char=eos_char,
+    )

@@ -1,0 +1,187 @@
+"""Flat-coordinate sequence database (the TPU-native ``FastaFile``).
+
+The whole multi-FASTA database is one flat ``uint8`` code array with EOS
+sentinels — the reference's normalized ``.sqn`` representation
+(``compress_seq.cc:442-475``, ``fasta_io.t:139-263``) promoted to the
+*canonical in-memory form*: it uploads directly to HBM and shards by position.
+
+Byte-compatible artifact support (``.seq``/``.hdr``/``.idb``/``.idx``/
+``.tbl``/``.sqn``/``.tbz``/``.sqz``) lives in :mod:`.compress`; this module is
+the in-memory model plus coordinate mapping:
+
+- ``entry_starts[i]`` — flat index of entry *i*'s first sequence char
+  (the ``.idb`` sortedvector keys, ``fasta_io.t:389-411``)
+- ``get_header_data(p)`` / ``get_seq_pos(p)`` / ``is_subseq`` — binary search
+  over ``entry_starts`` (``SortSeqFastaFile::set_header_item``,
+  ``fasta_io.t:163-178``)
+
+All positions follow the reference's convention: a hit's ``end`` is the flat
+index one past its last character (``cp.pos()`` after ``getnch()``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .fasta import iter_fasta
+
+DEFAULT_EOS = ord("\n")
+
+
+@dataclass
+class SeqDB:
+    """Normalized flat sequence database.
+
+    Attributes:
+      codes: flat uint8 array of alphabet codes (EOS sentinels included).
+      table: bytes, code -> raw character (the ``.tbl`` contents).
+      entry_starts: int64 [n_entries] flat index of each entry's first char.
+      entry_lengths: int64 [n_entries].
+      headers: deflines.
+      eos_char: raw EOS byte value.
+    """
+
+    codes: np.ndarray
+    table: bytes
+    entry_starts: np.ndarray
+    entry_lengths: np.ndarray
+    headers: list[str]
+    eos_char: int = DEFAULT_EOS
+
+    char_to_code: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        c2c = np.full(256, -1, dtype=np.int16)
+        for code, ch in enumerate(self.table):
+            c2c[ch] = code
+        self.char_to_code = c2c
+
+    # -- basic properties ---------------------------------------------------
+
+    @property
+    def alphabet_size(self) -> int:
+        return len(self.table)
+
+    @property
+    def eos_code(self) -> int:
+        return int(self.char_to_code[self.eos_char])
+
+    def __len__(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def n_entries(self) -> int:
+        return len(self.headers)
+
+    # -- char <-> code ------------------------------------------------------
+
+    def nch(self, ch: str | int) -> int:
+        """Raw char -> alphabet code, -1 if absent (CharacterProducer::nch)."""
+        b = ord(ch) if isinstance(ch, str) else ch
+        return int(self.char_to_code[b])
+
+    def ch(self, code: int) -> str:
+        """Alphabet code -> raw char (CharacterProducer::ch)."""
+        return chr(self.table[code])
+
+    def decode(self, start: int, end: int) -> str:
+        """Raw characters for flat range [start, end)."""
+        tbl = np.frombuffer(self.table, dtype=np.uint8)
+        return tbl[self.codes[start:end]].tobytes().decode("latin-1")
+
+    # -- coordinate mapping (fasta_io.t:154-263 semantics) ------------------
+
+    def entry_of(self, p) -> np.ndarray | int:
+        """Entry index containing flat end-position ``p``.
+
+        ``p`` is an end position (one past a char); the containing entry is the
+        one with the largest ``entry_starts`` <= p-1 clamped...  The reference
+        looks up the last key <= p over keys = entry first-char positions
+        (finger_locate_last_at_most, fasta_io.t:163-178); EOS chars after an
+        entry resolve to that entry.
+        """
+        return np.searchsorted(self.entry_starts, np.asarray(p), side="right") - 1
+
+    def get_seq_pos(self, p) -> np.ndarray | int:
+        """Flat end-position -> offset within its entry (fasta_io.t:265+)."""
+        e = self.entry_of(p)
+        return p - self.entry_starts[e]
+
+    def get_header_data(self, p) -> str:
+        return self.headers[int(self.entry_of(p))]
+
+    def is_subseq(self, s: int, e: int) -> bool:
+        """True iff flat positions s and e fall in the same entry."""
+        return int(self.entry_of(s)) == int(self.entry_of(e))
+
+    def fasta_pos(self, entry: int, rel: int) -> int:
+        return int(self.entry_starts[entry]) + rel
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_entries(
+        cls,
+        entries: list[tuple[str, bytes]],
+        eos_char: int = DEFAULT_EOS,
+        eos_start: bool = True,
+        eos_between: bool = True,
+        uppercase: bool = True,
+        dna_optimized_table: bool = True,
+        mapindex: int = 0,
+    ) -> "SeqDB":
+        """Build the flat code space the way ``compress_seq`` does
+        (EOS layout compress_seq.cc:442-475; table order :707-712:
+        A,C,G,T first, then remaining observed bytes ascending)."""
+        headers = [h for h, _ in entries]
+        seqs = []
+        for _, s in entries:
+            if uppercase:
+                s = s.upper()
+            if mapindex:
+                from ..utils.iupac import map_string
+
+                s = map_string(mapindex, s.decode("latin-1")).encode("latin-1")
+            seqs.append(np.frombuffer(s, dtype=np.uint8))
+
+        eos = np.array([eos_char], dtype=np.uint8)
+        parts: list[np.ndarray] = []
+        starts = np.empty(len(seqs), dtype=np.int64)
+        pos = 0
+        if eos_start and eos_between:
+            parts.append(eos)
+            pos += 1
+        for i, s in enumerate(seqs):
+            starts[i] = pos
+            parts.append(s)
+            pos += len(s)
+            if eos_between:
+                parts.append(eos)
+                pos += 1
+        raw = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+
+        # observed-char census -> table (DNA-optimized order)
+        obs = np.zeros(256, dtype=bool)
+        obs[raw] = True
+        order = np.arange(256)
+        if dna_optimized_table:
+            for i, ch in enumerate(b"ACGT"):
+                order[i], order[ch] = ch, i
+        table = bytes(int(b) for b in order if obs[b])
+
+        db = cls(
+            codes=np.empty(0, dtype=np.uint8),
+            table=table,
+            entry_starts=starts,
+            entry_lengths=np.array([len(s) for s in seqs], dtype=np.int64),
+            headers=headers,
+            eos_char=eos_char,
+        )
+        db.codes = db.char_to_code[raw].astype(np.uint8)
+        return db
+
+    @classmethod
+    def from_fasta(cls, path: str, **kw) -> "SeqDB":
+        return cls.from_entries(list(iter_fasta(path)), **kw)

@@ -1,0 +1,21 @@
+#!/bin/sh
+# Build the reference C++ binaries at /tmp/ref as golden oracles for parity
+# tests.  Safe to re-run; does nothing if binaries already exist.
+set -e
+HERE="$(cd "$(dirname "$0")" && pwd)"
+REF_SRC="${REF_SRC:-/root/reference}"
+REF=/tmp/ref
+if [ -x "$REF/primer_match" ] && [ -x "$REF/compress_seq" ]; then
+    exit 0
+fi
+[ -d "$REF_SRC" ] || { echo "no reference source at $REF_SRC" >&2; exit 1; }
+rm -rf "$REF"
+cp -r "$REF_SRC" "$REF"
+mkdir -p /tmp/primegen
+cp "$HERE/primegen_shim.h" /tmp/primegen/primegen.h
+ar rcs /tmp/primegen/primegen.a
+cd "$REF"
+make compress_seq primer_match exact_match inexact_match pcr_match \
+     peptide_scan protein_mw peptide_mult \
+     PGEN=/tmp/primegen PARAM=-DNOPRIMEGEN >/dev/null 2>&1
+echo "reference oracles built at $REF"
