@@ -24,4 +24,25 @@ Import alias: ``import sequence_alignment_tools_tpu as sat``.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache so repeated CLI invocations don't pay
+    recompilation (the scan kernels are shape-stable across runs)."""
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "SAT_TPU_CACHE", _os.path.expanduser("~/.cache/sat_tpu_xla")
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_compilation_cache()
+
 from . import utils  # noqa: F401

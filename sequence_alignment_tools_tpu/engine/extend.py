@@ -1,0 +1,204 @@
+"""Seed-extension DP: faithful ``primer_alignment::global_align`` and the
+lmatch/rmatch anchored extensions (primer_alignment.cc:10-463, 568-728).
+
+Used by the exact_halves / exact_bases pigeonhole engines: an exact seed hit
+(found on the MXU) is extended over the remaining pattern with a banded
+global DP whose tie-breaking — scan ``t`` upward at the final row, replace on
+strictly-better score or equal score with a diagonal op — must match the
+reference exactly, because it determines the reported hit end positions.
+
+Only the yes/no path is implemented (engines run with ``yesno=true``,
+exact_halves.cc:132-135); full alignments come from the main loop's
+re-verification (editdist_alignment in verify.py).
+"""
+
+from __future__ import annotations
+
+from ..utils.iupac import compat_matrix
+from ..utils.aa import aasubdist_matrix
+from .verify import (
+    M_CV,
+    M_DEL,
+    M_DEL3,
+    M_EQUAL,
+    M_INS,
+    M_INS3,
+    M_SUB,
+    M_SUB1,
+    M_SUB2,
+    M_SUB3,
+    M_WC,
+    _DIAG,
+)
+
+
+class Extender:
+    """Shared-parameter extension aligner (one per engine run)."""
+
+    def __init__(self, k: int, eos: str, wc: bool = False, textn: bool = False,
+                 indels: bool = True, dna_mut: bool = False):
+        self.k = k
+        self.eos = eos
+        self.wc = wc
+        self.textn = textn
+        self.indels = indels
+        self.dna_mut = dna_mut
+        self._compat = compat_matrix()
+        self._aasub = aasubdist_matrix() if dna_mut else None
+
+    def _band(self) -> int:
+        if not self.indels:
+            return 0
+        return 1 if self.dna_mut else self.k
+
+    def global_align(self, text: str, pattern: str, dirn: int,
+                     lmatch: int, rmatch: int):
+        """Returns (ok, matchlen, value) — the yesno path of
+        primer_alignment.cc:10-299.  ``lmatch``/``rmatch`` may be <= 0
+        (negative residual constraints behave like 0, matching the
+        reference's unsigned-wrap-then-int-assign behavior)."""
+        k = self.k
+        band = self._band()
+        textlen = len(text)
+        patlen = len(pattern)
+        cvp = 5 * k + 1
+        lbexact = 0
+        rbexact = patlen + 1
+        if dirn < 0:
+            if lmatch > 0:
+                rbexact = patlen + 1 - lmatch
+            if rmatch > 0:
+                lbexact = rmatch
+        else:
+            if lmatch > 0:
+                lbexact = lmatch
+            if rmatch > 0:
+                rbexact = patlen + 1 - rmatch
+        INF = 1 << 30
+        dp = [[INF] * (textlen + 1) for _ in range(patlen + 1)]
+        best = [[0] * (textlen + 1) for _ in range(patlen + 1)]
+        dp[0][0] = 0
+        gapc = 3 if self.dna_mut else 1
+        ub = min(band, patlen)
+        for p in range(1, ub + 1):
+            if not self.indels or p < lbexact or p >= rbexact:
+                dp[p][0] = cvp
+                best[p][0] = M_CV
+            else:
+                dp[p][0] = dp[p - 1][0] + gapc
+                best[p][0] = M_DEL3 if self.dna_mut else M_DEL
+        ub = min(band, textlen)
+        for t in range(1, ub + 1):
+            textch = text[t - 1] if dirn > 0 else text[textlen - t]
+            # NB: reference also tests an uninitialized `patch` here
+            # (primer_alignment.cc:95) — garbage is never eos in practice.
+            if not self.indels or 0 < lbexact or 0 >= rbexact or textch == self.eos:
+                dp[0][t] = cvp
+                best[0][t] = M_CV
+            else:
+                dp[0][t] = dp[0][t - 1] + gapc
+                best[0][t] = M_INS3 if self.dna_mut else M_INS
+        compat = self._compat
+        for p in range(1, patlen + 1):
+            lb = max(1, p - band)
+            ub = min(p + band, textlen)
+            bestrow = cvp
+            for t in range(lb, ub + 1):
+                if dirn > 0:
+                    textch = text[t - 1]
+                    patch = pattern[p - 1]
+                else:
+                    textch = text[textlen - t]
+                    patch = pattern[patlen - p]
+                if textch == patch:
+                    v = dp[p - 1][t - 1]
+                    ac = M_EQUAL
+                elif (self.wc and compat[ord(textch), ord(patch)]
+                      and (self.textn or textch != "N")):
+                    v = dp[p - 1][t - 1]
+                    ac = M_WC
+                elif (textch == self.eos or patch == self.eos
+                      or p <= lbexact or p >= rbexact):
+                    v = cvp
+                    ac = M_CV
+                else:
+                    if not self.dna_mut:
+                        v = dp[p - 1][t - 1] + 1
+                        ac = M_SUB
+                    else:
+                        mut = int(self._aasub[ord(textch), ord(patch)])
+                        if mut >= 0:
+                            v = dp[p - 1][t - 1] + mut
+                            ac = (M_SUB1, M_SUB2, M_SUB3)[mut - 1]
+                        else:
+                            v = cvp
+                            ac = M_CV
+                if (textch == self.eos or patch == self.eos or not self.indels
+                        or t <= lb or p < lbexact or p >= rbexact):
+                    v1 = cvp
+                    ac1 = M_CV
+                else:
+                    v1 = dp[p][t - 1] + gapc
+                    ac1 = M_INS3 if self.dna_mut else M_INS
+                if v1 < v:
+                    v = v1
+                    ac = ac1
+                elif v1 == v:
+                    ac |= ac1
+                if not self.indels or t >= ub or p <= lbexact or p >= rbexact:
+                    v1 = cvp
+                    ac1 = M_CV
+                else:
+                    # deletions allowed even on eos text chars (:218-220)
+                    v1 = dp[p - 1][t] + gapc
+                    ac1 = M_DEL3 if self.dna_mut else M_DEL
+                if v1 < v:
+                    v = v1
+                    ac = ac1
+                elif v1 == v:
+                    ac |= ac1
+                dp[p][t] = v
+                best[p][t] = ac
+                if v < bestrow:
+                    bestrow = v
+            if bestrow > k:
+                return False, 0, 0
+        bestpos = max(0, min(patlen - band, textlen))
+        bestval = dp[patlen][bestpos]
+        ub = min(patlen + band, textlen)
+        for t in range(bestpos + 1, ub + 1):
+            val = dp[patlen][t]
+            if val < bestval or (val <= bestval and (best[patlen][t] & _DIAG)):
+                bestval = val
+                bestpos = t
+        if bestpos < patlen - band or bestpos > patlen + band:
+            return False, 0, 0
+        return True, bestpos, bestval
+
+    # -- anchored extensions -----------------------------------------------
+
+    def lmatch(self, text_at, end1: int, p1: str, p2: str,
+               esb: int, eeb: int):
+        """Left part p1 matched exactly ending at end1; extend right over p2
+        (primer_alignment.cc:568-649, yesno path).
+        Returns (ok, end, value)."""
+        buflen = len(p2) + self.k
+        text = text_at(end1, buflen)
+        ok, matchlen, value = self.global_align(
+            text, p2, 1, esb - len(p1), eeb
+        )
+        return ok, end1 + matchlen, value
+
+    def rmatch(self, text_at, end2: int, p1: str, p2: str,
+               esb: int, eeb: int):
+        """Right part p2 matched exactly ending at end2; extend left over p1
+        (primer_alignment.cc:651-728, yesno path).
+        Returns (ok, end, value); end == end2."""
+        patlen = len(p1) + len(p2) + self.k
+        textstart = end2 - patlen if end2 > patlen else 0
+        buflen = end2 - len(p2) - textstart
+        text = text_at(textstart, buflen)
+        ok, matchlen, value = self.global_align(
+            text, p1, -1, esb, eeb - len(p2)
+        )
+        return ok, end2, value

@@ -1,0 +1,414 @@
+"""Per-hit alignment verification (host side).
+
+Faithful reimplementation of the reference's ``pattern_alignment`` family —
+``exact_alignment`` (pattern_alignment.cc:29-43), ``exact_wc_alignment``
+(:70-93) and the banded anchored ``editdist_alignment`` (:117-705) — since
+final hit reporting must reproduce its scoring, end-position selection,
+tie-breaking and traceback *exactly*:
+
+- right-anchored reversed DP over window ``[poslb - patlen - k, posub)``;
+  row band ±k (±1 in dna_mut mode);
+- row 0 free for the trailing ``posub - poslb`` text columns (the candidate
+  end range);
+- constraint-violation penalty ``5k+1``; early exit when a row's min > k;
+- best end: scan t upward from ``patlen-k``; replace on strictly-better
+  score OR equal score with a diagonal op in the cell mask (prefers the
+  *earliest* end position reachable by a diagonal op);
+- traceback prefers diagonal ops but keeps gap runs together via the
+  ``lastac`` continuation rules (pattern_alignment.cc:543-585).
+
+Only *candidates* are verified (thousands, not millions), so a tight numpy/
+Python implementation on host is the right tool; the bulk filtering runs on
+the TPU (see ops/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.iupac import compat_matrix
+from ..utils.aa import aasubdist_matrix
+
+MAXINT = 0xFFFFFFFF
+
+# alignment codes (alignment_code.h:6-20)
+A_NONE = 0
+A_EQUAL = 1
+A_WC_EQUAL = 2
+A_SUB = 3
+A_INS = 4
+A_DEL = 5
+A_CONST_VIOL = 6
+A_END = 7
+A_SUB1 = 8
+A_SUB2 = 9
+A_SUB3 = 10
+A_INS3 = 11
+A_DEL3 = 12
+N_CODES = 13
+
+# op-mask bits (alignment_code.h:22-36)
+M_NONE = 1
+M_EQUAL = 2
+M_WC = 4
+M_SUB = 8
+M_INS = 16
+M_DEL = 32
+M_CV = 64
+M_END = 128
+M_SUB1 = 256
+M_SUB2 = 512
+M_SUB3 = 1024
+M_INS3 = 2048
+M_DEL3 = 4096
+
+_DIAG = M_EQUAL | M_WC | M_SUB | M_SUB1 | M_SUB2 | M_SUB3
+_SUBS = M_SUB | M_SUB1 | M_SUB2 | M_SUB3
+_INSM = M_INS | M_INS3
+_DELM = M_DEL | M_DEL3
+
+_ALIGN_CHAR = {
+    A_EQUAL: "|", A_WC_EQUAL: "+", A_SUB: "*", A_SUB1: ".", A_SUB2: ":",
+    A_SUB3: "x", A_INS: "^", A_INS3: "^", A_DEL: "v", A_DEL3: "v",
+    A_CONST_VIOL: "!",
+}
+
+
+@dataclass
+class Alignment:
+    """Result mirroring pattern_alignment's queryable state."""
+
+    end: int  # flat position one past the last matched char
+    found: bool = False
+    value: int = 0  # DP score (pa.value())
+    start: int = 0
+    matching_text: str = ""
+    codes: list[int] = field(default_factory=list)
+    stats: np.ndarray = field(default_factory=lambda: np.zeros(N_CODES, np.int64))
+
+    @property
+    def length(self) -> int:
+        """end - start + 1 — note: one more than len(matching_text)
+        (pattern_alignment.h:96-98)."""
+        return self.end - self.start + 1
+
+    def editdist(self) -> int:
+        """Edit distance from alignment stats (pattern_alignment.h:108-123)."""
+        if self.stats[A_CONST_VIOL] > 0:
+            return MAXINT
+        return int(
+            self.stats[A_SUB] + self.stats[A_SUB1] + 2 * self.stats[A_SUB2]
+            + 3 * self.stats[A_SUB3] + self.stats[A_INS]
+            + 3 * self.stats[A_INS3] + self.stats[A_DEL]
+            + 3 * self.stats[A_DEL3]
+        )
+
+    def alignment_string(self) -> str:
+        return "".join(_ALIGN_CHAR.get(c, " ") for c in self.codes)
+
+    def alignment_text(self) -> str:
+        out, p = [], 0
+        for c in self.codes:
+            if c in (A_DEL, A_DEL3):
+                out.append("-")
+            else:
+                out.append(self.matching_text[p])
+                p += 1
+        return "".join(out)
+
+    def alignment_pattern(self, pat: str) -> str:
+        out, p = [], 0
+        for c in self.codes:
+            if c in (A_INS, A_INS3):
+                out.append("-")
+            else:
+                out.append(pat[p])
+                p += 1
+        return "".join(out)
+
+
+def exact_align(end: int, pat: str) -> Alignment:
+    """exact_alignment::align (pattern_alignment.cc:29-43)."""
+    a = Alignment(end=end, found=True, value=0)
+    a.matching_text = pat
+    a.start = end - len(pat)
+    a.codes = [A_EQUAL] * len(pat)
+    a.stats[A_EQUAL] = len(pat)
+    return a
+
+
+def exact_wc_align(end: int, pat: str, text: str, textn: bool) -> Alignment:
+    """exact_wc_alignment::align (pattern_alignment.cc:70-93): re-reads the
+    text window and marks equal vs wildcard-equal per position."""
+    a = Alignment(end=end, found=True, value=0)
+    a.matching_text = text
+    a.start = end - len(pat)
+    compat = compat_matrix()
+    for pc, tc in zip(pat, text):
+        if pc == tc:
+            a.codes.append(A_EQUAL)
+            a.stats[A_EQUAL] += 1
+        elif compat[ord(pc), ord(tc)] and (tc != "N" or textn):
+            a.codes.append(A_WC_EQUAL)
+            a.stats[A_WC_EQUAL] += 1
+        else:  # shouldn't happen for true hits
+            a.codes.append(A_SUB)
+            a.stats[A_SUB] += 1
+    return a
+
+
+class EditDistAligner:
+    """Reusable editdist_alignment (one instance per engine run).
+
+    ``text_at(start, length)`` must return raw characters for flat positions
+    [start, start+length) — the TPU pipeline serves it from the in-memory
+    SeqDB (the reference seeks the CharacterProducer,
+    pattern_alignment.cc:179-198).
+    """
+
+    def __init__(
+        self,
+        k: int,
+        eos: str,
+        wc: bool = False,
+        textn: bool = False,
+        indels: bool = True,
+        dna_mut: bool = False,
+        yesno: bool = False,
+    ):
+        self.k = k
+        self.eos = eos
+        self.wc = wc
+        self.textn = textn
+        self.indels = indels
+        self.dna_mut = dna_mut
+        self.yesno = yesno
+        self._compat = compat_matrix()
+        self._aasub = aasubdist_matrix() if dna_mut else None
+
+    # NOTE: band() is the reference's (indels_?(dna_mut_?1:k_):0) expression
+    def _band(self) -> int:
+        if not self.indels:
+            return 0
+        return 1 if self.dna_mut else self.k
+
+    def align(
+        self,
+        text_at,
+        pat: str,
+        poslb: int,
+        posub: int,
+        esb: int = 0,
+        eeb: int = 0,
+    ) -> Alignment:
+        """editdist_alignment::align (pattern_alignment.cc:117-705).
+
+        poslb/posub = end()/end2_ — the candidate end-position range
+        (inclusive); esb/eeb = exact start/end base constraints (lconst_/
+        rconst_).
+        """
+        k = self.k
+        band = self._band()
+        patlen = len(pat)
+        end = poslb
+        textstart = end - patlen - k if end > patlen + k else 0
+        buflen = posub - textstart
+        buffer = text_at(textstart, buflen)
+        assert len(buffer) == buflen
+
+        cvp = 5 * k + 1  # const_viol_penalty
+        # exact-base constraint rows in reversed-p space
+        lbexact = 0
+        rbexact = patlen + 1
+        if esb > 0:
+            rbexact = patlen + 1 - esb
+        if eeb > 0:
+            lbexact = eeb
+
+        P, T = patlen + 1, buflen + 1
+        dp = np.full((P, T), MAXINT, dtype=np.int64)
+        best = np.zeros((P, T), dtype=np.int32)
+        dp[0, 0] = 0
+        best[0, 0] = M_END
+
+        gapc = 3 if self.dna_mut else 1
+
+        ub = min(band, patlen)
+        for p in range(1, ub + 1):
+            if (not self.indels or p < lbexact or p >= rbexact
+                    or pat[patlen - p] == self.eos):
+                dp[p, 0] = cvp
+                best[p, 0] = M_CV
+            else:
+                dp[p, 0] = dp[p - 1, 0] + gapc
+                best[p, 0] = M_DEL3 if self.dna_mut else M_DEL
+        free = posub - end
+        ub = min(free + band, buflen)
+        for t in range(1, ub + 1):
+            if t <= free:
+                dp[0, t] = 0
+                best[0, t] = M_END
+            elif not self.indels or lbexact > 0:
+                dp[0, t] = cvp
+                best[0, t] = M_CV
+            else:
+                dp[0, t] = dp[0, t - 1] + gapc
+                best[0, t] = M_INS3 if self.dna_mut else M_INS
+
+        pat_rev = pat[::-1]  # pat_rev[p-1] == pat[patlen-p]
+        buf_rev = buffer[::-1]  # buf_rev[t-1] == buffer[buflen-t]
+        compat = self._compat
+        for p in range(1, patlen + 1):
+            pc = pat_rev[p - 1]
+            lb = max(1, p - band)
+            ub = min(p + free + band, buflen)
+            bestrow = cvp
+            for t in range(lb, ub + 1):
+                tc = buf_rev[t - 1]
+                # diagonal
+                if tc == pc:
+                    v = dp[p - 1, t - 1]
+                    ac = M_EQUAL
+                elif (self.wc and compat[ord(pc), ord(tc)]
+                      and (tc != "N" or self.textn)):
+                    v = dp[p - 1, t - 1]
+                    ac = M_WC
+                elif (tc == self.eos or pc == self.eos
+                      or p <= lbexact or p >= rbexact):
+                    v = cvp
+                    ac = M_CV
+                else:
+                    if not self.dna_mut:
+                        v = dp[p - 1, t - 1] + 1
+                        ac = M_SUB
+                    else:
+                        # aasubdist(text_char, pattern_char) — note arg order
+                        # (pattern_alignment.cc:345)
+                        mut = int(self._aasub[ord(tc), ord(pc)])
+                        if mut >= 0:
+                            v = dp[p - 1, t - 1] + mut
+                            ac = (M_SUB1, M_SUB2, M_SUB3)[mut - 1]
+                        else:
+                            v = cvp
+                            ac = M_CV
+                # insertion (extra text char)
+                if (tc == self.eos or pc == self.eos or not self.indels
+                        or t <= lb or p < lbexact or p >= rbexact):
+                    if cvp < v:
+                        v = cvp
+                        ac = M_CV
+                else:
+                    v1 = dp[p, t - 1] + gapc
+                    im = M_INS3 if self.dna_mut else M_INS
+                    if v1 < v:
+                        v = v1
+                        ac = im
+                    elif v1 == v:
+                        ac |= im
+                # deletion (pattern char unmatched)
+                if (not self.indels or pc == self.eos or t >= ub
+                        or p <= lbexact or p >= rbexact):
+                    if cvp < v:
+                        v = cvp
+                        ac = M_CV
+                else:
+                    v1 = dp[p - 1, t] + gapc
+                    dm = M_DEL3 if self.dna_mut else M_DEL
+                    if v1 < v:
+                        v = v1
+                        ac = dm
+                    elif v1 == v:
+                        ac |= dm
+                dp[p, t] = v
+                best[p, t] = ac
+                if v < bestrow:
+                    bestrow = v
+            if bestrow > k:
+                a = Alignment(end=end, found=False)
+                if not self.yesno:
+                    a.codes.append(A_CONST_VIOL)
+                    a.stats[A_CONST_VIOL] += 1
+                return a
+
+        # best end selection (pattern_alignment.cc:443-475)
+        beststart = patlen - band
+        beststart = min(beststart, buflen)
+        beststart = max(beststart, 0)
+        bestval = int(dp[patlen, beststart])
+        ub = min(patlen + free + band, buflen)
+        for t in range(beststart + 1, ub + 1):
+            v = int(dp[patlen, t])
+            if v < bestval or (v <= bestval and (best[patlen, t] & _DIAG)):
+                bestval = v
+                beststart = t
+
+        p, t = patlen, beststart
+        if t < p - band or t > p + band + free:
+            a = Alignment(end=end, found=False)
+            if not self.yesno:
+                a.codes.append(A_CONST_VIOL)
+                a.stats[A_CONST_VIOL] += 1
+            return a
+
+        # traceback (pattern_alignment.cc:494-597)
+        codes: list[int] = []
+        stats = np.zeros(N_CODES, dtype=np.int64)
+        lastac = A_NONE
+        while not (best[p, t] & M_END):
+            ac = int(best[p, t])
+            match = bool(ac & _DIAG)
+            wc = bool(ac & M_WC)
+            sub = bool(ac & _SUBS)
+            ins = bool(ac & _INSM)
+            dele = bool(ac & _DELM)
+            if match and not (
+                (lastac in (A_INS, A_INS3) and ins)
+                or (lastac in (A_DEL, A_DEL3) and dele)
+                or (lastac == A_WC_EQUAL and not wc and (ins or dele))
+            ):
+                p -= 1
+                t -= 1
+                if (ac & M_EQUAL) and not (
+                    (lastac == A_WC_EQUAL and wc)
+                    or (lastac == A_SUB and sub)
+                ):
+                    lastac = A_EQUAL
+                elif wc:
+                    lastac = A_WC_EQUAL
+                elif sub:
+                    if ac & M_SUB:
+                        lastac = A_SUB
+                    elif ac & M_SUB1:
+                        lastac = A_SUB1
+                    elif ac & M_SUB2:
+                        lastac = A_SUB2
+                    else:
+                        lastac = A_SUB3
+            elif dele:
+                p -= 1
+                lastac = A_DEL if (ac & M_DEL) else A_DEL3
+            elif ins:
+                t -= 1
+                lastac = A_INS if (ac & M_INS) else A_INS3
+            elif ac & M_CV:
+                p = 0
+                t = 0
+                lastac = A_CONST_VIOL
+            else:  # pragma: no cover
+                raise AssertionError("bad traceback cell")
+            if not self.yesno:
+                stats[lastac] += 1
+                codes.append(lastac)
+
+        endt = t
+        mt = buffer[buflen - beststart : buflen - endt]
+        a = Alignment(end=0, found=bestval <= k)
+        a.codes = codes
+        a.stats = stats
+        a.matching_text = mt
+        a.start = posub - beststart
+        a.end = a.start + len(mt)
+        a.value = bestval
+        return a

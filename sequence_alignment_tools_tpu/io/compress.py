@@ -253,14 +253,16 @@ def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
         codes = np.fromfile(base + ".sqn", dtype=np.uint8)
         keys, vals = read_idb(base + ".idb")
         headers = _read_headers(base + ".hdr", vals)
-        return _mk_db(codes, table, keys[:-1], headers, eos_char)
+        return _mk_db(codes, table, keys[:-1], headers, eos_char,
+                      producer_alphabet=len(table))
     if os.path.exists(base + ".sqz") and os.path.exists(base + ".tbz"):
         table = open(base + ".tbz", "rb").read()
         keys, vals = read_idb(base + ".idb")
         n = int(keys[-1]) - 1
         codes = unpack_sqz(open(base + ".sqz", "rb").read(), len(table), n)
         headers = _read_headers(base + ".hdr", vals)
-        return _mk_db(codes, table, keys[:-1], headers, eos_char)
+        return _mk_db(codes, table, keys[:-1], headers, eos_char,
+                      producer_alphabet=len(table))
     if os.path.exists(base + ".seq") and os.path.exists(base + ".idb"):
         raw = np.fromfile(base + ".seq", dtype=np.uint8)
         keys, vals = read_idb(base + ".idb")
@@ -274,7 +276,8 @@ def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
         c2c = np.zeros(256, dtype=np.uint8)
         for code, ch in enumerate(table):
             c2c[ch] = code
-        return _mk_db(c2c[raw], table, keys[:-1], headers, eos_char)
+        return _mk_db(c2c[raw], table, keys[:-1], headers, eos_char,
+                      producer_alphabet=256)
     return SeqDB.from_fasta(fasta_path, eos_char=eos_char)
 
 
@@ -287,7 +290,8 @@ def _read_headers(path: str, offsets: np.ndarray) -> list[str]:
     return out
 
 
-def _mk_db(codes, table, entry_keys, headers, eos_char) -> SeqDB:
+def _mk_db(codes, table, entry_keys, headers, eos_char,
+           producer_alphabet=256) -> SeqDB:
     starts = np.asarray(entry_keys, dtype=np.int64)
     n = len(codes)
     next_starts = np.concatenate([starts[1:], [n]])
@@ -304,4 +308,5 @@ def _mk_db(codes, table, entry_keys, headers, eos_char) -> SeqDB:
         entry_lengths=lengths,
         headers=headers,
         eos_char=eos_char,
+        producer_alphabet=producer_alphabet,
     )

@@ -49,6 +49,12 @@ class SeqDB:
     entry_lengths: np.ndarray
     headers: list[str]
     eos_char: int = DEFAULT_EOS
+    # CharacterProducer::size() as the reference sees it: 256 for raw FASTA /
+    # .seq streams, the .tbl size for normalized databases (char_io.h:50,
+    # char_io.t:251-253).  Engine auto-selection keys off this
+    # (select.cc:107-127), so it must reflect the *input representation*,
+    # not our always-normalized in-memory form.
+    producer_alphabet: int = 256
 
     char_to_code: np.ndarray = field(init=False)
 
@@ -81,6 +87,13 @@ class SeqDB:
         """Raw char -> alphabet code, -1 if absent (CharacterProducer::nch)."""
         b = ord(ch) if isinstance(ch, str) else ch
         return int(self.char_to_code[b])
+
+    def producer_nch(self, ch: str) -> int:
+        """nch() as the reference's producer reports it: identity for raw
+        streams (char_io.h:138), table code for normalized ones."""
+        if self.producer_alphabet == 256:
+            return ord(ch)
+        return self.nch(ch)
 
     def ch(self, code: int) -> str:
         """Alphabet code -> raw char (CharacterProducer::ch)."""

@@ -1,0 +1,387 @@
+"""The primer_match scan model: TPU filter -> host extend/verify.
+
+Engine structure mirrors the reference's strategy layer
+(``pick_pattern_index``, select.cc:19-278) — same auto-selection rules, same
+per-engine hit semantics and emission order — but every exact scan (whole
+patterns, pattern halves, constrained prefixes/suffixes) runs as one MXU
+correlation over the flat database, and the k-edit candidate filter is the
+row-vectorized Sellers DP:
+
+- k == 0           -> exact conv scan (keyword-tree / shift-and hit order)
+- k == 1, long pats -> exact_halves: exact half seeds + lmatch/rmatch
+                      extension, (pos, id desc) order, lasthit+2k dedup
+                      (exact_halves.cc:100-224)
+- k >= 1, >=6 exact-constrained bases -> exact_bases: constrained seed +
+                      extension, no dedup (exact_bases.cc:69-160)
+- otherwise        -> filter_bitvec: Sellers/conv candidates -> 2k+1 cluster
+                      chains -> one editdist verify per cluster
+                      (filter_bitvec.cc:73-183)
+
+Every emitted hit is re-verified with ``editdist_alignment`` at its final end
+position, exactly like the reference main loop (primer_match.cc:1114-1268).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from ..engine.extend import Extender
+from ..engine.verify import (
+    Alignment,
+    EditDistAligner,
+    exact_align,
+    exact_wc_align,
+)
+from ..io.database import SeqDB
+from ..io.patterns import PatternSet
+from ..ops.conv_scan import ConvScanner
+from ..ops.sellers import SellersScanner
+from ..ops.tables import build_tables, PatternTables
+
+
+@dataclass
+class Hit:
+    pid: int  # 1-based pattern id (revcomp ids in n+1..2n)
+    alignment: Alignment
+
+    @property
+    def end(self) -> int:
+        return self.alignment.end
+
+
+class SelectionError(SystemExit):
+    pass
+
+
+def _constraint_stats(ps: PatternSet):
+    """min_exact_const / cumdiff / cumbooldiff / min_inexact_bases over all
+    patterns (select.cc:31-67)."""
+    MAXINT = 1 << 62
+    min_exact = MAXINT
+    cumdiff = 0
+    cumbool = 0
+    min_inexact = MAXINT
+    min_len = MAXINT
+    for i in range(1, ps.n_total + 1):
+        n = len(ps.pattern(i))
+        min_len = min(min_len, n)
+        c = ps.esb[i] if ps.esb[i] >= ps.eeb[i] else ps.eeb[i]
+        min_exact = min(min_exact, c)
+        cumdiff += c - n // 2
+        cumbool += 1 if (c - n // 2) >= 0 else 0
+        min_inexact = min(min_inexact, n - c)
+    min_inexact = min(min_inexact, min_len)
+    return min_exact, cumdiff, cumbool, min_inexact, min_len
+
+
+def select_engine(db: SeqDB, ps: PatternSet, k: int, wc: bool,
+                  seedlen: int, node: int) -> str:
+    """pick_pattern_index auto logic (select.cc:103-142).  Returns one of
+    'exact_kt', 'exact_sa', 'halves', 'bases', 'filter'."""
+    min_exact, cumdiff, cumbool, min_inexact, min_len = _constraint_stats(ps)
+    if k >= min_inexact and k > 0:
+        import sys
+
+        sys.stderr.write(
+            "Fatal error: Number of edits >= Minimum number of inexact "
+            f"bases: {min_inexact}\n"
+        )
+        raise SelectionError(1)
+    if node != 0:
+        if node in (1, 2, 3):
+            return "exact_kt"
+        if node == 4:
+            return "exact_sa"
+        if node == 5:
+            return "filter"
+        if node in (7, 8, 9, 10):
+            return "bases"
+        if node in (11, 12, 13, 14):
+            return "halves"
+        return "filter"  # 6 (hash) / 15 (gapped seeds): not yet built
+    if k == 0:
+        return "exact_sa" if wc else "exact_kt"
+    # ff->size(): 256 for raw FASTA / .seq streams, .tbl size for normalized
+    # databases (select.cc:107-127 keys off the producer's alphabet)
+    alpha = db.producer_alphabet
+    if (
+        k == 1
+        and ((min_len >= 12 and alpha < 10) or (min_len >= 8 and alpha >= 10))
+        and (cumbool <= 0 or cumdiff <= 0)
+    ):
+        return "halves"
+    if min_exact >= 6:
+        return "bases"
+    # seedlen > 0 -> hash_table in the reference; filter gives the same hit
+    # set (conformance matrix) until the hash engine lands
+    return "filter"
+
+
+class PrimerMatchModel:
+    def __init__(
+        self,
+        db: SeqDB,
+        ps: PatternSet,
+        k: int = 0,
+        indels: bool = True,
+        wc: bool = False,
+        textn: bool = False,
+        dna_mut: bool = False,
+        seedlen: int = 0,
+        node: int = 0,
+        report_interval: int = 1000,
+        block: int = 1 << 19,
+    ):
+        self.db = db
+        self.ps = ps
+        self.k = k
+        self.indels = indels
+        self.wc = wc
+        self.textn = textn
+        self.dna_mut = dna_mut
+        self.report_interval = report_interval
+        self.block = block
+        self.engine = select_engine(db, ps, k, wc, seedlen, node)
+        eos = chr(db.eos_char)
+        self._final_aligner = EditDistAligner(
+            k, eos, wc, textn, indels, dna_mut, yesno=False
+        )
+        if self.engine == "filter":
+            self._cluster_aligner = EditDistAligner(
+                k, eos, wc, textn, indels, dna_mut, yesno=True
+            )
+        if self.engine in ("halves", "bases"):
+            self._extender = Extender(k, eos, wc, textn, indels, dna_mut)
+
+    # -- text access for the verify DPs ------------------------------------
+
+    def _text_at(self, start: int, length: int) -> str:
+        db = self.db
+        start = max(0, start)
+        end = min(start + length, len(db))
+        s = db.decode(start, end)
+        if len(s) < length:
+            s = s + chr(db.eos_char) * (length - len(s))
+        return s
+
+    # -- engine hit streams (end, pid, value) -------------------------------
+
+    def engine_hits(self):
+        return {
+            "exact_kt": self._exact_engine,
+            "exact_sa": self._exact_engine,
+            "halves": self._halves_engine,
+            "bases": self._bases_engine,
+            "filter": self._filter_engine,
+        }[self.engine]()
+
+    def _exact_engine(self):
+        tables = build_tables(self.ps, self.db, self.wc, self.textn)
+        scanner = ConvScanner(tables, k=0, block=self.block)
+        lengths = tables.lengths
+        cands = []
+        for end, p0, _ in scanner.scan(self.db.codes):
+            if self.engine == "exact_kt":
+                # keyword tree emits along output/fail chains: longest match
+                # first; duplicate patterns in reverse registration order
+                # (ktnode::add_patid push_front, keyword_tree.t:62-64)
+                cands.append((end, -int(lengths[p0]), -p0))
+            else:
+                # shift-and emits in word/bit = registration order
+                cands.append((end, p0, p0))
+        cands.sort()
+        for end, _, key in cands:
+            p0 = -key if self.engine == "exact_kt" else key
+            yield end, p0 + 1, 0
+
+    def _halves_engine(self):
+        """exact_halves (exact_halves.cc:121-224)."""
+        ps, k = self.ps, self.k
+        halves: list[str] = [""]
+        owner: list[int] = [0]
+        for pid in range(1, ps.n_total + 1):
+            pat = ps.pattern(pid)
+            halves += [pat[: len(pat) // 2], pat[len(pat) // 2 :]]
+            owner += [pid, pid]
+        half_ps = PatternSet(patterns=halves, esb=[0] * len(halves),
+                             eeb=[0] * len(halves), n_forward=len(halves) - 1)
+        tables = build_tables(half_ps, self.db, wc=self.wc, textn=self.textn)
+        scanner = ConvScanner(tables, k=0, block=self.block)
+        cands = []
+        for end, h0, _ in scanner.scan(self.db.codes):
+            cands.append((end, -(h0 + 1)))
+        cands.sort()  # (pos asc, half-id desc) == hit_lessthan
+        lasthit = [0] * (ps.n_total + 1)
+        dedup = 2 * k if self.indels else 0
+        for end, neg_hid in cands:
+            hid = -neg_hid
+            pid = owner[hid]
+            pat = ps.pattern(pid)
+            h1, h2 = halves[hid if hid % 2 == 1 else hid - 1], \
+                halves[hid + 1 if hid % 2 == 1 else hid]
+            esb, eeb = ps.esb[pid], ps.eeb[pid]
+            if hid % 2 == 1:  # left half matched; extend right
+                ok, hend, value = self._extender.lmatch(
+                    self._text_at, end, h1, h2, esb, eeb
+                )
+            else:  # right half matched; extend left
+                ok, hend, value = self._extender.rmatch(
+                    self._text_at, end, h1, h2, esb, eeb
+                )
+            if ok and hend > lasthit[pid] + dedup:
+                lasthit[pid] = hend
+                yield hend, pid, value
+
+    def _bases_engine(self):
+        """exact_bases (exact_bases.cc:69-160): constrained-seed extension,
+        no dedup; candidates in inner keyword-tree order."""
+        ps, k = self.ps, self.k
+        seeds: list[str] = [""]
+        owner: list[int] = [0]
+        prefix: list[bool] = [False]
+        rempat: list[str] = [""]
+        for pid in range(1, ps.n_total + 1):
+            pat = ps.pattern(pid)
+            esb, eeb = ps.esb[pid], ps.eeb[pid]
+            if esb >= eeb:
+                seeds.append(pat[:esb])
+                prefix.append(True)
+                rempat.append(pat[esb:])
+            else:
+                seeds.append(pat[len(pat) - eeb :])
+                prefix.append(False)
+                rempat.append(pat[: len(pat) - eeb])
+            owner.append(pid)
+        seed_ps = PatternSet(patterns=seeds, esb=[0] * len(seeds),
+                             eeb=[0] * len(seeds), n_forward=len(seeds) - 1)
+        tables = build_tables(seed_ps, self.db, wc=self.wc, textn=self.textn)
+        scanner = ConvScanner(tables, k=0, block=self.block)
+        cands = []
+        for end, s0, _ in scanner.scan(self.db.codes):
+            cands.append((end, -len(seeds[s0 + 1]), -s0))
+        cands.sort()  # keyword-tree order: end asc, longer seed first,
+        # duplicates in reverse registration order
+        for end, _, negs0 in cands:
+            sid = -negs0 + 1
+            pid = owner[sid]
+            esb, eeb = ps.esb[pid], ps.eeb[pid]
+            if prefix[sid]:
+                ok, hend, value = self._extender.lmatch(
+                    self._text_at, end, seeds[sid], rempat[sid], esb, eeb
+                )
+            else:
+                ok, hend, value = self._extender.rmatch(
+                    self._text_at, end, rempat[sid], seeds[sid], esb, eeb
+                )
+            if ok:
+                yield hend, pid, value
+
+    def _filter_engine(self):
+        """filter_bitvec (filter_bitvec.cc:73-183), including the reference's
+        batch structure: the inner bitvector scan returns batches of >= minka
+        candidates (split where two consecutive positions yield no hit,
+        shift_and_inexact.cc:337-339), each batch is normalized with the
+        key-only unstable std::sort (replicated by introsort), clusters whose
+        2k+1 window may extend past the batch's scan position are deferred,
+        and unprocessed candidates carry over (filter_bitvec.cc:88-181)."""
+        from ..utils.introsort import introsort
+
+        ps, k = self.ps, self.k
+        minka = self.report_interval
+        tables = build_tables(self.ps, self.db, self.wc, self.textn)
+        if self.indels:
+            scanner = SellersScanner(tables, k=k, indels=True,
+                                     block=min(self.block, 1 << 18))
+        else:
+            scanner = ConvScanner(tables, k=k, poison_eos=True,
+                                  block=self.block)
+        stream = sorted(
+            (end, p0) for end, p0, _ in scanner.scan(self.db.codes)
+        )
+        n_stream = len(stream)
+        si = 0  # stream cursor
+        window = 2 * k + 1
+        total_len = len(self.db)
+        l: list[list] = []  # elements [key, pid0]; key 0 == processed
+        while True:
+            # -- emulate pm_->find_patterns(cp, l, minka) ------------------
+            new_count = 0
+            last_end = -10
+            more = False
+            oldcharspos = total_len
+            while si < n_stream:
+                end, p0 = stream[si]
+                if new_count >= minka and end > last_end + 2:
+                    more = True
+                    oldcharspos = last_end + 2
+                    break
+                l.append([end, p0])
+                new_count += 1
+                last_end = end
+                si += 1
+            else:
+                more = new_count > 0  # true at eof with fresh candidates
+            if not more and not l:
+                return
+            # -- normalize + cluster loop ----------------------------------
+            introsort(l, lambda a, b: a[0] < b[0])
+            i = 0
+            n_l = len(l)
+            while i < n_l:
+                firstpos = l[i][0]
+                if firstpos > 0:
+                    p0 = l[i][1]
+                    pos = firstpos
+                    adj = [i]
+                    j = i + 1
+                    while j < n_l and l[j][0] <= pos + window:
+                        if l[j][1] == p0:
+                            pos = l[j][0]
+                            adj.append(j)
+                        j += 1
+                    if oldcharspos < pos + window and more:
+                        break  # defer: window may grow in the next batch
+                    pid = p0 + 1
+                    pat = ps.pattern(pid)
+                    a = self._cluster_aligner.align(
+                        self._text_at, pat, firstpos, pos,
+                        esb=ps.esb[pid], eeb=ps.eeb[pid],
+                    )
+                    if a.found:
+                        yield a.end, pid, a.value
+                    for idx in adj:
+                        l[idx][0] = 0
+                i += 1
+            l = [e for e in l if e[0] != 0]
+            if not more and si >= n_stream:
+                if not l:
+                    return
+                # leftovers exist but scan is over: next pass has more=False
+                # and processes them without deferral (loop continues)
+                continue
+
+    # -- final hits (reference main-loop re-verification) -------------------
+
+    def hits(self) -> Iterator[Hit]:
+        ps, k = self.ps, self.k
+        if k == 0:
+            for end, pid, _ in self.engine_hits():
+                pat = ps.pattern(pid)
+                if self.wc:
+                    text = self._text_at(end - len(pat), len(pat))
+                    a = exact_wc_align(end, pat, text, self.textn)
+                else:
+                    a = exact_align(end, pat)
+                yield Hit(pid, a)
+        else:
+            for end, pid, _ in self.engine_hits():
+                pat = ps.pattern(pid)
+                fa = self._final_aligner.align(
+                    self._text_at, pat, end, end,
+                    esb=ps.esb[pid], eeb=ps.eeb[pid],
+                )
+                if fa.editdist() <= k:
+                    yield Hit(pid, fa)

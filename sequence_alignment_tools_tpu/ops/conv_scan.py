@@ -1,0 +1,117 @@
+"""MXU correlation scan: exact and k-mismatch multi-pattern matching.
+
+The TPU-native replacement for the reference's Aho-Corasick keyword tree and
+shift-and scan loops (``keyword_tree.t:427-486``, ``shift_and.cc:218-254``):
+multi-pattern matching *without indels* is a one-hot correlation
+
+    score(i, p) = sum_j W[j, text[i+j], p]
+
+evaluated as ``lax.conv_general_dilated`` over the whole block — which XLA
+tiles onto the MXU.  ``score == L_p`` is an exact (or exact-with-wildcards)
+match ending at ``i + L_p``; ``score >= L_p - k`` is a k-mismatch candidate
+(EOS positions carry a poison weight so no window straddles an entry
+boundary).  Candidate extraction is a device-side compaction
+(``jnp.nonzero`` with a static capacity).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("alpha", "cap"))
+def _conv_scan_block(codes, weights, thresholds, lengths, alpha, cap):
+    """One text block.
+
+    codes: [B + Lmax - 1] int32 (right halo of Lmax-1, EOS-padded)
+    weights: [Lmax, alpha, P] bf16; thresholds/lengths: [P] f32/int32
+    Returns (count, flat_idx [cap], mism [cap]) where flat_idx indexes the
+    [B, P] (window-start, pattern) grid row-major; mism = L_p - score.
+
+    The correlation is evaluated as Lmax shifted [B, A] @ [A, P] matmuls
+    (MXU) rather than one huge-spatial-dim conv, which XLA compiles far
+    better at this shape.
+    """
+    Lmax = weights.shape[0]
+    B = codes.shape[0] - (Lmax - 1)
+    onehot = jax.nn.one_hot(codes, alpha, dtype=jnp.bfloat16)  # [B+Lmax-1, A]
+
+    def step(j, acc):
+        window = jax.lax.dynamic_slice_in_dim(onehot, j, B, axis=0)  # [B, A]
+        return acc + jnp.dot(
+            window, weights[j], preferred_element_type=jnp.float32
+        )
+
+    out = jax.lax.fori_loop(
+        0, Lmax, step, jnp.zeros((B, weights.shape[2]), jnp.float32)
+    )  # [B, P]
+    mism = lengths[None, :].astype(jnp.float32) - out
+    hit = out >= thresholds[None, :]
+    flat = hit.reshape(-1)
+    count = jnp.sum(flat, dtype=jnp.int32)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])
+    m = jnp.concatenate([mism.reshape(-1), jnp.zeros((1,), jnp.float32)])
+    return count, idx, m[idx].astype(jnp.int32)
+
+
+class ConvScanner:
+    """Block-streaming exact / k-mismatch scanner over a flat code array.
+
+    Yields candidates as (end_position, pattern_index_0based, mismatches),
+    globally ordered by (window_start, pattern).
+    """
+
+    def __init__(self, tables, k: int = 0, poison_eos: bool | None = None,
+                 block: int = 1 << 19, cap: int = 1 << 16):
+        from .tables import conv_weights
+
+        self.tables = tables
+        self.k = k
+        if poison_eos is None:
+            poison_eos = k > 0
+        self.weights = jnp.asarray(conv_weights(tables, k, poison_eos))
+        self.thresholds = jnp.asarray(
+            tables.lengths.astype(np.float32) - float(k)
+        )
+        self.lengths_dev = jnp.asarray(tables.lengths)
+        self.block = block
+        self.cap = cap
+
+    def scan(self, codes: np.ndarray):
+        """Iterate candidate tuples over the whole array (host generator)."""
+        Lmax = self.tables.Lmax
+        P = self.tables.P
+        n = len(codes)
+        eos = self.tables.eos_code
+        lengths = self.tables.lengths
+        block = self.block
+        for start in range(0, n, block):
+            b = min(block, n - start)
+            chunk = np.full(block + Lmax - 1, eos, dtype=np.int32)
+            avail = min(n - start, block + Lmax - 1)
+            chunk[:avail] = codes[start : start + avail]
+            cap = self.cap
+            while True:
+                count, idx, mism = _conv_scan_block(
+                    jnp.asarray(chunk), self.weights, self.thresholds,
+                    self.lengths_dev, self.tables.alpha, cap,
+                )
+                count = int(count)
+                if count <= cap:
+                    break
+                cap *= 4  # recompile with larger capacity (rare)
+            if count == 0:
+                continue
+            idx = np.asarray(idx[:count])
+            mism = np.asarray(mism[:count])
+            win = idx // P
+            pid = idx % P
+            keep = win < b  # windows starting beyond the true block are halo
+            win, pid, mism = win[keep], pid[keep], mism[keep]
+            ends = start + win + lengths[pid]
+            for e, p, m in zip(ends, pid, mism):
+                yield int(e), int(p), int(m)

@@ -1,0 +1,155 @@
+"""Row-vectorized Sellers semi-global DP: k-edit candidate scan on TPU.
+
+The indel-capable analog of the reference's Wu-Manber bitvector scan
+(``shift_and_inexact.cc:249-350``).  For every text boundary ``b`` and
+pattern ``p`` it computes
+
+    mindist(b, p) = min edits to align p against some text substring
+                    ending at b   (capped at k+1)
+
+with the reference's EOS gating: all error transitions are disallowed on an
+EOS character, so matches never straddle entry boundaries.  Identical
+candidate sets to the reference's bitvectors (a bit set in row ``l`` there
+means "prefix matches with <= l errors"; the minimal such ``l`` *is* the
+Sellers distance).
+
+TPU mapping: the pattern axis is a short sequential loop (Lmax rows); each
+row is elementwise VPU work over the whole [P, B] tile.  The insertion
+recurrence (a slope-1 running min along the text) exploits the k+1 value cap:
+a chain longer than k saturates, so the running min collapses to a k-term
+shifted min — O(k) shifted adds instead of an associative scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k", "indels", "cap"))
+def _sellers_block(codes, match, lengths, nrun, k, indels, cap):
+    """codes: [W] int32 (left halo Lmax+k); match: [Lmax, P, alpha] bool;
+    lengths: [P] int32; nrun: [W] int32 non-EOS run length ending at i.
+
+    Returns (count, flat_idx [cap], dist [cap]) over the [P, W] grid of
+    per-boundary min distances (boundary b = i + 1).
+    """
+    Lmax, P, alpha = match.shape
+    W = codes.shape[0]
+    INF = np.int32(k + 1)
+    onehot_codes = codes  # gather index per position
+
+    def row(j, D):
+        # D: [P, W] distances for pattern prefix j
+        mrow = match[j]  # [P, alpha]
+        ok = jnp.take(mrow, onehot_codes, axis=1)  # [P, W] does pat[j] match?
+        subc = jnp.where(ok, 0, 1).astype(jnp.int32)
+        # EOS: no sub/ins/del; match of a pattern char vs EOS is already
+        # impossible (EOS never in a match row), so make diag cost INF there.
+        at_eos = (nrun == 0)[None, :]
+        diag_prev = jnp.concatenate(
+            [jnp.full((P, 1), INF, jnp.int32), D[:, :-1]], axis=1
+        )
+        base = jnp.where(at_eos, INF, diag_prev + subc)
+        if indels:
+            dele = jnp.where(at_eos, INF, D + 1)
+            base = jnp.minimum(base, dele)
+        base = jnp.minimum(base, INF)
+        out = base
+        if indels:
+            for t in range(1, k + 1):
+                shifted = jnp.concatenate(
+                    [jnp.full((P, t), INF, jnp.int32), base[:, :-t]], axis=1
+                )
+                allowed = (nrun >= t)[None, :]
+                out = jnp.minimum(
+                    out, jnp.where(allowed, shifted + t, INF)
+                )
+        out = jnp.minimum(out, INF)
+        # rows past a pattern's length are identity (pattern finished)
+        active = (j < lengths)[:, None]
+        return jnp.where(active, out, D)
+
+    D0 = jnp.zeros((P, W), dtype=jnp.int32)
+    D = jax.lax.fori_loop(0, Lmax, row, D0)
+
+    hit = D <= k
+    flat = hit.reshape(-1)
+    count = jnp.sum(flat, dtype=jnp.int32)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])
+    d = jnp.concatenate([D.reshape(-1), jnp.zeros((1,), jnp.int32)])
+    return count, idx, d[idx]
+
+
+def nonexact_runs(codes: np.ndarray, eos_code: int) -> np.ndarray:
+    """nrun[i] = length of the non-EOS run ending at (and including) i."""
+    noneos = codes != eos_code
+    # vectorized run-length: cumulative count reset at EOS
+    c = np.cumsum(noneos)
+    reset = np.where(~noneos, c, 0)
+    return (c - np.maximum.accumulate(reset)).astype(np.int32)
+
+
+class SellersScanner:
+    """Block-streaming k-edit candidate scanner.
+
+    Yields (end_position, pattern_index_0based, mindist) ordered by
+    (end, pattern)."""
+
+    def __init__(self, tables, k: int, indels: bool = True,
+                 block: int = 1 << 18, cap: int = 1 << 16):
+        self.tables = tables
+        self.k = k
+        self.indels = indels
+        self.block = block
+        self.cap = cap
+        # match layout [Lmax, P, alpha] for row-major dynamic indexing
+        self.match = jnp.asarray(
+            np.ascontiguousarray(tables.match.transpose(1, 0, 2))
+        )
+        self.lengths_dev = jnp.asarray(tables.lengths)
+
+    def scan(self, codes: np.ndarray):
+        t = self.tables
+        halo = t.Lmax + self.k
+        n = len(codes)
+        nrun_all = nonexact_runs(codes, t.eos_code)
+        P = t.P
+        block = self.block
+        W = block + halo
+        for start in range(0, n, block):
+            lo = start - halo
+            chunk = np.full(W, t.eos_code, dtype=np.int32)
+            nrun = np.zeros(W, dtype=np.int32)
+            s0 = max(0, lo)
+            chunk[s0 - lo : W - max(0, (start + block) - n)] = codes[
+                s0 : min(n, start + block)
+            ]
+            nrun[s0 - lo : W - max(0, (start + block) - n)] = nrun_all[
+                s0 : min(n, start + block)
+            ]
+            cap = self.cap
+            while True:
+                count, idx, dist = _sellers_block(
+                    jnp.asarray(chunk), self.match, self.lengths_dev,
+                    jnp.asarray(nrun), self.k, self.indels, cap,
+                )
+                count = int(count)
+                if count <= cap:
+                    break
+                cap *= 4
+            if count == 0:
+                continue
+            idx = np.asarray(idx[:count])
+            dist = np.asarray(dist[:count])
+            pos = idx % W  # position within chunk
+            pid = idx // W
+            keep = pos >= halo  # halo candidates belong to the previous block
+            pos, pid, dist = pos[keep], pid[keep], dist[keep]
+            ends = lo + pos + 1  # boundary after char
+            order = np.lexsort((pid, ends))
+            for e, p, d in zip(ends[order], pid[order], dist[order]):
+                yield int(e), int(p), int(d)

@@ -1,0 +1,111 @@
+"""End-to-end byte parity of primer_match output vs the reference binary.
+
+This is the TPU build's version of the reference's testscript.sh identity
+matrix (testscript.sh:146-422): the same query under many configurations must
+produce byte-identical output.
+"""
+
+import io
+import os
+import random
+import subprocess
+
+import pytest
+
+from sequence_alignment_tools_tpu.apps.primer_match import parse_args, run
+
+PAT = "/root/reference/db/pat.txt"
+
+
+@pytest.fixture(scope="module")
+def planted_fasta(tmp_path_factory):
+    """Corpus with exact/1-sub/1-del/1-ins/2-sub plants of every pattern."""
+    rng = random.Random(13)
+    pats = [l.strip() for l in open(PAT) if l.strip()]
+    seq = [rng.choice("ACGT") for _ in range(60000)]
+    pos = 500
+    for p in pats:
+        for mode in ("exact", "sub1", "del1", "ins1", "sub2"):
+            s = list(p)
+            if mode == "sub1":
+                i = len(s) // 2
+                s[i] = "ACGT"[("ACGT".index(s[i]) + 1) % 4]
+            elif mode == "del1":
+                del s[len(s) // 3]
+            elif mode == "ins1":
+                s.insert(2 * len(s) // 3, "T")
+            elif mode == "sub2":
+                for i in (1, len(s) - 2):
+                    s[i] = "ACGT"[("ACGT".index(s[i]) + 2) % 4]
+            seq[pos : pos + len(s)] = s
+            pos += len(s) + 97
+    path = tmp_path_factory.mktemp("pm") / "planted.fasta"
+    with open(path, "w") as f:
+        f.write(">e1 first entry\n")
+        for i in range(0, 40000, 70):
+            f.write("".join(seq[i : i + 70]) + "\n")
+        f.write(">e2 second entry\n")
+        for i in range(40000, len(seq), 70):
+            f.write("".join(seq[i : i + 70]) + "\n")
+    return str(path)
+
+
+CONFIGS = [
+    [],
+    ["-r"],
+    ["-c"],
+    ["-r", "-c"],
+    ["-r", "-c", "-a"],
+    ["-k", "1"],
+    ["-k", "2"],
+    ["-K", "1"],
+    ["-K", "2"],
+    ["-k", "1", "-r"],
+    ["-k", "2", "-r", "-c"],
+    ["-k", "1", "-r", "-A", r"%h\t%H\t%f\t%s\t%e\t%5\t%3\t%S\t%E\t%i\t%d\t%p\t%q\t%Q\t%t\t%T\t%A\t%r\t%R\t%%\n"],
+    ["-k", "2", "-C", r"%i\t%p\t%q\t%r\t%R\t%c\t%C\t%+\t%%\n"],
+    ["-k", "1", "-s", "4"],
+    ["-k", "1", "-e", "4"],
+    ["-k", "1", "-r", "-3", "8"],
+    ["-k", "2", "-c", "-M", "2"],
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: " ".join(c) or "k0")
+def test_output_parity(oracle, planted_fasta, cfg):
+    ref = subprocess.run(
+        [os.path.join(oracle, "primer_match"), "-i", planted_fasta, "-P", PAT]
+        + cfg,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    buf = io.StringIO()
+    run(parse_args(["-i", planted_fasta, "-P", PAT] + cfg), buf)
+    assert buf.getvalue() == ref
+
+
+def test_fasta_pattern_input(oracle, planted_fasta):
+    patf = "/root/reference/db/pat.fasta"
+    cfg = ["-i", planted_fasta, "-F", patf, "-k", "1",
+           "-A", r">%h %P\n %T %s %e %d\n %A\n %Q %i%R\n"]
+    ref = subprocess.run(
+        [os.path.join(oracle, "primer_match")] + cfg,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    buf = io.StringIO()
+    run(parse_args(cfg), buf)
+    assert buf.getvalue() == ref
+
+
+def test_wildcards(oracle, planted_fasta):
+    patwc = "/root/reference/db/patwc.txt"
+    if not os.path.exists(patwc):
+        pytest.skip("no wildcard patterns")
+    for flags in (["-w"], ["-W"], ["-w", "-k", "1"]):
+        cfg = ["-i", planted_fasta, "-P", patwc] + flags
+        ref = subprocess.run(
+            [os.path.join(oracle, "primer_match")] + cfg,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        buf = io.StringIO()
+        run(parse_args(cfg), buf)
+        assert buf.getvalue() == ref, f"flags={flags}"
