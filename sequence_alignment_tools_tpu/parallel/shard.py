@@ -81,12 +81,10 @@ def sharded_scan_counts(shards, weights, thresholds, lengths, alpha,
         counts = jnp.sum(hit, axis=0, dtype=jnp.int32)
         return jax.lax.psum(counts, axis)[None]
 
-    from jax.experimental.shard_map import shard_map
-
-    return shard_map(
+    return jax.shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(axis, None), P(), P(), P()),
         out_specs=P(axis, None),
-        check_rep=False,
+        check_vma=False,
     )(shards, weights, thresholds, lengths)

@@ -4,11 +4,19 @@ import subprocess
 
 # Multi-chip sharding tests run on a virtual 8-device CPU mesh; the real TPU
 # is exercised only by bench.py.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+os.environ["JAX_PLATFORMS"] = "cpu"
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+
+# jax is pre-imported at interpreter startup on this image (platform plugin),
+# so the env vars above are too late for jax's config — override directly
+# (backends are still uninitialized at conftest import time).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

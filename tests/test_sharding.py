@@ -1,0 +1,87 @@
+"""Multi-chip sharding: 1 chip ≡ N chips (virtual 8-device CPU mesh)."""
+
+import numpy as np
+import jax
+
+from sequence_alignment_tools_tpu.io.database import SeqDB
+from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+from sequence_alignment_tools_tpu.ops.tables import build_tables, conv_weights
+from sequence_alignment_tools_tpu.parallel.shard import (
+    make_mesh,
+    shard_codes,
+    sharded_scan_counts,
+)
+
+
+def test_shard_count_invariance(syn_fasta):
+    db = SeqDB.from_fasta(syn_fasta)
+    pats = [l.strip() for l in open("/root/reference/db/pat.txt") if l.strip()]
+    ps = build_pattern_set(pats, rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    w = conv_weights(tables, 0, poison_eos=False)
+    thresholds = tables.lengths.astype(np.float32)
+
+    # single-device ground truth
+    import jax.numpy as jnp
+
+    codes = db.codes.astype(np.int32)
+    Lmax = tables.Lmax
+    padded = np.concatenate(
+        [codes, np.full(Lmax - 1, tables.eos_code, np.int32)]
+    )
+    onehot = jax.nn.one_hot(jnp.asarray(padded), tables.alpha,
+                            dtype=jnp.bfloat16)
+    B = len(codes)
+    acc = jnp.zeros((B, tables.P), jnp.float32)
+    for j in range(Lmax):
+        acc = acc + jnp.dot(onehot[j : j + B], jnp.asarray(w)[j],
+                            preferred_element_type=jnp.float32)
+    ref_counts = np.asarray(
+        jnp.sum(acc >= thresholds[None, :], axis=0, dtype=jnp.int32)
+    )
+
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(jax.devices()[:8])
+    halo = Lmax - 1
+    shards, _ = shard_codes(codes, mesh, halo, tables.eos_code)
+    counts = sharded_scan_counts(
+        shards, jnp.asarray(w), jnp.asarray(thresholds),
+        jnp.asarray(tables.lengths), tables.alpha, mesh,
+    )
+    counts = np.asarray(counts)
+    for d in range(8):
+        np.testing.assert_array_equal(counts[d], ref_counts)
+
+
+def test_shard_boundary_straddle():
+    """A pattern planted exactly across a shard boundary is found once."""
+    import jax.numpy as jnp
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+
+    pat = "ACGTTGCAACGT"
+    n = 8 * 1000
+    rng = np.random.default_rng(0)
+    seq = rng.integers(0, 4, size=n)
+    # boundary at each multiple of 1000 after sharding; plant across a few
+    table = b"ACGT\n"
+    for b in (1000, 4000, 7000):
+        for j, ch in enumerate(pat):
+            seq[b - 6 + j] = table.index(ch.encode())
+    codes = seq.astype(np.int32)
+
+    ps = build_pattern_set([pat])
+    db = SeqDB(
+        codes=codes.astype(np.uint8), table=table,
+        entry_starts=np.array([0]), entry_lengths=np.array([n]),
+        headers=["x"],
+    )
+    tables = build_tables(ps, db, wc=False, textn=False)
+    w = conv_weights(tables, 0, poison_eos=False)
+    mesh = make_mesh(jax.devices()[:8])
+    shards, _ = shard_codes(codes, mesh, tables.Lmax - 1, tables.eos_code)
+    counts = sharded_scan_counts(
+        shards, jnp.asarray(w),
+        jnp.asarray(tables.lengths.astype(np.float32)),
+        jnp.asarray(tables.lengths), tables.alpha, mesh,
+    )
+    assert int(np.asarray(counts)[0, 0]) == 3
