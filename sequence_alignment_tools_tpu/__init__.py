@@ -43,6 +43,21 @@ def _setup_compilation_cache() -> None:
         pass
 
 
+def _honor_platform_env() -> None:
+    """jax is pre-imported at interpreter startup on this image, so
+    ``JAX_PLATFORMS`` set on a command line is normally too late; re-apply it
+    here (backends are still uninitialized at package-import time)."""
+    plat = _os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # pragma: no cover
+            pass
+
+
 _setup_compilation_cache()
+_honor_platform_env()
 
 from . import utils  # noqa: F401

@@ -35,34 +35,81 @@ class STSEntry:
         return str(self.sizelb)
 
 
-def read_sts(path: str) -> list[STSEntry]:
-    """Parse UniSTS: tab-separated id, fwd, rev, size[-size], accession,
-    chrom, altacc, species (sts_io.cc operator>>)."""
-    out = []
-    fh = open(path) if path != "-" else __import__("sys").stdin
-    for line in fh:
-        line = line.rstrip("\n")
-        if not line.strip():
-            continue
-        f = line.split("\t")
-        f += [""] * (8 - len(f))
-        size = f[3].strip()
-        if "-" in size:
-            lb, ub = size.split("-", 1)
-            try:
-                sizelb, sizeub = int(lb), int(ub)
-            except ValueError:
-                sizelb = sizeub = 0
-        else:
-            try:
-                sizelb = sizeub = int(size)
-            except ValueError:
-                sizelb = sizeub = 0
-        out.append(
-            STSEntry(f[0], f[1], f[2], sizelb, sizeub, f[4], f[5], f[6], f[7])
+def _atoi(s: str) -> int:
+    """C atoi: optional sign + leading digits, 0 on no parse."""
+    s = s.lstrip(" \t\n\r\f\v")
+    i = 0
+    if i < len(s) and s[i] in "+-":
+        i += 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    if j == i:
+        return 0
+    return int(s[: j])
+
+
+def _parse_sts_line(line: str, prev: STSEntry) -> STSEntry:
+    """One line via ``istream >>`` token semantics (sts_io.cc:11-43): 7
+    whitespace tokens, then species = the REST of the line verbatim (leading
+    whitespace included).  The reference reuses ONE ``sts_entry`` across the
+    whole file, and a ``>>`` that hits end-of-line fails in the sentry BEFORE
+    erasing the target string -- so missing trailing fields silently RETAIN
+    the previous record's values (pcr_match.cc:733 ``while ((*ifs) >> s)``)."""
+    ws = " \t\r\f\v"
+    pos = 0
+    n = len(line)
+
+    def tok() -> str | None:
+        nonlocal pos
+        while pos < n and line[pos] in ws:
+            pos += 1
+        if pos == n:
+            return None
+        start = pos
+        while pos < n and line[pos] not in ws:
+            pos += 1
+        return line[start:pos]
+
+    toks = [tok() for _ in range(7)]
+    ok = all(t is not None for t in toks)
+    sid, fwd, rev, size, acc, chrom, altacc = (
+        t if t is not None else old
+        for t, old in zip(
+            toks,
+            (prev.id, prev.forward_primer, prev.reverse_primer, "",
+             prev.accession, prev.chrom, prev.altacc),
         )
-    if path != "-":
-        fh.close()
+    )
+    # species_ and the size bounds are recomputed every record (getline on a
+    # failed stream leaves an empty buffer; `size` is a fresh local)
+    species = line[pos:] if ok else ""
+    p = size.find("-")
+    if p != -1:
+        sizelb = _atoi(size[:p])
+        sizeub = _atoi(size[p + 1 :])
+    else:
+        sizelb = sizeub = _atoi(size)
+    return STSEntry(sid, fwd, rev, sizelb, sizeub, acc, chrom, altacc, species)
+
+
+def read_sts(path: str) -> list[STSEntry]:
+    """Parse UniSTS records, stopping at the first record with an empty
+    forward primer like both reference drivers do (pcr_match.cc:734-736,
+    primer_match.cc:893-895)."""
+    import sys
+
+    data = sys.stdin.read() if path == "-" else open(path).read()
+    lines = data.split("\n")
+    if data.endswith("\n"):
+        lines = lines[:-1]
+    out = []
+    cur = STSEntry()
+    for line in lines:
+        cur = _parse_sts_line(line, cur)
+        if cur.forward_primer == "":
+            break
+        out.append(cur)
     return out
 
 

@@ -288,3 +288,214 @@ def countformat(
 
 DEFAULT_ALIGN_FORMAT = ">%h\n %T %s %e %d\n %A\n %Q %i%R\n"
 DEFAULT_COUNT_FORMAT = "%i %r %q %c%+ ( %C )\n"
+
+
+# -- pcr_match pair alignformat (pcr_match.cc:339-686) -----------------------
+
+DEFAULT_PCR_ALIGN_FORMAT = (
+    ">%h\\n %>T %>s ... %l ... %<e %<T\\n"
+    " %>A  %!>s    %!l    %!<e  %<A\\n"
+    " %>Q %>r%!>s    %!l    %!<e%<r %<Q %a%R\\n"
+)
+
+
+def _spaces_num(fp: int) -> str:
+    """spaces(FILE_POSITION_TYPE) — one space per decimal digit
+    (pcr_match.cc:255-259)."""
+    ret = " "
+    fp //= 10
+    while fp:
+        ret += " "
+        fp //= 10
+    return ret
+
+
+def pcr_alignformat(fmt: str, rec) -> str:
+    """The pair %-escape engine with %>/%</%! prefixes (pcr_match.cc:383-668).
+    ``rec`` is a models.pcr_match.PairHit."""
+    from ..utils.iupac import reverse_comp
+
+    pa, pa1 = rec.pa, rec.pa1
+    ppo = rec.ind < rec.ind1
+    out: list[str] = []
+    pos = 0
+    n = len(fmt)
+    while pos < n:
+        c = fmt[pos]
+        if c == "%":
+            pos += 1
+            if pos >= n:
+                out.append("%")
+                break
+            widthonly = False
+            if fmt[pos] == "!":
+                widthonly = True
+                pos += 1
+            dirn = 0
+            if pos < n and fmt[pos] == ">":
+                dirn = 1
+                pos += 1
+            elif pos < n and fmt[pos] == "<":
+                dirn = -1
+                pos += 1
+            if pos >= n:
+                break
+            v = fmt[pos]
+            if v == "s":
+                if dirn > 0:
+                    out.append(_spaces_num(rec.sps) if widthonly
+                               else str(rec.sps))
+                elif dirn < 0:
+                    out.append(_spaces_num(rec.sps1) if widthonly
+                               else str(rec.sps1))
+            elif v == "e":
+                if dirn > 0:
+                    out.append(_spaces_num(rec.spe) if widthonly
+                               else str(rec.spe))
+                elif dirn < 0:
+                    out.append(_spaces_num(rec.spe1) if widthonly
+                               else str(rec.spe1))
+            elif v == "l":
+                if dirn > 0:
+                    out.append(str(rec.spe - rec.sps))
+                elif dirn < 0:
+                    out.append(str(rec.spe1 - rec.sps1))
+                else:
+                    val = rec.spe1 - rec.sps
+                    out.append(_spaces_num(val) if widthonly else str(val))
+            elif v == "S":
+                if dirn > 0:
+                    out.append(str(rec.ps))
+                elif dirn < 0:
+                    out.append(str(rec.ps1))
+            elif v == "E":
+                if dirn > 0:
+                    out.append(str(rec.pe))
+                elif dirn < 0:
+                    out.append(str(rec.pe1))
+            elif v == "i":
+                out.append(str(rec.pind))
+            elif v == "d":
+                if dirn > 0:
+                    out.append(str(pa.editdist()))
+                elif dirn < 0:
+                    out.append(str(pa1.editdist()))
+            elif v == "p":
+                if dirn > 0:
+                    out.append(rec.pat_ind)
+                elif dirn < 0:
+                    out.append(rec.pat_ind1)
+            elif v == "P":
+                if dirn > 0:
+                    out.append(rec.patdef)
+                elif dirn < 0:
+                    out.append(rec.patdef1)
+            elif v == "I":
+                out.append(rec.sts.id)
+            elif v == "L":
+                if rec.sts.sizeub != rec.sts.sizelb:
+                    if dirn > 0:
+                        out.append(str(rec.sts.sizelb))
+                    elif dirn < 0:
+                        out.append(str(rec.sts.sizeub))
+                    else:
+                        out.append(f"{rec.sts.sizelb}-{rec.sts.sizeub}")
+                else:
+                    out.append(str(rec.sts.sizelb))
+            elif v == "D":
+                amplen = rec.spe1 - rec.sps
+                deviance = 0
+                if amplen > rec.sts.sizeub:
+                    deviance = amplen - rec.sts.sizeub
+                elif amplen < rec.sts.sizelb:
+                    deviance = rec.sts.sizelb - amplen
+                out.append(str(deviance))
+            elif v == "a":
+                out.append(rec.sts.accession)
+            elif v == "O":
+                out.append(rec.sts.species)
+            elif v == "&":
+                out.append(rec.sts.altacc)
+            elif v == "X":
+                out.append(rec.sts.chrom)
+            elif v == "q":
+                if dirn > 0:
+                    out.append(rec.pat_pid)
+                elif dirn < 0:
+                    out.append(rec.pat_pid1)
+            elif v == "Q":
+                if dirn > 0:
+                    Q = pa.alignment_pattern(rec.pat_pid)
+                    out.append(" " * len(Q) if widthonly else Q)
+                elif dirn < 0:
+                    Q1 = pa1.alignment_pattern(rec.pat_pid1)
+                    out.append(" " * len(Q1) if widthonly else Q1)
+            elif v == "r":
+                if dirn > 0:
+                    out.append("R" if rec.rc else "F")
+                elif dirn < 0:
+                    out.append("R" if rec.rc1 else "F")
+                else:
+                    out.append("F" if ppo else "R")
+            elif v == "R":
+                if dirn > 0:
+                    out.append(" REVCOMP" if rec.rc else "")
+                elif dirn < 0:
+                    out.append(" REVCOMP" if rec.rc1 else "")
+                else:
+                    out.append("" if ppo else " REVERSE-STRAND")
+            elif v == "t":
+                if dirn > 0:
+                    out.append(pa.matching_text)
+                elif dirn < 0:
+                    out.append(pa1.matching_text)
+            elif v == "T":
+                if dirn > 0:
+                    out.append(pa.alignment_text())
+                elif dirn < 0:
+                    out.append(pa1.alignment_text())
+            elif v == "A":
+                if dirn > 0:
+                    A = pa.alignment_string()
+                    out.append(" " * len(A) if widthonly else A)
+                elif dirn < 0:
+                    A1 = pa1.alignment_string()
+                    out.append(" " * len(A1) if widthonly else A1)
+            elif v == "h":
+                out.append(rec.header)
+            elif v == "H":
+                out.append(rec.header.split()[0] if rec.header.split() else "")
+            elif v == "f":
+                out.append(str(rec.entry_index))
+            elif v == "@":
+                out.append(rec.amplicon)
+            elif v == "*":
+                out.append(rec.amplicon if ppo else reverse_comp(rec.amplicon))
+            elif v == "N":
+                out.append(str(rec.ncount))
+            elif v == "%":
+                out.append("%")
+            elif v == "0":
+                h0 = rec.header.split()[0] if rec.header.split() else ""
+                out.append(f"{h0} {rec.sps + 1}..{rec.spe1}\t{rec.sts.id}\t")
+                if rec.sts.accession != "":
+                    out.append("\t" + rec.sts.accession)
+                    if rec.sts.chrom != "":
+                        out.append("\t" + rec.sts.chrom)
+                        if rec.sts.altacc != "":
+                            out.append("\t" + rec.sts.altacc)
+                            if rec.sts.species != "":
+                                out.append("\t" + rec.sts.species)
+            else:
+                out.append(v)
+        elif c == "\\":
+            pos += 1
+            if pos >= n:
+                out.append("\\")
+                break
+            v = fmt[pos]
+            out.append({"n": "\n", "t": "\t", "\\": "\\"}.get(v, v))
+        else:
+            out.append(c)
+        pos += 1
+    return "".join(out)
