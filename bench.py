@@ -46,53 +46,27 @@ def make_corpus():
 
 
 def bench_tpu() -> float:
-    """Sustained device scan throughput (bases/s), exact scan, both strands."""
+    """Sustained scan+extract throughput (bases/s), exact scan, both strands,
+    through the production path: the Pallas MXU microblock filter kernel plus
+    exact rescan of candidate regions (ops/pallas/scan_kernel.py)."""
     from sequence_alignment_tools_tpu.io.database import SeqDB
     from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
-    from sequence_alignment_tools_tpu.ops.tables import build_tables, conv_weights
-    import jax
-    import jax.numpy as jnp
+    from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+    from sequence_alignment_tools_tpu.ops.tables import build_tables
 
     db = SeqDB.from_fasta(CORPUS)
     ps = build_pattern_set(PATS, rev_comp=True)
     tables = build_tables(ps, db, wc=False, textn=False)
-    w = jnp.asarray(conv_weights(tables, 0, poison_eos=False))
-    thresholds = jnp.asarray(tables.lengths.astype(np.float32))
-
-    Lmax = tables.Lmax
-    block = 1 << 21
-
-    @jax.jit
-    def scan_block(codes):
-        B = codes.shape[0] - Lmax + 1
-        onehot = jax.nn.one_hot(codes, tables.alpha, dtype=jnp.bfloat16)
-
-        def step(j, acc):
-            win = jax.lax.dynamic_slice_in_dim(onehot, j, B, axis=0)
-            return acc + jnp.dot(win, w[j], preferred_element_type=jnp.float32)
-
-        out = jax.lax.fori_loop(
-            0, Lmax, step, jnp.zeros((B, tables.P), jnp.float32)
-        )
-        return jnp.sum(out >= thresholds[None, :], axis=0, dtype=jnp.int32)
-
+    sc = ConvScanner(tables, k=0)
     n = len(db.codes)
-    codes = db.codes.astype(np.int32)
-    blocks = []
-    for s in range(0, n, block):
-        chunk = np.full(block + Lmax - 1, tables.eos_code, np.int32)
-        avail = min(n - s, block + Lmax - 1)
-        chunk[:avail] = codes[s : s + avail]
-        blocks.append(jnp.asarray(chunk))
-    # warmup
-    jax.block_until_ready(scan_block(blocks[0]))
+    # warmup (compiles the kernel + rescan block)
+    nhits = sum(1 for _ in sc.scan(db.codes))
+    reps = 5
     t0 = time.perf_counter()
-    total = None
-    for b in blocks:
-        c = scan_block(b)
-        total = c if total is None else total + c
-    jax.block_until_ready(total)
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        nhits = sum(1 for _ in sc.scan(db.codes))
+    dt = (time.perf_counter() - t0) / reps
+    del nhits
     return n / dt
 
 

@@ -66,13 +66,15 @@ class ConvScanner:
     """
 
     def __init__(self, tables, k: int = 0, poison_eos: bool | None = None,
-                 block: int = 1 << 19, cap: int = 1 << 16):
+                 block: int = 1 << 19, cap: int = 1 << 16,
+                 use_pallas: bool | None = None):
         from .tables import conv_weights
 
         self.tables = tables
         self.k = k
         if poison_eos is None:
             poison_eos = k > 0
+        self.poison_eos = poison_eos
         self.weights = jnp.asarray(conv_weights(tables, k, poison_eos))
         self.thresholds = jnp.asarray(
             tables.lengths.astype(np.float32) - float(k)
@@ -80,9 +82,81 @@ class ConvScanner:
         self.lengths_dev = jnp.asarray(tables.lengths)
         self.block = block
         self.cap = cap
+        if use_pallas is None:
+            # the Mosaic kernel needs a real TPU; P/Lmax limits of the
+            # current kernel
+            use_pallas = (
+                jax.default_backend() not in ("cpu",)
+                and tables.P <= 128
+                and tables.Lmax <= 128
+            )
+        self.use_pallas = use_pallas
+        self.pallas_interpret = False  # tests: run the Mosaic kernel on CPU
+        self._pallas_wt = None
+
+    # -- Pallas coarse filter + microblock rescan ---------------------------
+
+    _MB = 32
+    _RESCAN = 2048  # rescan bucket (positions), fixed for compile caching
+
+    def _scan_pallas(self, codes: np.ndarray, interpret: bool = False):
+        """Fused single-round-trip scan: the Mosaic MXU microblock filter,
+        candidate compaction, window rescore and hit extraction all run in one
+        device call (:func:`..pallas.scan_kernel.pallas_scan_hits`)."""
+        from .pallas.scan_kernel import kernel_weights, pallas_scan_hits
+
+        t = self.tables
+        if self._pallas_wt is None:
+            W, thr = kernel_weights(t, self.k, self.poison_eos)
+            self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr))
+        W, thr = self._pallas_wt
+        n = len(codes)
+        # cache the device copy across scans of the same array (repeated
+        # scans shouldn't re-pay the host->device transfer)
+        cached = getattr(self, "_dev_codes", None)
+        if cached is None or cached[0] is not codes:
+            self._dev_codes = (codes, jnp.asarray(codes.astype(np.int32)))
+        MB = self._MB
+        cap_mb, hit_cap = 1024, 4096
+        while True:
+            mb_count, mb_idx, hit_count, hit_idx, hit_mism = jax.device_get(
+                pallas_scan_hits(
+                    self._dev_codes[1], W, thr, self.weights,
+                    self.thresholds, self.lengths_dev,
+                    alpha=t.alpha, Lmax=t.Lmax, eos_code=t.eos_code, MB=MB,
+                    cap_mb=cap_mb, hit_cap=hit_cap, interpret=interpret,
+                )
+            )
+            if int(mb_count) <= cap_mb and int(hit_count) <= hit_cap:
+                break
+            cap_mb = max(cap_mb, 1 << int(mb_count - 1).bit_length())
+            hit_cap = max(hit_cap, 1 << int(hit_count - 1).bit_length())
+        hit_count = int(hit_count)
+        if hit_count == 0:
+            return
+        lengths = t.lengths
+        P = t.P
+        idx = hit_idx[:hit_count].astype(np.int64)
+        ms = hit_mism[:hit_count]
+        slot = idx // (MB * P)
+        win = (idx // P) % MB
+        pid = idx % P
+        starts = mb_idx[slot].astype(np.int64) * MB + win
+        keep = starts < n
+        starts, pid, ms = starts[keep], pid[keep], ms[keep]
+        ends = starts + lengths[pid]
+        for e, p, m in zip(ends, pid, ms):
+            yield int(e), int(p), int(m)
 
     def scan(self, codes: np.ndarray):
         """Iterate candidate tuples over the whole array (host generator)."""
+        if self.use_pallas and (
+            self.pallas_interpret or len(codes) >= (1 << 20)
+        ):
+            # small inputs aren't worth the Mosaic compile; the XLA block
+            # path below is already instant there
+            yield from self._scan_pallas(codes, self.pallas_interpret)
+            return
         Lmax = self.tables.Lmax
         P = self.tables.P
         n = len(codes)

@@ -1,0 +1,238 @@
+"""Pallas TPU scan kernel: multi-pattern one-hot correlation on the MXU.
+
+This is the hot loop of every exact / k-mismatch scan (the reference walks an
+Aho-Corasick automaton or shift-and bitvectors one char at a time,
+``keyword_tree.t:427-486``, ``shift_and.cc:218-254``).  TPU-native design:
+
+    score(t, p) = sum_j [ text[t+j] accepted at pattern p position j ]
+
+evaluated transposed — positions on lanes — so the im2col matrix is built in
+VMEM from nothing but static lane-slices of the raw code row and never
+touches HBM:
+
+    Yt[m, t] = (codes[t + m % Lmax] == m // Lmax)        (K x T, bf16)
+    scoresT  = sum_chunks  Wt[:, chunk] @ Yt_chunk       (P x T, MXU)
+
+Per T-position tile the only HBM traffic is the [1, T + HALO] code row
+(int32) and a [1, T // MB] microblock-count row out: ~4 bytes/base total.
+Hits are folded in-kernel to MB-position microblock candidate counts; the
+caller re-scores only the (rare) nonzero microblocks through the exact XLA
+path to recover (end, pattern, mismatches) tuples — a two-level filter in
+the spirit of the reference's filter->verify pipelines, at compute speed.
+
+EOS / entry-boundary semantics ride in the weights (poison rows), identical
+to :func:`..tables.conv_weights`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+HALO = 128  # right halo per tile; bounds Lmax - 1
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def kernel_weights(tables, k: int, poison_eos: bool):
+    """Wt [PPAD, KPAD] bf16 + thresholds [PPAD, 1] f32.
+
+    K-lane m encodes (j = m % Lmax, c = m // Lmax); padded pattern rows get
+    an unreachable threshold."""
+    from ..tables import conv_weights
+
+    w = conv_weights(tables, k, poison_eos).astype(np.float32)  # [L, A, P]
+    Lmax, alpha, P = w.shape
+    K = Lmax * alpha
+    KPAD = _round_up(max(K, 1), LANE)
+    PPAD = _round_up(max(P, 1), LANE)
+    Wt = np.zeros((PPAD, KPAD), dtype=np.float32)
+    # column m = (j = m % Lmax, c = m // Lmax)
+    wt = w.transpose(2, 1, 0).reshape(P, K)  # [P, c*Lmax + j]
+    Wt[:P, :K] = wt
+    thr = np.full((PPAD, 1), 3.0e38, dtype=np.float32)
+    thr[:P, 0] = tables.lengths.astype(np.float32) - float(k)
+    return Wt.astype("bfloat16"), thr
+
+
+def _scan_kernel(codes_ref, wt_ref, thr_ref, b_ref, out_ref, yt_ref, acc_ref,
+                 *, alpha: int, Lmax: int, T: int, kchunks: int, MB: int):
+    """One tile: codes row [1, T + HALO] int32 -> microblock counts."""
+    acc_ref[:] = jnp.zeros((LANE, T), jnp.float32)
+    for kc in range(kchunks):
+        for m in range(LANE):
+            mg = kc * LANE + m
+            j, c = mg % Lmax, mg // Lmax
+            if c < alpha:
+                yt_ref[m, :] = (
+                    codes_ref[0, 0, j : j + T] == c
+                ).astype(jnp.bfloat16)
+            else:
+                yt_ref[m, :] = jnp.zeros((T,), jnp.bfloat16)
+        acc_ref[:] += jnp.dot(
+            wt_ref[kc], yt_ref[:], preferred_element_type=jnp.float32
+        )
+    hit = (acc_ref[:] >= thr_ref[:]).astype(jnp.float32)
+    # pattern reduce then MB-lane-group reduce, both as skinny matmuls
+    # (Mosaic has no in-kernel [T] -> [T//MB, MB] reshape)
+    rowsum = jnp.dot(jnp.ones((1, LANE), jnp.float32), hit,
+                     preferred_element_type=jnp.float32)  # [1, T]
+    mb = jnp.dot(rowsum, b_ref[:],
+                 preferred_element_type=jnp.float32)  # [1, T // MB]
+    out_ref[0, :, :] = mb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alpha", "Lmax", "T", "MB", "interpret"),
+)
+def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
+                     MB: int = 32, interpret: bool = False):
+    """Microblock candidate counts over the whole code array.
+
+    codes: [n] int32 device array (EOS-padded is fine).
+    Returns counts [ntiles * T // MB] f32 — number of (window-start, pattern)
+    hits whose start position falls in each MB-position microblock."""
+    if Lmax > HALO:
+        raise NotImplementedError(f"Lmax {Lmax} exceeds kernel halo {HALO}")
+    if W.shape[0] != LANE:
+        raise NotImplementedError("pattern tiling beyond 128 not yet wired")
+    n = codes.shape[0]
+    ntiles = max((n + T - 1) // T, 1)
+    kchunks = W.shape[1] // LANE
+    # overlapping tile rows [ntiles, T + HALO] — the only large HBM array
+    padded = jnp.concatenate(
+        [codes, jnp.zeros(ntiles * T + HALO - n, jnp.int32)]
+    )
+    base = padded[: ntiles * T].reshape(ntiles, T)
+    halo = jnp.concatenate(
+        [padded[T:], jnp.zeros(T, jnp.int32)]
+    )[: ntiles * T].reshape(ntiles, T)[:, :HALO]
+    codes2d = jnp.concatenate([base, halo], axis=1).reshape(
+        ntiles, 1, T + HALO
+    )
+
+    # chunk the K axis: W3[kc] = Wt[:, kc*LANE:(kc+1)*LANE]
+    W3 = W.reshape(LANE, kchunks, LANE).swapaxes(0, 1)
+    # microblock indicator: B[t, b] = (t // MB == b)
+    B = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, T // MB), 0) // MB
+        == jax.lax.broadcasted_iota(jnp.int32, (T, T // MB), 1)
+    ).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _scan_kernel, alpha=alpha, Lmax=Lmax, T=T, kchunks=kchunks, MB=MB
+        ),
+        out_shape=jax.ShapeDtypeStruct((ntiles, 1, T // MB), jnp.float32),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, T + HALO), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kchunks, LANE, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANE, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, T // MB), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, T // MB), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((LANE, T), jnp.bfloat16),
+            pltpu.VMEM((LANE, T), jnp.float32),
+        ],
+        interpret=interpret,
+    )(codes2d, W3, thr, B)
+    return out.reshape(-1)
+
+
+def _microhits_impl(codes, W, thr, *, alpha, Lmax, T, MB, interpret):
+    """Non-jitted body of :func:`pallas_microhits` for fusion into larger
+    jitted pipelines."""
+    return pallas_microhits.__wrapped__(
+        codes, W, thr, alpha=alpha, Lmax=Lmax, T=T, MB=MB,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "alpha", "Lmax", "eos_code", "T", "MB", "cap_mb", "hit_cap",
+        "interpret"
+    ),
+)
+def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
+                     Lmax: int, eos_code: int = -1, T: int = 4096, MB: int = 32,
+                     cap_mb: int = 1024, hit_cap: int = 4096,
+                     interpret: bool = False):
+    """The full scan pipeline in ONE device call: Mosaic microblock filter ->
+    nonzero compaction -> candidate window gather -> exact rescore -> hit
+    index extraction.  A single host round-trip per scan (the scan loop seam
+    of the reference, primer_match.cc:1114-1268, costs one cursor save per
+    batch; here it costs one transfer per *database*).
+
+    codes: [n] int32; wconv: [Lmax, alpha, P] bf16 (conv_weights layout);
+    thresholds, lengths: [P] f32 / int32.
+    Returns (mb_count, mb_idx [cap_mb], hit_count, hit_idx [hit_cap],
+    hit_mism [hit_cap]) — hit_idx flat-indexes [cap_mb, MB, P] row-major;
+    overflow when mb_count > cap_mb or hit_count > hit_cap (caller retries
+    with bigger caps)."""
+    n = codes.shape[0]
+    P = wconv.shape[2]
+    mh = _microhits_impl(codes, W, thr, alpha=alpha, Lmax=Lmax, T=T, MB=MB,
+                         interpret=interpret)
+    nmb = mh.shape[0]
+    nz = mh != 0
+    mb_count = jnp.sum(nz, dtype=jnp.int32)
+    (mb_idx,) = jnp.nonzero(nz, size=cap_mb, fill_value=nmb)
+    mb_idx = mb_idx.astype(jnp.int32)
+
+    win_len = MB + Lmax - 1
+    # pad with EOS so windows crossing the array end behave exactly like the
+    # XLA block path (poison weights reject them in k>0 mode)
+    eos_fill = jnp.full(nmb * MB + win_len - n, eos_code, jnp.int32)
+    padded = jnp.concatenate([codes, eos_fill])
+
+    # advanced-indexing gather (a vmap'd dynamic_slice compiles
+    # pathologically on this backend)
+    starts = jnp.minimum(mb_idx, nmb - 1).astype(jnp.int32) * MB
+    wins = padded[
+        starts[:, None]
+        + jax.lax.broadcasted_iota(jnp.int32, (1, win_len), 1)
+    ]  # [cap_mb, win_len]
+    onehot = jax.nn.one_hot(wins, alpha, dtype=jnp.bfloat16)
+
+    def step(j, acc):
+        sl = jax.lax.dynamic_slice_in_dim(onehot, j, MB, axis=1)
+        return acc + jnp.einsum(
+            "swa,ap->swp", sl, wconv[j],
+            preferred_element_type=jnp.float32,
+        )
+
+    scores = jax.lax.fori_loop(
+        0, Lmax, step, jnp.zeros((cap_mb, MB, P), jnp.float32)
+    )
+    valid = (mb_idx < nmb)[:, None, None]
+    hit = (scores >= thresholds[None, None, :]) & valid
+    flat = hit.reshape(-1)
+    hit_count = jnp.sum(flat, dtype=jnp.int32)
+    (hit_idx,) = jnp.nonzero(flat, size=hit_cap, fill_value=flat.shape[0])
+    mism = jnp.concatenate(
+        [
+            (lengths[None, None, :].astype(jnp.float32) - scores).reshape(-1),
+            jnp.zeros((1,), jnp.float32),
+        ]
+    )
+    return (mb_count, mb_idx, hit_count, hit_idx.astype(jnp.int32),
+            mism[hit_idx].astype(jnp.int32))

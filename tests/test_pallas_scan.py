@@ -1,0 +1,49 @@
+"""Pallas MXU scan kernel vs the XLA reference path (interpret mode on the
+CPU mesh; the compiled kernel is exercised on hardware by bench.py)."""
+
+import numpy as np
+import pytest
+
+from sequence_alignment_tools_tpu.io.database import SeqDB
+from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+from sequence_alignment_tools_tpu.ops.tables import build_tables
+
+
+@pytest.fixture(scope="module")
+def planted_db():
+    rng = np.random.default_rng(11)
+    n = 30000
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    table = b"ACGT\n"
+    pats = [ln.strip() for ln in open("/root/reference/db/pat.txt")
+            if ln.strip()]
+    db = SeqDB(
+        codes=codes, table=table,
+        entry_starts=np.array([0]), entry_lengths=np.array([n]),
+        headers=["e1"],
+    )
+    for i, p in enumerate(pats):
+        at = 400 + 900 * i
+        for j, ch in enumerate(p):
+            db.codes[at + j] = table.index(ch.encode())
+    # one plant straddling a rescan-bucket boundary (2048) and one near the
+    # array end
+    for at in (2040, n - len(pats[0]) - 1):
+        for j, ch in enumerate(pats[0]):
+            db.codes[at + j] = table.index(ch.encode())
+    return db, pats
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_pallas_matches_xla_path(planted_db, k):
+    db, pats = planted_db
+    ps = build_pattern_set(pats, rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    ref = ConvScanner(tables, k=k, block=1 << 15, use_pallas=False)
+    want = list(ref.scan(db.codes))
+    got_sc = ConvScanner(tables, k=k, use_pallas=True)
+    got_sc.pallas_interpret = True
+    got = list(got_sc.scan(db.codes))
+    assert got == want
+    assert len(want) >= (12 if k == 0 else 12)
