@@ -177,6 +177,7 @@ class EditDistAligner:
         indels: bool = True,
         dna_mut: bool = False,
         yesno: bool = False,
+        trans: bool = False,
     ):
         self.k = k
         self.eos = eos
@@ -185,8 +186,15 @@ class EditDistAligner:
         self.indels = indels
         self.dna_mut = dna_mut
         self.yesno = yesno
+        # trans: codon-aware substitution costs (aacodonsubdist) — the text
+        # stream supplies a codon id per AA position (pattern_alignment.cc:329)
+        self.trans = trans
         self._compat = compat_matrix()
         self._aasub = aasubdist_matrix() if dna_mut else None
+        if dna_mut and trans:
+            from ..utils.aa import aacodonsubdist_matrix
+
+            self._aacodonsub = aacodonsubdist_matrix()
 
     # NOTE: band() is the reference's (indels_?(dna_mut_?1:k_):0) expression
     def _band(self) -> int:
@@ -202,6 +210,7 @@ class EditDistAligner:
         posub: int,
         esb: int = 0,
         eeb: int = 0,
+        codon_at=None,
     ) -> Alignment:
         """editdist_alignment::align (pattern_alignment.cc:117-705).
 
@@ -217,6 +226,10 @@ class EditDistAligner:
         buflen = posub - textstart
         buffer = text_at(textstart, buflen)
         assert len(buffer) == buflen
+        cid_rev = None
+        if self.dna_mut and self.trans:
+            cids = codon_at(textstart, buflen)
+            cid_rev = cids[::-1]  # cid_rev[t-1] == cids[buflen-t]
 
         cvp = 5 * k + 1  # const_viol_penalty
         # exact-base constraint rows in reversed-p space
@@ -285,8 +298,16 @@ class EditDistAligner:
                         ac = M_SUB
                     else:
                         # aasubdist(text_char, pattern_char) — note arg order
-                        # (pattern_alignment.cc:345)
-                        mut = int(self._aasub[ord(tc), ord(pc)])
+                        # (pattern_alignment.cc:329-345); trans mode anchors
+                        # the text char to its actual codon
+                        if self.trans:
+                            cid = int(cid_rev[t - 1])
+                            mut = (
+                                int(self._aacodonsub[ord(tc), cid, ord(pc)])
+                                if 0 <= cid < 6 else -1
+                            )
+                        else:
+                            mut = int(self._aasub[ord(tc), ord(pc)])
                         if mut >= 0:
                             v = dp[p - 1, t - 1] + mut
                             ac = (M_SUB1, M_SUB2, M_SUB3)[mut - 1]

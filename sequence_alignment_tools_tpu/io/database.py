@@ -99,8 +99,15 @@ class SeqDB:
         """Alphabet code -> raw char (CharacterProducer::ch)."""
         return chr(self.table[code])
 
+    # Mapped<> databases (char_io.t:280-335): getnch() remaps codes but
+    # getch() still returns the ORIGINAL character — when set, decode() reads
+    # these chars instead of table[codes].
+    decode_chars: np.ndarray | None = None
+
     def decode(self, start: int, end: int) -> str:
         """Raw characters for flat range [start, end)."""
+        if self.decode_chars is not None:
+            return self.decode_chars[start:end].tobytes().decode("latin-1")
         tbl = np.frombuffer(self.table, dtype=np.uint8)
         return tbl[self.codes[start:end]].tobytes().decode("latin-1")
 
