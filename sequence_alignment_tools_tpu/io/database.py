@@ -114,27 +114,30 @@ class SeqDB:
     # -- coordinate mapping (fasta_io.t:154-263 semantics) ------------------
 
     def entry_of(self, p) -> np.ndarray | int:
-        """Entry index containing flat end-position ``p``.
-
-        ``p`` is an end position (one past a char); the containing entry is the
-        one with the largest ``entry_starts`` <= p-1 clamped...  The reference
-        looks up the last key <= p over keys = entry first-char positions
-        (finger_locate_last_at_most, fasta_io.t:163-178); EOS chars after an
-        entry resolve to that entry.
-        """
-        return np.searchsorted(self.entry_starts, np.asarray(p), side="right") - 1
+        """Entry index for flat end-position ``p``: the last entry whose
+        first-char position is <= p-1 (``set_header_item`` looks up pos-1
+        over keys = entry first-char positions, fasta_io.t:163-178).  -1 when
+        p-1 precedes every entry (the reference's NoHeaderData case)."""
+        return np.searchsorted(
+            self.entry_starts, np.asarray(p) - 1, side="right"
+        ) - 1
 
     def get_seq_pos(self, p) -> np.ndarray | int:
-        """Flat end-position -> offset within its entry (fasta_io.t:265+)."""
+        """Flat end-position -> offset within its entry; 0 on NoHeaderData
+        (fasta_io.t:195-202)."""
         e = self.entry_of(p)
-        return p - self.entry_starts[e]
+        return np.where(e >= 0, p - self.entry_starts[np.maximum(e, 0)], 0)
 
     def get_header_data(self, p) -> str:
-        return self.headers[int(self.entry_of(p))]
+        e = int(self.entry_of(p))
+        return self.headers[e] if e >= 0 else ""
 
     def is_subseq(self, s: int, e: int) -> bool:
-        """True iff flat positions s and e fall in the same entry."""
-        return int(self.entry_of(s)) == int(self.entry_of(e))
+        """True iff start (a first-char flat index) and end-position e fall
+        in the same entry (fasta_io.t:204-213 uses start+1 and end)."""
+        e1 = int(self.entry_of(s + 1))
+        e2 = int(self.entry_of(e))
+        return e1 >= 0 and e1 == e2
 
     def fasta_pos(self, entry: int, rel: int) -> int:
         return int(self.entry_starts[entry]) + rel
