@@ -16,6 +16,15 @@ cp "$HERE/primegen_shim.h" /tmp/primegen/primegen.h
 ar rcs /tmp/primegen/primegen.a
 cd "$REF"
 make compress_seq primer_match exact_match inexact_match pcr_match \
-     peptide_scan protein_mw peptide_mult \
-     PGEN=/tmp/primegen PARAM=-DNOPRIMEGEN >/dev/null 2>&1
+     peptide_scan protein_mw peptide_mult polyrun tandem_match nrdb \
+     extract_seq \
+     PGEN=/tmp/primegen PARAM=-DNOPRIMEGEN >/dev/null 2>&1 || true
+# kmer_count clashes with std hash under modern g++; rename its local fns
+if [ ! -x "$REF/kmer_count" ]; then
+    sed 's/\bhash(/kc_hash(/g; s/\bhashrc(/kc_hashrc(/g; s/\bunhash(/kc_unhash(/g' \
+        kmer_count.cc > kmer_count_fixed.cc
+    g++ -O2 -I. -DNOPRIMEGEN -o kmer_count kmer_count_fixed.cc \
+        mapFile.o bufferedFile.o fileStar.o char_io.o fasta_io.o util.o \
+        types.o -lz >/dev/null 2>&1 || true
+fi
 echo "reference oracles built at $REF"
