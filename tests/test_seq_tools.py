@@ -55,14 +55,24 @@ KC_CONFIGS = [
 ]
 
 
+def _run_flaky(cmd, text=True):
+    """The reference kmer_count aborts nondeterministically at exit
+    (double-free in cleanup) which can truncate buffered output — retry
+    until a clean exit."""
+    for _ in range(10):
+        r = subprocess.run(cmd, capture_output=True, text=text)
+        if r.returncode == 0:
+            return r.stdout
+    raise AssertionError(f"oracle never exited cleanly: {cmd}")
+
+
 @pytest.mark.parametrize("cfg", KC_CONFIGS, ids=lambda c: " ".join(c))
 def test_kmer_count_parity(oracle, seq_fasta, cfg):
     kc = os.path.join(oracle, "kmer_count")
     if not os.access(kc, os.X_OK):
         pytest.skip("kmer_count oracle unavailable")
     args = ["-i", seq_fasta] + cfg
-    ref = subprocess.run([kc] + args, capture_output=True, text=True,
-                         check=True).stdout
+    ref = _run_flaky([kc] + args)
     buf = io.StringIO()
     kc_run(kc_args(args), buf)
     assert buf.getvalue() == ref
@@ -73,7 +83,7 @@ def test_kmer_count_binary(oracle, seq_fasta, tmp_path):
     if not os.access(kc, os.X_OK):
         pytest.skip("kmer_count oracle unavailable")
     args = ["-i", seq_fasta, "-k", "4", "-a", "-b"]
-    ref = subprocess.run([kc] + args, capture_output=True, check=True).stdout
+    ref = _run_flaky([kc] + args, text=False)
     out = tmp_path / "kc.bin"
     from sequence_alignment_tools_tpu.apps.kmer_count import main as kc_main
 
