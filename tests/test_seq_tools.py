@@ -106,8 +106,7 @@ def test_polyrun_parity(oracle, seq_fasta, cfg):
     if not os.access(pr, os.X_OK):
         pytest.skip("polyrun oracle unavailable")
     args = ["-i", seq_fasta] + cfg
-    ref = subprocess.run([pr] + args, capture_output=True, text=True,
-                         check=True).stdout
+    ref = _run_flaky([pr] + args)
     buf = io.StringIO()
     pr_run(pr_args(args), buf)
     assert buf.getvalue() == ref
@@ -121,10 +120,7 @@ def test_protein_mw_parity(oracle, seq_fasta, tmp_path):
     idx = tmp_path / "idx.txt"
     idx.write_text("1\n2\n1\n")
     args = ["-i", seq_fasta, "-I", str(idx), "-m", str(mass)]
-    ref = subprocess.run(
-        [os.path.join(oracle, "protein_mw")] + args,
-        capture_output=True, text=True, check=True,
-    ).stdout
+    ref = _run_flaky([os.path.join(oracle, "protein_mw")] + args)
     buf = io.StringIO()
     mw_run(mw_args(args), buf)
     assert buf.getvalue() == ref
