@@ -27,4 +27,21 @@ if [ ! -x "$REF/kmer_count" ]; then
         mapFile.o bufferedFile.o fileStar.o char_io.o fasta_io.o util.o \
         types.o -lz >/dev/null 2>&1 || true
 fi
+# nrdb bit-rot: pattern_hit_vector values are pairs now; xmers: hash clash
+OBJS="pattern_match.o keyword_tree.o shift_and.o mapFile.o bufferedFile.o \
+fileStar.o char_io.o fasta_io.o util.o types.o pattern_alignment.o \
+primer_alignment.o select.o shift_and_inexact.o exact_bases.o \
+exact_halves.o filter_bitvec.o hash_table.o rand_hash_table.o \
+gs_hash_table.o rlst.o sts_io.o"
+if [ ! -x "$REF/nrdb" ]; then
+    sed 's/it->value()->/it->value().first->/g' nrdb.cc > nrdb_fixed.cc
+    g++ -O2 -I. -DNOPRIMEGEN -o nrdb nrdb_fixed.cc $OBJS -lz \
+        >/dev/null 2>&1 || true
+fi
+if [ ! -x "$REF/xmers" ]; then
+    sed 's/\bhash(/xm_hash(/g; s/\bhashrc(/xm_hashrc(/g; s/\bunhash(/xm_unhash(/g' \
+        xmers.cc > xmers_fixed.cc
+    g++ -O2 -I. -DNOPRIMEGEN -o xmers xmers_fixed.cc $OBJS \
+        /tmp/primegen/primegen.a -lz >/dev/null 2>&1 || true
+fi
 echo "reference oracles built at $REF"
