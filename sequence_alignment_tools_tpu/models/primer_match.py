@@ -97,11 +97,13 @@ def select_engine(db: SeqDB, ps: PatternSet, k: int, wc: bool,
             return "exact_sa"
         if node == 5:
             return "filter"
+        if node == 6:
+            return "hash"
         if node in (7, 8, 9, 10):
             return "bases"
         if node in (11, 12, 13, 14):
             return "halves"
-        return "filter"  # 6 (hash) / 15 (gapped seeds): not yet built
+        return "filter"  # 15 (gapped seeds): same hit set via filter
     if k == 0:
         return "exact_sa" if wc else "exact_kt"
     # ff->size(): 256 for raw FASTA / .seq streams, .tbl size for normalized
@@ -115,8 +117,8 @@ def select_engine(db: SeqDB, ps: PatternSet, k: int, wc: bool,
         return "halves"
     if min_exact >= 6:
         return "bases"
-    # seedlen > 0 -> hash_table in the reference; filter gives the same hit
-    # set (conformance matrix) until the hash engine lands
+    if seedlen > 0:
+        return "hash"  # hash_table / rand_hash_table (select.cc:134-136)
     return "filter"
 
 
@@ -144,6 +146,8 @@ class PrimerMatchModel:
         self.dna_mut = dna_mut
         self.report_interval = report_interval
         self.block = block
+        self.seedlen = seedlen
+        self.node = node
         self.engine = select_engine(db, ps, k, wc, seedlen, node)
         eos = chr(db.eos_char)
         self._final_aligner = EditDistAligner(
@@ -155,6 +159,10 @@ class PrimerMatchModel:
             )
         if self.engine in ("halves", "bases"):
             self._extender = Extender(k, eos, wc, textn, indels, dna_mut)
+        if self.engine == "hash":
+            self._hash_aligner = EditDistAligner(
+                k, eos, wc, textn, indels, dna_mut, yesno=True
+            )
 
     # -- text access for the verify DPs ------------------------------------
 
@@ -176,6 +184,7 @@ class PrimerMatchModel:
             "halves": self._halves_engine,
             "bases": self._bases_engine,
             "filter": self._filter_engine,
+            "hash": self._hash_engine,
         }[self.engine]()
 
     def _exact_engine(self):
@@ -247,13 +256,17 @@ class PrimerMatchModel:
             pat = ps.pattern(pid)
             esb, eeb = ps.esb[pid], ps.eeb[pid]
             if esb >= eeb:
-                seeds.append(pat[:esb])
-                prefix.append(True)
-                rempat.append(pat[esb:])
+                seed, pfx, rem = pat[:esb], True, pat[esb:]
             else:
-                seeds.append(pat[len(pat) - eeb :])
-                prefix.append(False)
-                rempat.append(pat[: len(pat) - eeb])
+                seed, pfx, rem = pat[len(pat) - eeb :], False, \
+                    pat[: len(pat) - eeb]
+            if seed == "":
+                # an empty constrained part registers an empty inner pattern,
+                # which the keyword tree never matches (exact_bases.cc:146-148)
+                continue
+            seeds.append(seed)
+            prefix.append(pfx)
+            rempat.append(rem)
             owner.append(pid)
         seed_ps = PatternSet(patterns=seeds, esb=[0] * len(seeds),
                              eeb=[0] * len(seeds), n_forward=len(seeds) - 1)
@@ -261,11 +274,16 @@ class PrimerMatchModel:
         scanner = ConvScanner(tables, k=0, block=self.block)
         cands = []
         for end, s0, _ in scanner.scan(self.db.codes):
-            cands.append((end, -len(seeds[s0 + 1]), -s0))
-        cands.sort()  # keyword-tree order: end asc, longer seed first,
-        # duplicates in reverse registration order
-        for end, _, negs0 in cands:
-            sid = -negs0 + 1
+            if self.node == 10:
+                # shift_and inner engine emits in registration (bit) order
+                cands.append((end, 0, s0))
+            else:
+                # keyword-tree order: end asc, longer seed first, duplicates
+                # in reverse registration order
+                cands.append((end, -len(seeds[s0 + 1]), -s0))
+        cands.sort()
+        for end, mid, key0 in cands:
+            sid = (key0 if self.node == 10 else -key0) + 1
             pid = owner[sid]
             esb, eeb = ps.esb[pid], ps.eeb[pid]
             if prefix[sid]:
@@ -278,6 +296,55 @@ class PrimerMatchModel:
                 )
             if ok:
                 yield hend, pid, value
+
+    def _hash_engine(self):
+        """hash_table / rand_hash_table (hash_table.cc:66-226): every pattern
+        is indexed at EVERY ws-char seed offset; each text seed match projects
+        a candidate pattern end, gated by a per-pattern ``lastpos`` window and
+        verified with a yes/no banded DP.  Hash cells are tinylists built with
+        push_front, so co-located candidates process in reverse insertion
+        order (pattern desc, offset desc)."""
+        ps, k = self.ps, self.k
+        ws = self.seedlen if self.seedlen > 0 else 4
+        seeds: list[str] = [""]
+        owner: list[tuple[int, int]] = [(0, 0)]
+        for pid in range(1, ps.n_total + 1):
+            pat = ps.pattern(pid)
+            for j in range(ws - 1, len(pat)):
+                seeds.append(pat[j + 1 - ws : j + 1])
+                owner.append((pid, j))
+        seed_ps = PatternSet(patterns=seeds, esb=[0] * len(seeds),
+                             eeb=[0] * len(seeds), n_forward=len(seeds) - 1)
+        tables = build_tables(seed_ps, self.db, wc=False, textn=False)
+        scanner = ConvScanner(tables, k=0, block=self.block)
+        # (pos asc, seed index desc) == scan order with push_front cell lists
+        cands = sorted(
+            ((end, -(s0 + 1)) for end, s0, _ in scanner.scan(self.db.codes))
+        )
+        if k == 0:
+            for end, negs in cands:
+                pid, _j = owner[-negs]
+                yield end, pid, 0
+            return
+        band = k if self.indels else 0
+        lastpos = [0] * (ps.n_total + 1)
+        for end, negs in cands:
+            pid, j = owner[-negs]
+            pat = ps.pattern(pid)
+            patend = end + len(pat) - j - 1
+            if lastpos[pid] + band < patend:
+                a = self._hash_aligner.align(
+                    self._text_at, pat, patend - band, patend + band,
+                    esb=ps.esb[pid], eeb=ps.eeb[pid],
+                )
+                if a.found:
+                    if lastpos[pid] + band < a.end:
+                        lastpos[pid] = a.end
+                        yield a.end, pid, a.value
+                    else:
+                        lastpos[pid] = patend
+                else:
+                    lastpos[pid] = patend
 
     def _filter_engine(self):
         """filter_bitvec (filter_bitvec.cc:73-183), including the reference's

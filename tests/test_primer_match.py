@@ -109,3 +109,30 @@ def test_wildcards(oracle, planted_fasta):
         buf = io.StringIO()
         run(parse_args(cfg), buf)
         assert buf.getvalue() == ref, f"flags={flags}"
+
+
+N_MATRIX = [(N, kk) for N in range(1, 15)
+            for kk in (["-k", "0"], ["-k", "1"], ["-k", "1", "-s", "6"],
+                       ["-k", "1", "-e", "6"])]
+
+
+@pytest.mark.parametrize(
+    "N,kk", N_MATRIX,
+    ids=lambda v: str(v) if isinstance(v, int) else " ".join(v),
+)
+def test_engine_matrix(oracle, planted_fasta, N, kk):
+    """The reference's cross-strategy identity contract (testscript.sh:306-422):
+    every -N engine yields byte-identical output."""
+    cfg = ["-i", planted_fasta, "-P", PAT, "-N", str(N)] + kk
+    if N == 6:
+        # raw FASTA -> producer alphabet 256 -> 8 bits/char: seedlen must
+        # keep the direct table within 2^25 (the randomized fallback is
+        # compiled out of the NOPRIMEGEN oracle build)
+        cfg += ["-x", "3"]
+    ref = subprocess.run(
+        [os.path.join(oracle, "primer_match")] + cfg,
+        capture_output=True, text=True, check=True,
+    ).stdout
+    buf = io.StringIO()
+    run(parse_args(cfg), buf)
+    assert buf.getvalue() == ref
