@@ -195,6 +195,22 @@ class EditDistAligner:
             from ..utils.aa import aacodonsubdist_matrix
 
             self._aacodonsub = aacodonsubdist_matrix()
+        self._native = None
+        self._native_bufs = None
+        from ..native import load_verify_lib
+
+        lib = load_verify_lib()
+        if lib is not None:
+            self._native = lib
+            import ctypes
+
+            cap = 1 << 12
+            self._native_bufs = (
+                (ctypes.c_int32 * 1)(), (ctypes.c_int32 * 1)(),
+                (ctypes.c_int32 * 1)(), (ctypes.c_int32 * 1)(),
+                (ctypes.c_int32 * cap)(), (ctypes.c_int32 * 1)(),
+                (ctypes.c_int64 * N_CODES)(), cap,
+            )
 
     # NOTE: band() is the reference's (indels_?(dna_mut_?1:k_):0) expression
     def _band(self) -> int:
@@ -226,10 +242,14 @@ class EditDistAligner:
         buflen = posub - textstart
         buffer = text_at(textstart, buflen)
         assert len(buffer) == buflen
+        cids = None
         cid_rev = None
         if self.dna_mut and self.trans:
             cids = codon_at(textstart, buflen)
             cid_rev = cids[::-1]  # cid_rev[t-1] == cids[buflen-t]
+
+        if self._native is not None:
+            return self._align_native(pat, buffer, cids, end, posub, esb, eeb)
 
         cvp = 5 * k + 1  # const_viol_penalty
         # exact-base constraint rows in reversed-p space
@@ -433,3 +453,88 @@ class EditDistAligner:
         a.end = a.start + len(mt)
         a.value = bestval
         return a
+
+
+def _native_tables():
+    """ctypes views of the shared cost tables (built once)."""
+    global _NATIVE_TABLES
+    try:
+        return _NATIVE_TABLES
+    except NameError:
+        pass
+    import ctypes
+
+    from ..utils.aa import aacodonsubdist_matrix, aasubdist_matrix
+
+    compat = np.ascontiguousarray(compat_matrix().astype(np.uint8))
+    aasub = np.ascontiguousarray(aasubdist_matrix())
+    aacodon = np.ascontiguousarray(aacodonsubdist_matrix())
+    _NATIVE_TABLES = (
+        compat, aasub, aacodon,
+        compat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        aasub.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        aacodon.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return _NATIVE_TABLES
+
+
+def _align_native(self, pat, buffer, cids, end, posub, esb, eeb):
+    """Dispatch to the C++ DP (native/verify_dp.cpp); identical semantics."""
+    import ctypes
+
+    tables = _native_tables()
+    found, bestval, bs, endt, codes_buf, ncodes, stats_buf, cap = \
+        self._native_bufs
+    buflen = len(buffer)
+    if cids is not None:
+        cid_arr = (ctypes.c_int8 * buflen)(*[int(c) for c in cids])
+    else:
+        cid_arr = None
+    ok = self._native.sat_verify_align(
+        pat.encode("latin-1"), len(pat),
+        buffer.encode("latin-1"), buflen,
+        cid_arr,
+        self.k, ord(self.eos), int(self.wc), int(self.textn),
+        int(self.indels), int(self.dna_mut), int(self.trans),
+        int(self.yesno), esb, eeb, posub - end,
+        tables[3], tables[4], tables[5],
+        found, bestval, bs, endt, codes_buf, cap, ncodes, stats_buf,
+    )
+    assert ok == 1
+    n = int(ncodes[0])
+    if n > cap:  # traceback longer than the scratch buffer: redo in Python
+        saved, self._native = self._native, None
+        try:
+            textstart = end - len(pat) - self.k if end > len(pat) + self.k \
+                else 0
+            return self.align(
+                lambda s, l: buffer[s - textstart : s - textstart + l],
+                pat, end, posub, esb, eeb,
+                codon_at=(
+                    (lambda s, l: cids[s - textstart : s - textstart + l])
+                    if cids is not None else None
+                ),
+            )
+        finally:
+            self._native = saved
+    if int(bs[0]) < 0:  # early exit / band failure
+        a = Alignment(end=end, found=False)
+        if not self.yesno:
+            a.codes = [int(codes_buf[i]) for i in range(n)]
+            a.stats = np.ctypeslib.as_array(stats_buf).copy()
+        return a
+    beststart = int(bs[0])
+    endt_v = int(endt[0])
+    mt = buffer[buflen - beststart : buflen - endt_v]
+    a = Alignment(end=0, found=bool(found[0]))
+    if not self.yesno:
+        a.codes = [int(codes_buf[i]) for i in range(n)]
+        a.stats = np.ctypeslib.as_array(stats_buf).copy()
+    a.matching_text = mt
+    a.start = posub - beststart
+    a.end = a.start + len(mt)
+    a.value = int(bestval[0])
+    return a
+
+
+EditDistAligner._align_native = _align_native

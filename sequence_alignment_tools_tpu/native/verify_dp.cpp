@@ -1,0 +1,303 @@
+// Native banded edit-distance verify DP — the host-side hot path of the
+// candidate verification pipeline (one call per engine candidate).
+//
+// Exact port of engine/verify.py::EditDistAligner.align, which itself
+// reproduces the reference's editdist_alignment (pattern_alignment.cc:117-705)
+// bit for bit: right-anchored reversed DP, band +-k (+-1 in dna_mut mode),
+// free trailing columns for the candidate end range, constraint-violation
+// penalty 5k+1, early exit when a row's minimum exceeds k, diagonal-preferring
+// best-end selection and gap-run-preserving traceback.
+//
+// Built as a plain C-ABI shared library (no pybind11 on this image); loaded
+// via ctypes from engine/native.py with the pure-Python DP as fallback.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int64_t MAXVAL = 0xFFFFFFFFll;
+
+// alignment codes (alignment_code.h:6-20)
+enum {
+  A_NONE = 0, A_EQUAL = 1, A_WC_EQUAL = 2, A_SUB = 3, A_INS = 4, A_DEL = 5,
+  A_CONST_VIOL = 6, A_END = 7, A_SUB1 = 8, A_SUB2 = 9, A_SUB3 = 10,
+  A_INS3 = 11, A_DEL3 = 12, N_CODES = 13,
+};
+
+// op-mask bits (alignment_code.h:22-36)
+enum {
+  M_NONE = 1, M_EQUAL = 2, M_WC = 4, M_SUB = 8, M_INS = 16, M_DEL = 32,
+  M_CV = 64, M_END = 128, M_SUB1 = 256, M_SUB2 = 512, M_SUB3 = 1024,
+  M_INS3 = 2048, M_DEL3 = 4096,
+};
+
+constexpr int DIAG = M_EQUAL | M_WC | M_SUB | M_SUB1 | M_SUB2 | M_SUB3;
+constexpr int SUBS = M_SUB | M_SUB1 | M_SUB2 | M_SUB3;
+constexpr int INSM = M_INS | M_INS3;
+constexpr int DELM = M_DEL | M_DEL3;
+
+struct Scratch {
+  std::vector<int64_t> dp;
+  std::vector<int32_t> best;
+};
+
+thread_local Scratch g_scratch;
+
+}  // namespace
+
+extern "C" {
+
+// Returns 1 on success.  out_found/out_bestval/out_beststart/out_endt are
+// always written; out_codes receives up to cap traceback codes in append
+// order (same as the Python list), out_stats is a N_CODES int64 histogram.
+int sat_verify_align(
+    const unsigned char* pat, int32_t patlen,
+    const unsigned char* buffer, int32_t buflen,
+    const int8_t* cids,  // codon ids aligned with buffer, or nullptr
+    int32_t k, uint8_t eos, int32_t wc, int32_t textn, int32_t indels,
+    int32_t dna_mut, int32_t trans, int32_t yesno,
+    int32_t esb, int32_t eeb, int64_t freecols,
+    const uint8_t* compat,          // [256*256] or nullptr
+    const int8_t* aasub,            // [256*256] or nullptr
+    const int8_t* aacodonsub,       // [256*6*256] or nullptr
+    int32_t* out_found, int32_t* out_bestval,
+    int32_t* out_beststart, int32_t* out_endt,
+    int32_t* out_codes, int32_t codes_cap, int32_t* out_ncodes,
+    int64_t* out_stats) {
+  const int band = indels ? (dna_mut ? 1 : k) : 0;
+  const int64_t cvp = 5 * k + 1;
+  const int64_t freec = freecols;
+
+  int lbexact = 0;
+  int rbexact = patlen + 1;
+  if (esb > 0) rbexact = patlen + 1 - esb;
+  if (eeb > 0) lbexact = eeb;
+
+  const int P = patlen + 1;
+  const int T = buflen + 1;
+  Scratch& s = g_scratch;
+  if ((int64_t)s.dp.size() < (int64_t)P * T) {
+    s.dp.resize((size_t)P * T);
+    s.best.resize((size_t)P * T);
+  }
+  int64_t* dp = s.dp.data();
+  int32_t* best = s.best.data();
+  for (int64_t i = 0; i < (int64_t)P * T; i++) dp[i] = MAXVAL;
+  std::memset(best, 0, sizeof(int32_t) * (size_t)P * T);
+#define DP(p, t) dp[(int64_t)(p) * T + (t)]
+#define BEST(p, t) best[(int64_t)(p) * T + (t)]
+
+  DP(0, 0) = 0;
+  BEST(0, 0) = M_END;
+  const int64_t gapc = dna_mut ? 3 : 1;
+
+  int ub = band < patlen ? band : patlen;
+  for (int p = 1; p <= ub; p++) {
+    if (!indels || p < lbexact || p >= rbexact ||
+        pat[patlen - p] == eos) {
+      DP(p, 0) = cvp;
+      BEST(p, 0) = M_CV;
+    } else {
+      DP(p, 0) = DP(p - 1, 0) + gapc;
+      BEST(p, 0) = dna_mut ? M_DEL3 : M_DEL;
+    }
+  }
+  int64_t ub2 = freec + band;
+  if (ub2 > buflen) ub2 = buflen;
+  for (int64_t t = 1; t <= ub2; t++) {
+    if (t <= freec) {
+      DP(0, t) = 0;
+      BEST(0, t) = M_END;
+    } else if (!indels || lbexact > 0) {
+      DP(0, t) = cvp;
+      BEST(0, t) = M_CV;
+    } else {
+      DP(0, t) = DP(0, t - 1) + gapc;
+      BEST(0, t) = dna_mut ? M_INS3 : M_INS;
+    }
+  }
+
+  *out_found = 0;
+  *out_bestval = 0;
+  *out_beststart = 0;
+  *out_endt = 0;
+  *out_ncodes = 0;
+  for (int i = 0; i < N_CODES; i++) out_stats[i] = 0;
+
+  for (int p = 1; p <= patlen; p++) {
+    const unsigned char pc = pat[patlen - p];  // pat_rev[p-1]
+    int64_t lb = p - band;
+    if (lb < 1) lb = 1;
+    int64_t ubr = p + freec + band;
+    if (ubr > buflen) ubr = buflen;
+    int64_t bestrow = cvp;
+    for (int64_t t = lb; t <= ubr; t++) {
+      const unsigned char tc = buffer[buflen - t];  // buf_rev[t-1]
+      int64_t v;
+      int32_t ac;
+      if (tc == pc) {
+        v = DP(p - 1, t - 1);
+        ac = M_EQUAL;
+      } else if (wc && compat && compat[(size_t)pc * 256 + tc] &&
+                 (tc != 'N' || textn)) {
+        v = DP(p - 1, t - 1);
+        ac = M_WC;
+      } else if (tc == eos || pc == eos || p <= lbexact || p >= rbexact) {
+        v = cvp;
+        ac = M_CV;
+      } else if (!dna_mut) {
+        v = DP(p - 1, t - 1) + 1;
+        ac = M_SUB;
+      } else {
+        int mut;
+        if (trans) {
+          const int cid = cids ? cids[buflen - t] : -1;
+          mut = (cid >= 0 && cid < 6)
+                    ? aacodonsub[((size_t)tc * 6 + cid) * 256 + pc]
+                    : -1;
+        } else {
+          mut = aasub[(size_t)tc * 256 + pc];
+        }
+        if (mut >= 0) {
+          v = DP(p - 1, t - 1) + (int64_t)mut;
+          ac = (mut == 1) ? M_SUB1 : (mut == 2 ? M_SUB2 : M_SUB3);
+        } else {
+          v = cvp;
+          ac = M_CV;
+        }
+      }
+      // insertion (extra text char)
+      if (tc == eos || pc == eos || !indels || t <= lb || p < lbexact ||
+          p >= rbexact) {
+        if (cvp < v) {
+          v = cvp;
+          ac = M_CV;
+        }
+      } else {
+        const int64_t v1 = DP(p, t - 1) + gapc;
+        const int32_t im = dna_mut ? M_INS3 : M_INS;
+        if (v1 < v) {
+          v = v1;
+          ac = im;
+        } else if (v1 == v) {
+          ac |= im;
+        }
+      }
+      // deletion (pattern char unmatched)
+      if (!indels || pc == eos || t >= ubr || p <= lbexact || p >= rbexact) {
+        if (cvp < v) {
+          v = cvp;
+          ac = M_CV;
+        }
+      } else {
+        const int64_t v1 = DP(p - 1, t) + gapc;
+        const int32_t dm = dna_mut ? M_DEL3 : M_DEL;
+        if (v1 < v) {
+          v = v1;
+          ac = dm;
+        } else if (v1 == v) {
+          ac |= dm;
+        }
+      }
+      DP(p, t) = v;
+      BEST(p, t) = ac;
+      if (v < bestrow) bestrow = v;
+    }
+    if (bestrow > (int64_t)k) {
+      // early exit: not found; caller records a constraint violation
+      *out_beststart = -1;
+      if (!yesno) {
+        out_stats[A_CONST_VIOL] = 1;
+        if (codes_cap > 0) {
+          out_codes[0] = A_CONST_VIOL;
+          *out_ncodes = 1;
+        }
+      }
+      return 1;
+    }
+  }
+
+  // best end selection (pattern_alignment.cc:443-475)
+  int64_t beststart = patlen - band;
+  if (beststart > buflen) beststart = buflen;
+  if (beststart < 0) beststart = 0;
+  int64_t bestval = DP(patlen, beststart);
+  int64_t ubb = patlen + freec + band;
+  if (ubb > buflen) ubb = buflen;
+  for (int64_t t = beststart + 1; t <= ubb; t++) {
+    const int64_t v = DP(patlen, t);
+    if (v < bestval || (v <= bestval && (BEST(patlen, t) & DIAG))) {
+      bestval = v;
+      beststart = t;
+    }
+  }
+
+  int64_t p = patlen, t = beststart;
+  if (t < p - band || t > p + band + freec) {
+    *out_beststart = -1;
+    if (!yesno) {
+      out_stats[A_CONST_VIOL] = 1;
+      if (codes_cap > 0) {
+        out_codes[0] = A_CONST_VIOL;
+        *out_ncodes = 1;
+      }
+    }
+    return 1;
+  }
+
+  // traceback (pattern_alignment.cc:494-597)
+  int lastac = A_NONE;
+  int n = 0;
+  while (!(BEST(p, t) & M_END)) {
+    const int32_t ac = BEST(p, t);
+    const bool match = (ac & DIAG) != 0;
+    const bool wceq = (ac & M_WC) != 0;
+    const bool sub = (ac & SUBS) != 0;
+    const bool ins = (ac & INSM) != 0;
+    const bool del = (ac & DELM) != 0;
+    if (match && !((lastac == A_INS || lastac == A_INS3) && ins) &&
+        !((lastac == A_DEL || lastac == A_DEL3) && del) &&
+        !(lastac == A_WC_EQUAL && !wceq && (ins || del))) {
+      p -= 1;
+      t -= 1;
+      if ((ac & M_EQUAL) && !((lastac == A_WC_EQUAL && wceq) ||
+                              (lastac == A_SUB && sub))) {
+        lastac = A_EQUAL;
+      } else if (wceq) {
+        lastac = A_WC_EQUAL;
+      } else if (sub) {
+        if (ac & M_SUB) lastac = A_SUB;
+        else if (ac & M_SUB1) lastac = A_SUB1;
+        else if (ac & M_SUB2) lastac = A_SUB2;
+        else lastac = A_SUB3;
+      }
+    } else if (del) {
+      p -= 1;
+      lastac = (ac & M_DEL) ? A_DEL : A_DEL3;
+    } else if (ins) {
+      t -= 1;
+      lastac = (ac & M_INS) ? A_INS : A_INS3;
+    } else if (ac & M_CV) {
+      p = 0;
+      t = 0;
+      lastac = A_CONST_VIOL;
+    } else {
+      return 0;  // bad traceback cell
+    }
+    if (!yesno) {
+      out_stats[lastac] += 1;
+      if (n < codes_cap) out_codes[n] = lastac;
+      n += 1;
+    }
+  }
+  *out_ncodes = n;
+  *out_found = bestval <= (int64_t)k;
+  *out_bestval = (int32_t)bestval;
+  *out_beststart = (int32_t)beststart;
+  *out_endt = (int32_t)t;
+  return 1;
+}
+
+}  // extern "C"
