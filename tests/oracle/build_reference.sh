@@ -17,7 +17,7 @@ ar rcs /tmp/primegen/primegen.a
 cd "$REF"
 make compress_seq primer_match exact_match inexact_match pcr_match \
      peptide_scan protein_mw peptide_mult polyrun tandem_match nrdb \
-     extract_seq \
+     extract_seq aacomp aacomplookup genome_simulation \
      PGEN=/tmp/primegen PARAM=-DNOPRIMEGEN >/dev/null 2>&1 || true
 # kmer_count clashes with std hash under modern g++; rename its local fns
 if [ ! -x "$REF/kmer_count" ]; then
