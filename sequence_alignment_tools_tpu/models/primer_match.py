@@ -103,7 +103,9 @@ def select_engine(db: SeqDB, ps: PatternSet, k: int, wc: bool,
             return "bases"
         if node in (11, 12, 13, 14):
             return "halves"
-        return "filter"  # 15 (gapped seeds): same hit set via filter
+        if node == 15:
+            return "gs"
+        return "filter"
     if k == 0:
         return "exact_sa" if wc else "exact_kt"
     # ff->size(): 256 for raw FASTA / .seq streams, .tbl size for normalized
@@ -159,7 +161,7 @@ class PrimerMatchModel:
             )
         if self.engine in ("halves", "bases"):
             self._extender = Extender(k, eos, wc, textn, indels, dna_mut)
-        if self.engine == "hash":
+        if self.engine in ("hash", "gs"):
             self._hash_aligner = EditDistAligner(
                 k, eos, wc, textn, indels, dna_mut, yesno=True
             )
@@ -185,6 +187,7 @@ class PrimerMatchModel:
             "bases": self._bases_engine,
             "filter": self._filter_engine,
             "hash": self._hash_engine,
+            "gs": self._gs_engine,
         }[self.engine]()
 
     def _exact_engine(self):
@@ -332,6 +335,92 @@ class PrimerMatchModel:
             pid, j = owner[-negs]
             pat = ps.pattern(pid)
             patend = end + len(pat) - j - 1
+            if lastpos[pid] + band < patend:
+                a = self._hash_aligner.align(
+                    self._text_at, pat, patend - band, patend + band,
+                    esb=ps.esb[pid], eeb=ps.eeb[pid],
+                )
+                if a.found:
+                    if lastpos[pid] + band < a.end:
+                        lastpos[pid] = a.end
+                        yield a.end, pid, a.value
+                    else:
+                        lastpos[pid] = patend
+                else:
+                    lastpos[pid] = patend
+
+    def _gs_engine(self):
+        """gs_hash_table (gs_hash_table.cc:268-487): gapped-seed-set
+        filtration.  Each (pattern, window offset, template) registers the
+        template-sampled pattern chars; a text window is a candidate when its
+        sampled chars all match — evaluated here as one sparse MXU
+        correlation (zero weight at unsampled positions, threshold = l) —
+        then the same lastpos dedup + yes/no banded verify as hash_table.
+
+        Emission order per text position: template asc, then reverse
+        registration (pattern desc, offset desc) like the push_front hash
+        cells; ``patend`` clamps to patlen near the stream start
+        (gs_hash_table.cc:430-437)."""
+        from .. import ops
+        from ..ops.gapped_seeds import select as gs_select
+
+        ps, k = self.ps, self.k
+        scheme = gs_select(ps.min_len, k, self.indels)
+        if scheme is None:
+            raise SelectionError(
+                "no gapped seed scheme for this pattern set"
+            )
+        m, L = scheme.m, scheme.l
+        db = self.db
+        # sparse seed table: one row per (pattern, offset, template)
+        entries = []  # (pid, j, templ)
+        for pid in range(1, ps.n_total + 1):
+            pat = ps.pattern(pid)
+            for j in range(0, len(pat) - m + 1):
+                for t in range(scheme.n):
+                    entries.append((pid, j, t))
+        P = len(entries)
+        span = scheme.m
+        # text window spans tmax = max txtpos + 1 positions
+        tmax = max(max(r) for r in scheme.txtpos) + 1
+        alpha = db.alphabet_size
+        match = np.zeros((P, tmax, alpha), dtype=bool)
+        lengths = np.full(P, L, dtype=np.int32)
+        for row, (pid, j, t) in enumerate(entries):
+            pat = ps.pattern(pid)
+            ok = True
+            for pp, tp in zip(scheme.patpos[t], scheme.txtpos[t]):
+                code = db.nch(pat[j + pp])
+                if code < 0:
+                    ok = False
+                    break
+                match[row, tp, code] = True
+            if not ok:
+                match[row] = False
+        tables = PatternTables(
+            match=match, lengths=lengths,
+            pat_codes=np.full((P, tmax), -1, dtype=np.int16),
+            Lmax=tmax, alpha=alpha, eos_code=db.eos_code,
+        )
+        scanner = ConvScanner(tables, k=0, block=self.block,
+                              use_pallas=False)
+        cands = []
+        for end, row, _ in scanner.scan(db.codes):
+            win_start = end - L  # ConvScanner end = start + lengths
+            pid, j, t = entries[row]
+            # (window end pos, template asc, pattern desc, offset desc)
+            cands.append((win_start + tmax, t, -pid, -j))
+        cands.sort()
+        band = k if self.indels else 0
+        lastpos = [0] * (ps.n_total + 1)
+        for oldpos, t, negpid, negj in cands:
+            pid, j = -negpid, -negj
+            pat = ps.pattern(pid)
+            patlen = len(pat)
+            if oldpos > patlen:
+                patend = oldpos + patlen - tmax - j
+            else:
+                patend = patlen
             if lastpos[pid] + band < patend:
                 a = self._hash_aligner.align(
                     self._text_at, pat, patend - band, patend + band,

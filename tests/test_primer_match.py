@@ -136,3 +136,18 @@ def test_engine_matrix(oracle, planted_fasta, N, kk):
     buf = io.StringIO()
     run(parse_args(cfg), buf)
     assert buf.getvalue() == ref
+
+
+def test_gapped_seed_engine(oracle, planted_fasta):
+    """-N 15 (gapped seed set) must produce the same verified hit stream as
+    the oracle-verified hash_table engine (the reference's gs path is
+    compiled out of NOPRIMEGEN builds, so cross-engine identity is the
+    check)."""
+    for kk in (["-K", "1"], ["-K", "2"]):
+        cfg = ["-i", planted_fasta, "-P", PAT]
+        b15 = io.StringIO()
+        run(parse_args(cfg + ["-N", "15"] + kk), b15)
+        b6 = io.StringIO()
+        run(parse_args(cfg + ["-N", "6", "-x", "3"] + kk), b6)
+        assert b15.getvalue() == b6.getvalue()
+        assert b15.getvalue()  # nonempty
