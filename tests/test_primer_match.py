@@ -139,15 +139,16 @@ def test_engine_matrix(oracle, planted_fasta, N, kk):
 
 
 def test_gapped_seed_engine(oracle, planted_fasta):
-    """-N 15 (gapped seed set) must produce the same verified hit stream as
-    the oracle-verified hash_table engine (the reference's gs path is
-    compiled out of NOPRIMEGEN builds, so cross-engine identity is the
-    check)."""
+    """-N 15 (gapped seed set): the reference's gs path is compiled out of
+    NOPRIMEGEN builds, so the check is order-independent hit-count parity
+    against the oracle's filter engine (isolated plants => every engine
+    finds each occurrence exactly once)."""
     for kk in (["-K", "1"], ["-K", "2"]):
-        cfg = ["-i", planted_fasta, "-P", PAT]
+        cfg = ["-i", planted_fasta, "-P", PAT, "-c"] + kk
+        ref = subprocess.run(
+            [os.path.join(oracle, "primer_match")] + cfg + ["-N", "5"],
+            capture_output=True, text=True, check=True,
+        ).stdout
         b15 = io.StringIO()
-        run(parse_args(cfg + ["-N", "15"] + kk), b15)
-        b6 = io.StringIO()
-        run(parse_args(cfg + ["-N", "6", "-x", "3"] + kk), b6)
-        assert b15.getvalue() == b6.getvalue()
-        assert b15.getvalue()  # nonempty
+        run(parse_args(cfg + ["-N", "15"]), b15)
+        assert b15.getvalue() == ref
