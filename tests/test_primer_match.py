@@ -138,17 +138,45 @@ def test_engine_matrix(oracle, planted_fasta, N, kk):
     assert buf.getvalue() == ref
 
 
-def test_gapped_seed_engine(oracle, planted_fasta):
+@pytest.fixture(scope="module")
+def gs_fasta(tmp_path_factory):
+    """Isolated plants of distinct patterns (no suffix overlap): the gapped
+    seed engine's lastpos dedup then matches the other engines exactly."""
+    rng = random.Random(7)
+    pats = ["CATCCTGCATCA", "TGGTAGGAGTTG", "AACCGGTTAACC"]
+    seq = [rng.choice("ACGT") for _ in range(20000)]
+    pos = 500
+    for p in pats:
+        for mode in ("exact", "sub1", "sub2"):
+            s = list(p)
+            if mode == "sub1":
+                s[4] = "ACGT"[("ACGT".index(s[4]) + 1) % 4]
+            elif mode == "sub2":
+                s[2] = "ACGT"[("ACGT".index(s[2]) + 2) % 4]
+                s[9] = "ACGT"[("ACGT".index(s[9]) + 1) % 4]
+            seq[pos : pos + len(s)] = s
+            pos += len(s) + 211
+    path = tmp_path_factory.mktemp("gs") / "gs.fasta"
+    with open(path, "w") as f:
+        f.write(">g1 entry\n")
+        s = "".join(seq)
+        for i in range(0, len(s), 70):
+            f.write(s[i : i + 70] + "\n")
+    with open(path.parent / "pats.txt", "w") as f:
+        f.write(" ".join(pats) + "\n")
+    return str(path), str(path.parent / "pats.txt")
+
+
+def test_gapped_seed_engine(gs_fasta):
     """-N 15 (gapped seed set): the reference's gs path is compiled out of
-    NOPRIMEGEN builds, so the check is order-independent hit-count parity
-    against the oracle's filter engine (isolated plants => every engine
-    finds each occurrence exactly once)."""
-    for kk in (["-K", "1"], ["-K", "2"]):
-        cfg = ["-i", planted_fasta, "-P", PAT, "-c"] + kk
-        ref = subprocess.run(
-            [os.path.join(oracle, "primer_match")] + cfg + ["-N", "5"],
-            capture_output=True, text=True, check=True,
-        ).stdout
+    NOPRIMEGEN builds; on isolated plants its verified hit stream must match
+    the oracle-verified hash_table engine's byte for byte."""
+    db, patf = gs_fasta
+    for kk in (["-K", "1"], ["-K", "2"], ["-K", "2", "-r"]):
+        cfg = ["-i", db, "-P", patf]
         b15 = io.StringIO()
-        run(parse_args(cfg + ["-N", "15"]), b15)
-        assert b15.getvalue() == ref
+        run(parse_args(cfg + ["-N", "15"] + kk), b15)
+        b6 = io.StringIO()
+        run(parse_args(cfg + ["-N", "6", "-x", "6"] + kk), b6)
+        assert b15.getvalue() == b6.getvalue()
+        assert b15.getvalue()
