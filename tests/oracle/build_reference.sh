@@ -44,4 +44,19 @@ if [ ! -x "$REF/xmers" ]; then
     g++ -O2 -I. -DNOPRIMEGEN -o xmers xmers_fixed.cc $OBJS \
         /tmp/primegen/primegen.a -lz >/dev/null 2>&1 || true
 fi
+# allvall family: 'hash' clashes with std::hash; bitmap.h misses <algorithm>;
+# allvall_dump uses C++17-forbidden bool++
+if [ ! -x "$REF/allvall_merge" ]; then
+    for f in hash.h hash.cc perfposht.h perfposht.cc allvall.cc \
+             allvall_merge.cc allvall_dump.cc allvall_tobm.cc pairscan.cc \
+             merstream.h merstream.cc; do
+        [ -f "$f" ] && sed -i \
+            's/\bclass hash\b/class av_hash/g; s/\bhash\b/av_hash/g; s/av_hash\.h/hash.h/g; s/av_hash\.cc/hash.cc/g; s/std::av_hash/std::hash/g' \
+            "$f"
+    done
+    grep -q "<algorithm>" bitmap.h || sed -i '1a #include <algorithm>' bitmap.h
+    sed -i 's/dir++/dir = !dir/; s/verbose++/verbose = true/' allvall_dump.cc
+    make allvall allvall_merge allvall_dump allvall_tobm \
+        PGEN=/tmp/primegen PARAM=-DNOPRIMEGEN >/dev/null 2>&1 || true
+fi
 echo "reference oracles built at $REF"
