@@ -1,0 +1,97 @@
+"""Word-graph subsystem: build -> balance -> Eulerian walk invariants."""
+
+import random
+
+import numpy as np
+import pytest
+
+from sequence_alignment_tools_tpu.models.word_graph import WordGraph
+from sequence_alignment_tools_tpu.ops.netflo import min_cost_flow
+
+
+def _codes(s, alpha="ACGT$"):
+    return np.array([alpha.index(c) for c in s], dtype=np.uint8)
+
+
+def _kmers(s, k):
+    from collections import Counter
+
+    out = Counter()
+    for part in s.split("$"):
+        for i in range(len(part) - k + 1):
+            out[part[i : i + k]] += 1
+    return out
+
+
+@pytest.mark.parametrize("k", [4, 8])
+def test_walk_covers_all_kmers(k):
+    rng = random.Random(3)
+    s = "".join(rng.choice("ACGT") for _ in range(800))
+    # a repeat to force branching
+    s = s[:200] + s[50:90] + s[200:]
+    codes = _codes("$" + s + "$")
+    g = WordGraph.build(codes, k, eos_code=4, alpha=5)
+    flat = "$" + s + "$"
+
+    def decode(a, b):
+        return flat[max(a, 0) : b]
+
+    g.balance(mode="new")
+    walk = g.walk_seq(decode, eos="$")
+    want = set(_kmers(s, k))
+    got = set(_kmers(walk, k))
+    assert want <= got, f"missing {len(want - got)} kmers"
+
+
+def test_walk_redundant_optimal_not_worse():
+    rng = random.Random(9)
+    s = "".join(rng.choice("ACGT") for _ in range(600))
+    s = s + s[100:160]  # duplication makes imbalance
+    k = 6
+    codes = _codes("$" + s + "$")
+    flat = "$" + s + "$"
+
+    def decode(a, b):
+        return flat[max(a, 0) : b]
+
+    added = []
+    for optimize in (False, True):
+        g = WordGraph.build(codes, k, eos_code=4, alpha=5)
+        added.append(g.balance(mode="redundant", optimize=optimize))
+        walk = g.walk_seq(decode, eos="$")
+        assert set(_kmers(s, k)) <= set(_kmers(walk, k))
+    assert added[1] <= added[0]
+
+
+def test_graph_roundtrip(tmp_path):
+    rng = random.Random(5)
+    s = "".join(rng.choice("ACGT") for _ in range(300))
+    codes = _codes("$" + s + "$")
+    g = WordGraph.build(codes, 5, eos_code=4, alpha=5)
+    p = tmp_path / "g.wg"
+    with open(p, "w") as f:
+        g.write(f)
+    g2 = WordGraph.read(str(p), mersize=5)
+    assert g2.stats() == g.stats()
+
+
+def test_trivial_path_compression():
+    # a simple chain compresses down to branch structure only
+    s = "ACGTACGGTTACCA"
+    codes = _codes("$" + s + "$")
+    g = WordGraph.build(codes, 4, eos_code=4, alpha=5)
+    before = len(g.edges)
+    while g.compress_trivial_paths():
+        pass
+    assert len(g.edges) < before
+    # counts conserved per remaining edge chain
+    assert all(e.count >= 1 for e in g.edges)
+
+
+def test_min_cost_flow_optimality():
+    # parallel cheap/expensive routes
+    arcs = [(0, 1, 5, 2, None), (0, 1, 5, 5, None), (1, 2, 10, 0, None)]
+    f = min_cost_flow(3, arcs, 0, 2, 7)
+    assert f == [5, 2, 7]
+    with pytest.raises(ValueError):
+        min_cost_flow(3, arcs, 0, 2, 100)
