@@ -51,6 +51,7 @@ def parse_args(argv):
         "add_revcomp": False,
         "compress_bits": False,
         "binindex": True,
+        "suffix_tree": False,
         "check_only": False,
         "force": False,
         "cleanup": True,
@@ -88,8 +89,10 @@ def parse_args(argv):
             opts["force"] = _bool(val)
         elif flag == "-C":
             opts["cleanup"] = _bool(val)
-        elif flag in ("-B", "-t", "-T", "-G"):
-            pass  # I/O hint / suffix tree / table-only: not yet wired
+        elif flag == "-t":
+            opts["suffix_tree"] = _bool(val)
+        elif flag in ("-B", "-T", "-G"):
+            pass  # I/O hint / table-only: not yet wired
         elif flag == "-v":
             opts["verbose"] = True
         elif flag == "-h":
@@ -110,6 +113,7 @@ def main(argv=None) -> int:
         eos_char=opts["eos_char"],
         uppercase=opts["uppercase"],
         normalize=opts["normalize"],
+        suffix_tree=opts["suffix_tree"],
         dna_optimized=opts["dna_optimized"],
         add_revcomp_chars=opts["add_revcomp"],
         compress_bits=opts["compress_bits"],

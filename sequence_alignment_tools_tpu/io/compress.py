@@ -97,6 +97,7 @@ def compress(
     eos_char: int = DEFAULT_EOS,
     uppercase: bool = True,
     normalize: bool = False,
+    suffix_tree: bool = False,
     dna_optimized: bool = True,
     add_revcomp_chars: bool = False,
     compress_bits: bool = False,
@@ -191,6 +192,11 @@ def compress(
                 f.write(table)
             with open(base + ".sqz", "wb") as f:
                 f.write(pack_sqz(codes, len(table), eos_code=int(c2c[eos_char])))
+        if suffix_tree and normalize:
+            # TPU-native persisted index: a suffix ARRAY over the
+            # normalized codes (replaces the reference's mmap'd
+            # rl_suffix_tree .st, compress_seq.cc:27-40)
+            write_suffix_array(base + ".sqn.st", codes)
         if cleanup and (normalize or compress_bits):
             os.unlink(base + ".seq")
 
@@ -240,21 +246,68 @@ def _read_raw(fasta_path, eos, init_eos, eos_char, uppercase):
     )
 
 
+def build_suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (O(n log^2 n), fully vectorized)."""
+    n = len(codes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = codes.astype(np.int64)
+    sa = np.argsort(rank, kind="stable").astype(np.int64)
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        new_rank = np.empty(n, dtype=np.int64)
+        prev = (rank[order[1:]] != rank[order[:-1]]) | (
+            key2[order[1:]] != key2[order[:-1]]
+        )
+        new_rank[order] = np.concatenate([[0], np.cumsum(prev)])
+        rank = new_rank
+        sa = order
+        if rank[order[-1]] == n - 1:
+            break
+        k *= 2
+    return sa.astype(np.int64)
+
+
+def write_suffix_array(path: str, codes: np.ndarray) -> None:
+    """"SATSA1" magic + int64 n + int64 suffix array of the code space."""
+    sa = build_suffix_array(codes)
+    with open(path, "wb") as f:
+        f.write(b"SATSA1")
+        np.asarray([len(codes)], dtype="<i8").tofile(f)
+        sa.tofile(f)
+
+
+def read_suffix_array(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        magic = f.read(6)
+        if magic != b"SATSA1":
+            raise ValueError("not a SATSA1 suffix array")
+        n = int(np.fromfile(f, dtype="<i8", count=1)[0])
+        return np.fromfile(f, dtype="<i8", count=n)
+
+
 # ---------------------------------------------------------------------------
 # loading preprocessed databases
 
 
 def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
     """Load a SeqDB preferring preprocessed artifacts like pick_fasta_file's
-    auto mode (.sqn > .sqz > .seq > raw FASTA — select.t:22-188)."""
+    auto mode (.sqn > .sqz > .seq > raw FASTA — select.t:22-188).  A
+    persisted suffix tree next to the loaded representation flips the
+    engine trigger (select.cc:184-209)."""
     base = fasta_path
     if os.path.exists(base + ".sqn") and os.path.exists(base + ".tbl"):
         table = open(base + ".tbl", "rb").read()
         codes = np.fromfile(base + ".sqn", dtype=np.uint8)
         keys, vals = read_idb(base + ".idb")
         headers = _read_headers(base + ".hdr", vals)
-        return _mk_db(codes, table, keys[:-1], headers, eos_char,
-                      producer_alphabet=len(table))
+        db = _mk_db(codes, table, keys[:-1], headers, eos_char,
+                    producer_alphabet=len(table))
+        db.has_suffix_tree = os.path.exists(base + ".sqn.st")
+        return db
     if os.path.exists(base + ".sqz") and os.path.exists(base + ".tbz"):
         table = open(base + ".tbz", "rb").read()
         keys, vals = read_idb(base + ".idb")

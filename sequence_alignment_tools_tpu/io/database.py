@@ -99,6 +99,10 @@ class SeqDB:
         """Alphabet code -> raw char (CharacterProducer::ch)."""
         return chr(self.table[code])
 
+    # set by load_db when a persisted suffix-tree/array artifact exists
+    # next to the loaded representation (select.cc:184-209 trigger)
+    has_suffix_tree: bool = False
+
     # Mapped<> databases (char_io.t:280-335): getnch() remaps codes but
     # getch() still returns the ORIGINAL character — when set, decode() reads
     # these chars instead of table[codes].

@@ -92,6 +92,10 @@ def select_engine(db: SeqDB, ps: PatternSet, k: int, wc: bool,
         raise SelectionError(1)
     if node != 0:
         if node in (1, 2, 3):
+            # a prebuilt suffix tree overrides the keyword tree
+            # (select.cc:184-209)
+            if db.has_suffix_tree:
+                return "suftree"
             return "exact_kt"
         if node == 4:
             return "exact_sa"
@@ -107,7 +111,9 @@ def select_engine(db: SeqDB, ps: PatternSet, k: int, wc: bool,
             return "gs"
         return "filter"
     if k == 0:
-        return "exact_sa" if wc else "exact_kt"
+        if wc:
+            return "exact_sa"
+        return "suftree" if db.has_suffix_tree else "exact_kt"
     # ff->size(): 256 for raw FASTA / .seq streams, .tbl size for normalized
     # databases (select.cc:107-127 keys off the producer's alphabet)
     alpha = db.producer_alphabet
@@ -188,6 +194,7 @@ class PrimerMatchModel:
             "filter": self._filter_engine,
             "hash": self._hash_engine,
             "gs": self._gs_engine,
+            "suftree": self._suftree_engine,
         }[self.engine]()
 
     def _exact_engine(self):
@@ -207,6 +214,22 @@ class PrimerMatchModel:
         cands.sort()
         for end, _, key in cands:
             p0 = -key if self.engine == "exact_kt" else key
+            yield end, p0 + 1, 0
+
+    def _suftree_engine(self):
+        """suftree (rlst.cc:34-64): each pattern queried for all its exact
+        occurrences, batches normalized by end position — net emission is
+        (end asc, pattern registration asc), vs the keyword tree's
+        chain-order ties.  The persisted .st only gates engine selection;
+        the MXU exact scan serves the lookups (NOTE: the reference's own
+        .st query path is bit-rotted and reports spurious hits at every
+        position in current builds)."""
+        tables = build_tables(self.ps, self.db, self.wc, self.textn)
+        scanner = ConvScanner(tables, k=0, block=self.block)
+        cands = sorted(
+            (end, p0) for end, p0, _ in scanner.scan(self.db.codes)
+        )
+        for end, p0 in cands:
             yield end, p0 + 1, 0
 
     def _halves_engine(self):

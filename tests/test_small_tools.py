@@ -134,3 +134,60 @@ def test_compress_seq_cli(tmp_path, oracle):
     os.utime(ours / "x.fasta")
     assert cs_main(["-i", str(ours / "x.fasta"), "-n", "true", "-z", "true",
                     "-c", "true"]) == 1
+
+
+def test_suffix_tree_engine(tmp_path, oracle):
+    """compress_seq -t persists a suffix array; its presence flips
+    primer_match's -N 1..3 / auto exact path to the suftree engine,
+    whose emission is (end asc, registration asc) — the hit SET matches
+    the keyword tree exactly.  (The reference's own .st query path is
+    bit-rotted and reports spurious hits at every position.)"""
+    import random
+
+    from sequence_alignment_tools_tpu.apps.compress_seq import main as cs
+    from sequence_alignment_tools_tpu.apps.primer_match import (
+        parse_args as pm_args, run as pm_run,
+    )
+    from sequence_alignment_tools_tpu.io.compress import (
+        build_suffix_array, read_suffix_array,
+    )
+    from sequence_alignment_tools_tpu.io.compress import load_db
+    from sequence_alignment_tools_tpu.models.primer_match import (
+        PrimerMatchModel, select_engine,
+    )
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+
+    rng = random.Random(3)
+    pats = ["CATCCTGCATCA", "TGGTAGGAGTTG"]
+    seq = [rng.choice("ACGT") for _ in range(9000)]
+    for i, p in enumerate(pats):
+        for rep in range(3):
+            at = 400 + 2500 * i + 700 * rep
+            seq[at : at + len(p)] = list(p)
+    src = tmp_path / "st.fasta"
+    with open(src, "w") as f:
+        f.write(">s1 entry\n")
+        s = "".join(seq)
+        for i in range(0, len(s), 70):
+            f.write(s[i : i + 70] + "\n")
+    assert cs(["-i", str(src), "-n", "true", "-t", "true"]) == 0
+    assert (tmp_path / "st.fasta.sqn.st").exists()
+    sa = read_suffix_array(str(tmp_path / "st.fasta.sqn.st"))
+    db = load_db(str(src))
+    assert (sa == build_suffix_array(db.codes)).all()
+    assert db.has_suffix_tree
+    ps = build_pattern_set(pats, rev_comp=True)
+    assert select_engine(db, ps, 0, False, 0, 0) == "suftree"
+    assert select_engine(db, ps, 0, False, 0, 3) == "suftree"
+    # suftree vs keyword tree: same hit set
+    st_hits = sorted(PrimerMatchModel(db, ps, k=0, node=1).engine_hits())
+    db2 = load_db(str(src))
+    db2.has_suffix_tree = False
+    kt_hits = sorted(PrimerMatchModel(db2, ps, k=0, node=1).engine_hits())
+    assert st_hits == kt_hits and len(st_hits) == 6
+    # end-to-end CLI still works with the artifact present
+    import io as _io
+
+    buf = _io.StringIO()
+    pm_run(pm_args(["-i", str(src), "-p", " ".join(pats), "-c"]), buf)
+    assert "3" in buf.getvalue()
