@@ -27,6 +27,12 @@ if [ ! -x "$REF/kmer_count" ]; then
         mapFile.o bufferedFile.o fileStar.o char_io.o fasta_io.o util.o \
         types.o -lz >/dev/null 2>&1 || true
 fi
+# kmer_annotate has the same hash clash
+if [ ! -x "$REF/kmer_annotate" ]; then
+    sed 's/\bhash(/ka_hash(/g' kmer_annotate.cc > kmer_annotate_fixed.cc
+    g++ -O2 -w -I. -o kmer_annotate kmer_annotate_fixed.cc \
+        fasta_io.o util.o types.o >/dev/null 2>&1 || true
+fi
 # nrdb bit-rot: pattern_hit_vector values are pairs now; xmers: hash clash
 OBJS="pattern_match.o keyword_tree.o shift_and.o mapFile.o bufferedFile.o \
 fileStar.o char_io.o fasta_io.o util.o types.o pattern_alignment.o \

@@ -136,6 +136,60 @@ def test_compress_seq_cli(tmp_path, oracle):
                     "-c", "true"]) == 1
 
 
+@pytest.fixture(scope="module")
+def ka_env(tmp_path_factory, oracle):
+    """Raw FASTA + kmer_count aggregate tables (text and binary)."""
+    d = tmp_path_factory.mktemp("ka")
+    rng = random.Random(11)
+    fa = d / "anno.fasta"
+    with open(fa, "w") as f:
+        for e in range(4):
+            n = 200 + 37 * e
+            s = "".join(rng.choice("ACGT") for _ in range(n))
+            f.write(f">r{e} entry {e} desc\n")
+            for i in range(0, n, 57):
+                f.write(s[i : i + 57] + "\n")
+    txt, binf = d / "mers.txt", d / "mers.bin"
+    for k in ("6",):
+        subprocess.run(
+            [os.path.join(oracle, "kmer_count"), "-i", str(fa), "-k", k,
+             "-a", "-o", str(txt)], check=True, capture_output=True)
+        subprocess.run(
+            [os.path.join(oracle, "kmer_count"), "-i", str(fa), "-k", k,
+             "-a", "-b", "-o", str(binf)], check=True, capture_output=True)
+    return str(fa), str(txt), str(binf)
+
+
+KA_CONFIGS = [["-k", "6"], ["-k", "6", "-n"], ["-k", "6", "-b"]]
+
+
+@pytest.mark.parametrize("cfg", KA_CONFIGS, ids=lambda c: " ".join(c))
+def test_kmer_annotate_parity(oracle, ka_env, cfg):
+    from sequence_alignment_tools_tpu.apps.kmer_annotate import (
+        parse_args as ka_args, run as ka_run,
+    )
+
+    fa, txt, binf = ka_env
+    table = binf if "-b" in cfg else txt
+    args = ["-m", table, "-s", fa] + cfg
+    # the reference aborts nondeterministically at exit (cleanup
+    # double-free) — retry until a clean run
+    for _ in range(10):
+        r = subprocess.run(
+            [os.path.join(oracle, "kmer_annotate")] + args,
+            capture_output=True, text=True,
+        )
+        if r.returncode == 0:
+            break
+    else:
+        raise AssertionError("kmer_annotate oracle never exited cleanly")
+    ref = r.stdout
+    buf = io.StringIO()
+    ka_run(ka_args(args), buf)
+    assert buf.getvalue() == ref
+    assert len(ref) > 100  # non-degenerate
+
+
 def test_suffix_tree_engine(tmp_path, oracle):
     """compress_seq -t persists a suffix array; its presence flips
     primer_match's -N 1..3 / auto exact path to the suftree engine,
