@@ -146,6 +146,32 @@ def alignformat(fmt: str, rec: AlignRecord) -> str:
                 out.append(str(rec.frame))
             elif v == "n":
                 out.append(rec.buffer)
+            elif v in "mG":
+                # %m/%G Tm/ΔG with optional source selector p/q/t/U
+                # (primer_match.cc:528-567); unrecognized selector falls
+                # back to t without consuming the char
+                from .oligotm import oligodg, oligotm
+
+                sel = fmt[pos + 1] if pos + 1 < n else ""
+                if sel == "p":
+                    dna = rec.p
+                    pos += 1
+                elif sel == "q":
+                    dna = rec.q
+                    pos += 1
+                elif sel == "t":
+                    dna = rec.t
+                    pos += 1
+                elif sel == "U":
+                    from .iupac import reverse_comp
+
+                    dna = reverse_comp(rec.t) if rec.r == "R" else rec.t
+                    pos += 1
+                else:
+                    dna = rec.t
+                dna = "".join(ch for ch in dna if ch in "ACGT")
+                val = oligotm(dna) if v == "m" else oligodg(dna)
+                out.append(f"{val:.2f}")
             elif v == "|":
                 scan_A()
                 out.append(str(mat))

@@ -68,6 +68,10 @@ CONFIGS = [
     ["-k", "1", "-e", "4"],
     ["-k", "1", "-r", "-3", "8"],
     ["-k", "2", "-c", "-M", "2"],
+    # %m/%G melting-temperature escapes with every source selector and the
+    # unrecognized-selector fall-through (primer_match.cc:528-567)
+    ["-k", "1", "-r", "-A",
+     r"%i %s %e %r %m %G %mp %mq %mt %mU %Gp %GU %mX\n"],
 ]
 
 
