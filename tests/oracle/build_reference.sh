@@ -47,6 +47,9 @@ fi
 if [ ! -x "$REF/xmers" ]; then
     sed 's/\bhash(/xm_hash(/g; s/\bhashrc(/xm_hashrc(/g; s/\bunhash(/xm_unhash(/g' \
         xmers.cc > xmers_fixed.cc
+    # skip the minutes-long prime sieve when -H pins the table size; the
+    # prime only picks internal bucket indices and never affects output
+    perl -0pi -e 's/(std::vector<long unsigned int> primes\(1\);\n)(\s*)(rand_hash_table::random_primes_lt\(maxp,primes\);\n\s*long unsigned int prime = primes\[0\];)/$1$2long unsigned int prime = 0;\n$2if (opt.hashtablesize == -1) {\n$2rand_hash_table::random_primes_lt(maxp,primes);\n$2prime = primes[0];\n$2}/' xmers_fixed.cc
     g++ -O2 -I. -DNOPRIMEGEN -o xmers xmers_fixed.cc $OBJS \
         /tmp/primegen/primegen.a -lz >/dev/null 2>&1 || true
 fi
