@@ -71,13 +71,12 @@ def bitmap_runs(bits: np.ndarray) -> list[int]:
     return runs
 
 
-def write_bitmap(f, bits: np.ndarray, ascii_out: bool, span: int = 0,
-                 pos: int = 0) -> None:
+def write_bitmap_block(f, bits: np.ndarray, ascii_out: bool) -> None:
+    """One bare ``bitmap::write`` block (bitmap.h:273-295) — pairscan
+    checkpoints put two of these between one BEGIN/END pair."""
     runs = bitmap_runs(bits)
     nset = int(bits.sum())
     nrun = len([r for r in runs if r > 0])
-    f.write(b"BEGIN\n")
-    f.write(f"{span} {pos}\n".encode())
     f.write(b"ASCII RUN LENGTHS START\n" if ascii_out
             else b"BINARY RUN LENGTHS START\n")
     f.write(f"{len(bits)}\n".encode())
@@ -94,18 +93,19 @@ def write_bitmap(f, bits: np.ndarray, ascii_out: bool, span: int = 0,
         for r in runs:
             f.write(encode_varint(r))
         f.write(b"BINARY RUN LENGTHS END\n")
+
+
+def write_bitmap(f, bits: np.ndarray, ascii_out: bool, span: int = 0,
+                 pos: int = 0) -> None:
+    f.write(b"BEGIN\n")
+    f.write(f"{span} {pos}\n".encode())
+    write_bitmap_block(f, bits, ascii_out)
     f.write(b"END\n")
 
 
-def read_bitmap(path) -> tuple[np.ndarray, int, int]:
-    data = open(path, "rb").read() if path != "-" else \
-        sys.stdin.buffer.read()
-    lines_end = data.index(b"\n")
-    assert data[:lines_end] == b"BEGIN"
-    pos = lines_end + 1
-    hdr_end = data.index(b"\n", pos)
-    span_s, pos_s = data[pos:hdr_end].split()
-    pos = hdr_end + 1
+def read_bitmap_block(data: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Parse one bare ``bitmap::read`` block starting at byte ``pos``;
+    returns (bits, next offset)."""
     marker_end = data.index(b"\n", pos)
     marker = data[pos:marker_end]
     ascii_in = marker == b"ASCII RUN LENGTHS START"
@@ -125,12 +125,16 @@ def read_bitmap(path) -> tuple[np.ndarray, int, int]:
     if ascii_in:
         count = ascii_line()
         runs = [ascii_line() for _ in range(count)]
+        end_marker = b"ASCII RUN LENGTHS END\n"
     else:
         count, pos = decode_varint(data, pos)
         runs = []
         for _ in range(count):
             r, pos = decode_varint(data, pos)
             runs.append(r)
+        end_marker = b"BINARY RUN LENGTHS END\n"
+    if data[pos:pos + len(end_marker)] == end_marker:
+        pos += len(end_marker)
     bits = np.zeros(size, dtype=bool)
     at = 0
     val = False
@@ -139,6 +143,18 @@ def read_bitmap(path) -> tuple[np.ndarray, int, int]:
             bits[at : at + r] = True
         at += r
         val = not val
+    return bits, pos
+
+
+def read_bitmap(path) -> tuple[np.ndarray, int, int]:
+    data = open(path, "rb").read() if path != "-" else \
+        sys.stdin.buffer.read()
+    lines_end = data.index(b"\n")
+    assert data[:lines_end] == b"BEGIN"
+    pos = lines_end + 1
+    hdr_end = data.index(b"\n", pos)
+    span_s, pos_s = data[pos:hdr_end].split()
+    bits, _pos = read_bitmap_block(data, hdr_end + 1)
     return bits, int(span_s), int(pos_s)
 
 

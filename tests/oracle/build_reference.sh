@@ -65,7 +65,7 @@ if [ ! -x "$REF/allvall_merge" ]; then
     done
     grep -q "<algorithm>" bitmap.h || sed -i '1a #include <algorithm>' bitmap.h
     sed -i 's/dir++/dir = !dir/; s/verbose++/verbose = true/' allvall_dump.cc
-    make allvall allvall_merge allvall_dump allvall_tobm \
+    make allvall allvall_merge allvall_dump allvall_tobm pairscan \
         PGEN=/tmp/primegen PARAM=-DNOPRIMEGEN >/dev/null 2>&1 || true
 fi
 echo "reference oracles built at $REF"
