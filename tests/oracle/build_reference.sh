@@ -68,4 +68,25 @@ if [ ! -x "$REF/allvall_merge" ]; then
     make allvall allvall_merge allvall_dump allvall_tobm pairscan \
         PGEN=/tmp/primegen PARAM=-DNOPRIMEGEN >/dev/null 2>&1 || true
 fi
+# RL-stack tools miss <cstring>/<cstdlib> under modern g++; word_graph has
+# the std::hash clash; trans_prob.h needs two-phase-lookup erase fixes and
+# the external CS2 library (stubbed with aborting definitions — the
+# solid_assembly code paths never reach the CS2 solver)
+if [ ! -x "$REF/Indexer" ]; then
+    for f in Indexer.cc IndexerAA.cc Xspace.cc XspaceLo.cc WordGraph.cc \
+             solid_assembly.cc rl_suffix_tree.h; do
+        [ -f "$f" ] && { grep -q "#include <cstring>" "$f" || \
+            sed -i '1i #include <cstring>\n#include <cstdlib>' "$f"; }
+    done
+    sed -i 's/\bhash(/wg_hash(/g' word_graph.cc
+    sed -i 's/erase(/this->erase(/g; s/this->this->erase(/this->erase(/g' \
+        trans_prob.h
+    mkdir -p /tmp/cs2stub
+    cp "$HERE/cs2_stub.h" /tmp/cs2stub/CS2.h
+    cp "$HERE/cs2_stub.cpp" /tmp/cs2stub/CS2.cpp
+    (cd /tmp/cs2stub && g++ -c -O2 CS2.cpp -I. && ar rcs libCS2.a CS2.o)
+    make Indexer IndexerAA Xspace XspaceLo WordGraph solid_assembly \
+        CS2=/tmp/cs2stub PGEN=/tmp/primegen PARAM=-DNOPRIMEGEN \
+        >/dev/null 2>&1 || true
+fi
 echo "reference oracles built at $REF"
