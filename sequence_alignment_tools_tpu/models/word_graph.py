@@ -31,6 +31,7 @@ class Edge:
     length: int   # chars contributed by 'to' when traversed (1 for k-overlap)
     count: int = 1
     real: bool = True
+    mark: bool = False
 
 
 @dataclass
@@ -422,3 +423,211 @@ class WordGraph:
                                       self.nodes[e.to]))
             out.append(eos)
         return "".join(out)
+
+    # -- solid_assembly support (word_graph.cc:438-456, 1207-1716) ----------
+
+    def _in_edges(self) -> dict:
+        ins: dict[int, list[Edge]] = {nid: [] for nid in self.nodes}
+        for e in self.edges:
+            ins[e.to].append(e)
+        return ins
+
+    def find_widgets(self) -> dict:
+        """Widget map (word_graph.cc:1216-1282): one-node widgets are
+        nodes with in>1 and out>1; two-node widgets run from a node with
+        in>1,out==1 through a 1-in-1-out chain to a node with
+        in==1,out>1 — degrees are STRUCTURAL edge counts (graph.h
+        nin/nout are list sizes), not multiplicities.  A widget is
+        rejected when any neighbour already belongs to another widget.
+        Returns {start: end} (start==end for one-node widgets, end: None
+        marks interior reservations)."""
+        ins = self._in_edges()
+        nin = {nid: len(ins[nid]) for nid in self.nodes}
+        nout = {nid: len(self.out_adj[nid]) for nid in self.nodes}
+        widget: dict[int, int | None] = {}
+        for nid in self.nodes:
+            if nin[nid] <= 1:
+                continue
+            if nout[nid] == 1 and self.out_adj[nid]:
+                n = self.out_adj[nid][0].to
+                while nin[n] == 1 and nout[n] == 1 \
+                        and self.out_adj[n]:
+                    n = self.out_adj[n][0].to
+                if nin[n] == 1 and nout[n] > 1:
+                    good = all(e.frm not in widget for e in ins[nid]) and \
+                        all(e.to not in widget for e in self.out_adj[n])
+                    if good:
+                        widget[nid] = n
+                        widget[n] = None
+            elif nout[nid] > 1:
+                good = all(e.frm not in widget for e in ins[nid]) and \
+                    all(e.to not in widget for e in self.out_adj[nid])
+                if good:
+                    widget[nid] = nid
+        return widget
+
+    def peel_edges(self, db, mersize: int) -> int:
+        """One round of read-guided widget peeling (the intent of
+        word_graph::peel_edges, word_graph.cc:1207-1716 — the reference's
+        own binary dies on its own WordGraph outputs: its graph reader
+        expects numeric edge lines and its node sequence lookups walk
+        out of the read file).  Reads are threaded through the graph;
+        paths crossing a widget contribute marked bridge edges; widgets
+        with bridge support are split into per-source clones and the
+        superseded edges removed.  Returns the number of changed
+        widgets."""
+        for e in self.edges:
+            e.mark = False
+        k = mersize
+        widget = self.find_widgets()
+        if not any(v is not None for v in widget.values()):
+            return 0
+
+        mer_of: dict[str, list[int]] = {}
+        for nid, se in self.nodes.items():
+            mer_of.setdefault(db.decode(se - k, se), []).append(nid)
+
+        # thread each read; record bridges over widgets
+        ins = self._in_edges()
+        for ent in range(db.n_entries):
+            start = int(db.entry_starts[ent])
+            buf = db.decode(start, start + int(db.entry_lengths[ent]))
+            if len(buf) < k:
+                continue
+            for nid in mer_of.get(buf[:k], ()):
+                path: list[Edge] = []
+                p = k
+                n = nid
+                ok = True
+                while p < len(buf):
+                    nxt = None
+                    for e in self.out_adj[n]:
+                        if not e.mark and db.decode(
+                                e.seq_end - e.length,
+                                e.seq_end)[:1] == buf[p]:
+                            nxt = e
+                            break
+                    if nxt is None:
+                        ok = False
+                        break
+                    path.append(nxt)
+                    p += nxt.length
+                    n = nxt.to
+                if not ok or not path:
+                    continue
+                # find widget crossings and add marked bridges
+                prefix_len = 0
+                i = 0
+                while i < len(path):
+                    while i < len(path) and widget.get(path[i].to) is None:
+                        prefix_len += path[i].length
+                        i += 1
+                    if i >= len(path):
+                        break
+                    left = i
+                    xnd1 = widget[path[i].to]
+                    edge_len = path[i].length
+                    i += 1
+                    while i < len(path) and path[i].frm != xnd1:
+                        edge_len += path[i].length
+                        i += 1
+                    if i >= len(path):
+                        break
+                    edge_len += path[i].length
+                    f, t = path[left].frm, path[i].to
+                    if not any(e.to == t and e.mark
+                               for e in self.out_adj[f]):
+                        br = Edge(frm=f, to=t,
+                                  seq_end=start + k + prefix_len + edge_len,
+                                  length=edge_len, count=1, mark=True)
+                        self.add_edge(br)
+                        ins[t].append(br)
+                    i = left + 1
+
+        # resolve supported widgets
+        nchanges = 0
+        new_label = max(self.nodes) + 1
+        for xnd in sorted(widget):
+            xnd1 = widget[xnd]
+            if xnd1 is None:
+                continue
+            # bridges from in-sources of xnd to out-targets of xnd1
+            targets = {e.to for e in self.out_adj[xnd1] if not e.mark}
+            bridges = [e for src_e in ins[xnd]
+                       for e in self.out_adj[src_e.frm]
+                       if e.mark and e.to in targets]
+            if not bridges:
+                continue
+            sources = sorted({e.frm for e in bridges})
+            good = all(any(e.mark for e in self.out_adj[se.frm])
+                       for se in ins[xnd] if not se.mark) and \
+                all(any(e.mark for e in ins[oe.to])
+                    for oe in self.out_adj[xnd1] if not oe.mark)
+            clone_of: dict[int, tuple[int, int]] = {}
+            first = True
+            for src in sources:
+                if first and good:
+                    clone_of[src] = (xnd, xnd1)
+                    first = False
+                    continue
+                # clone the xnd..xnd1 interior chain
+                c0 = new_label
+                self.add_node(c0, self.nodes[xnd])
+                n0 = xnd
+                cs = c0
+                while n0 != xnd1:
+                    e0 = self.out_adj[n0][0]
+                    new_label += 1
+                    c1 = new_label
+                    self.add_node(c1, self.nodes[e0.to])
+                    self.add_edge(Edge(frm=cs, to=c1, seq_end=e0.seq_end,
+                                       length=e0.length, count=1))
+                    n0 = e0.to
+                    cs = c1
+                clone_of[src] = (c0, cs)
+                new_label += 1
+            for src in sources:
+                cs, ce = clone_of[src]
+                my_bridges = [e for e in bridges if e.frm == src]
+                if cs != xnd:
+                    # reroute src -> cloneStart (copy of src->xnd)
+                    for se in ins[xnd]:
+                        if se.frm == src and not se.mark:
+                            self.add_edge(Edge(
+                                frm=src, to=cs, seq_end=se.seq_end,
+                                length=se.length, count=se.count))
+                            se.mark = True
+                    # cloneEnd -> target for each bridged target
+                    for br in my_bridges:
+                        for oe in self.out_adj[xnd1]:
+                            if oe.to == br.to and not oe.mark:
+                                self.add_edge(Edge(
+                                    frm=ce, to=br.to, seq_end=oe.seq_end,
+                                    length=oe.length, count=oe.count))
+                                oe.mark = True
+            nchanges += 1
+        # drop bridges and superseded originals
+        self.edges = [e for e in self.edges if not e.mark]
+        self._recompute_degrees()
+        return nchanges
+
+    def writetrivialpaths(self, out, decode, eos: str = "$") -> None:
+        """word_graph::writetrivialpaths (word_graph.cc:438-456): for
+        each edge whose source is not 1-in-1-out, emit the source mer,
+        the edge chars, then the chars of the 1-in-1-out chain below."""
+        out.write(eos)
+        k = self.mersize
+        ins = self._in_edges()
+        nin = {nid: len(ins[nid]) for nid in self.nodes}
+        nout = {nid: len(self.out_adj[nid]) for nid in self.nodes}
+        for e in self.edges:
+            if nin[e.frm] != 1 or nout[e.frm] != 1:
+                out.write(decode(self.nodes[e.frm] - k, self.nodes[e.frm]))
+                out.write(decode(e.seq_end - e.length, e.seq_end))
+                n = e.to
+                while nin[n] == 1 and nout[n] == 1 \
+                        and self.out_adj[n]:
+                    e1 = self.out_adj[n][0]
+                    out.write(decode(e1.seq_end - e1.length, e1.seq_end))
+                    n = e1.to
+                out.write(eos)

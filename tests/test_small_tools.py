@@ -150,13 +150,17 @@ def ka_env(tmp_path_factory, oracle):
             for i in range(0, n, 57):
                 f.write(s[i : i + 57] + "\n")
     txt, binf = d / "mers.txt", d / "mers.bin"
-    for k in ("6",):
-        subprocess.run(
-            [os.path.join(oracle, "kmer_count"), "-i", str(fa), "-k", k,
-             "-a", "-o", str(txt)], check=True, capture_output=True)
-        subprocess.run(
-            [os.path.join(oracle, "kmer_count"), "-i", str(fa), "-k", k,
-             "-a", "-b", "-o", str(binf)], check=True, capture_output=True)
+    for extra, outf in (([], txt), (["-b"], binf)):
+        # kmer_count aborts nondeterministically at exit — retry
+        for _ in range(10):
+            r = subprocess.run(
+                [os.path.join(oracle, "kmer_count"), "-i", str(fa),
+                 "-k", "6", "-a", *extra, "-o", str(outf)],
+                capture_output=True)
+            if r.returncode == 0:
+                break
+        else:
+            raise AssertionError("kmer_count oracle never exited cleanly")
     return str(fa), str(txt), str(binf)
 
 

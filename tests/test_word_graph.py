@@ -95,3 +95,45 @@ def test_min_cost_flow_optimality():
     assert f == [5, 2, 7]
     with pytest.raises(ValueError):
         min_cost_flow(3, arcs, 0, 2, 100)
+
+
+def test_solid_assembly_reconstruction(tmp_path):
+    """solid_assembly intent: read-guided widget peeling resolves a
+    repeat and writetrivialpaths reconstructs the genome.  (The
+    reference binary dies on its own pipeline: word_graph::read expects
+    numeric edge lines but the WordGraph builder emits the E/e format,
+    and its node sequence lookups crash — solid_assembly.cc:119-146,
+    word_graph.cc:1207.)"""
+    import random
+
+    from sequence_alignment_tools_tpu.apps.solid_assembly import main as sa
+    from sequence_alignment_tools_tpu.apps.walk_graph import build_main
+
+    rng = random.Random(7)
+
+    def rnd(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    A, R, B, C = rnd(60), rnd(20), rnd(60), rnd(60)
+    genome = A + R + B + R + C
+    fa = tmp_path / "reads.fasta"
+    with open(fa, "w") as f:
+        for i in range(0, len(genome) - 49, 10):
+            f.write(f">w{i}\n{genome[i:i + 50]}\n")
+    wg = str(tmp_path / "g.wg")
+    out = str(tmp_path / "asm.out")
+    assert build_main(["-i", str(fa), "-k", "8", "-g", wg]) == 0
+    assert sa(["-g", wg, "-i", str(fa), "-k", "8", "-o", out]) == 0
+    contigs = [c for c in open(out).read().split("$") if c]
+    assert genome in contigs
+
+
+def test_solid_assembly_ee_format(tmp_path):
+    """The E/e tab edge-list (WordGraph builder output) is accepted."""
+    from sequence_alignment_tools_tpu.apps.solid_assembly import read_graph
+
+    p = tmp_path / "g.ee"
+    p.write_text("E\t1\t2\t10\t11\t1\ne\t2\t3\t11\t12\nE\t2\t3\t11\t12\t2\n.\n")
+    g = read_graph(str(p), 4)
+    assert len(g.edges) == 2
+    assert {(e.frm, e.to, e.count) for e in g.edges} == {(1, 2, 1), (2, 3, 2)}
