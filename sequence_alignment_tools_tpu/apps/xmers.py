@@ -125,7 +125,7 @@ def run(opts, out) -> None:
         blocksize=opts["blocksize"], delpat=opts["delpat"],
         uniq=opts["uniq"], exonly=opts["exonly"], noindex=opts["noindex"],
         u=opts["u"], node1=opts["node1"], node2=opts["node2"],
-        verbose=opts["verbose"],
+        verbose=opts["verbose"], always_u=opts.get("always_u", False),
     )
     model = XmersModel(db, mopt, out.write)
     # interleave fwd/rc registration (xmers.cc:822-833)
@@ -137,6 +137,31 @@ def run(opts, out) -> None:
     model.run_phase0(reg)
     if opts["nmismatch"] > 0:
         model.run_inexact_phases()
+
+
+def merstream_main(argv=None) -> int:
+    """merstream CLI — the xmers variant in ``merstream.cc`` (a 3-line
+    diff): ``-u`` is unsigned with default 0, the ``u:`` tag prints
+    unconditionally in location dumps, and ``-r`` patterns are
+    required."""
+    import io
+
+    opts = parse_args(sys.argv[1:] if argv is None else argv)
+    if opts["u"] == -1:
+        opts["u"] = 0
+    if opts["patterns"] == "." * opts["mersize"] and "-r" not in (
+            argv or sys.argv[1:]):
+        sys.stderr.write(USAGE)
+        raise SystemExit(1)
+    opts["always_u"] = True
+    if opts["out"]:
+        with open(opts["out"], "w", encoding="latin-1") as f:
+            run(opts, f)
+    else:
+        out = io.TextIOWrapper(sys.stdout.buffer, encoding="latin-1")
+        run(opts, out)
+        out.flush()
+    return 0
 
 
 def main(argv=None) -> int:

@@ -136,6 +136,9 @@ class XmersOptions:
     node1: int = 0
     node2: int = 0
     verbose: bool = False
+    # merstream.cc variant: u is unsigned (default 0) and the "u:" tag
+    # prints unconditionally in dump_xmer_loc too
+    always_u: bool = False
 
 
 class XmersModel:
@@ -204,12 +207,13 @@ class XmersModel:
         o = self.opt
         m = o.mersize
         mer = "".join(self.pch(c) for c in key)
+        show_u = o.always_u or o.u >= 0
         if o.noindex:
-            pre = f"{o.u}:" if o.u >= 0 else ""
+            pre = f"{o.u}:" if show_u else ""
             tail = f"{e + 1}" if e >= 0 else f"{e}"
             self.write(f"{pre}{xind} {self.pch(r)} {tail}\n")
             return
-        pre = f"{o.u}:" if o.u >= 0 else ""
+        pre = f"{o.u}:" if show_u else ""
         if e >= 0:
             idx, short = self._hdr(e)
             self.write(f"{pre}{xind} {_cint(r)} {e - m} {e + 1} {mer} "

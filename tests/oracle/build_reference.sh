@@ -53,6 +53,13 @@ if [ ! -x "$REF/xmers" ]; then
     g++ -O2 -I. -DNOPRIMEGEN -o xmers xmers_fixed.cc $OBJS \
         /tmp/primegen/primegen.a -lz >/dev/null 2>&1 || true
 fi
+# merstream is the same tool with an unsigned -u tag
+if [ ! -x "$REF/merstream" ]; then
+    sed 's/\bhash(/ms_hash(/g' merstream.cc > merstream_fixed.cc
+    perl -0pi -e 's/(std::vector<long unsigned int> primes\(1\);\n)(\s*)(rand_hash_table::random_primes_lt\(maxp,primes\);\n\s*long unsigned int prime = primes\[0\];)/$1$2long unsigned int prime = 0;\n$2if (opt.hashtablesize == -1) {\n$2rand_hash_table::random_primes_lt(maxp,primes);\n$2prime = primes[0];\n$2}/' merstream_fixed.cc
+    g++ -O2 -w -I. -DNOPRIMEGEN -o merstream merstream_fixed.cc $OBJS \
+        /tmp/primegen/primegen.a -lz >/dev/null 2>&1 || true
+fi
 # allvall family: 'hash' clashes with std::hash; bitmap.h misses <algorithm>;
 # allvall_dump uses C++17-forbidden bool++
 if [ ! -x "$REF/allvall_merge" ]; then

@@ -168,3 +168,27 @@ def test_uniq_exonly_gates(engineered):
         # multi-right-char xmers (e.g. ACGTACGT) are gated out
         gated = [l for l in cnt_lines if l.split(" ")[2] == "ACGTACGT"]
         assert gated and all(l.split(" ")[-1] == sentinel for l in gated)
+
+
+def test_merstream_parity(oracle, corpus):
+    """merstream.cc is xmers with an unsigned, always-printed -u tag and
+    mandatory -r patterns."""
+    tiny, big = corpus
+    ms = os.path.join(oracle, "merstream")
+    if not os.access(ms, os.X_OK):
+        pytest.skip("merstream oracle unavailable")
+    from sequence_alignment_tools_tpu.apps.xmers import merstream_main
+
+    for args in (["-i", tiny, "-m", "4", "-r", "AC.T"],
+                 ["-i", big, "-m", "4", "-r", "AC.T", "-R", "-u", "9"]):
+        ref = subprocess.run([ms, "-H", "1021"] + args,
+                             capture_output=True)
+        assert ref.returncode == 0
+        buf = io.StringIO()
+        from sequence_alignment_tools_tpu.apps.xmers import parse_args, run
+        opts = parse_args(args)
+        if opts["u"] == -1:
+            opts["u"] = 0
+        opts["always_u"] = True
+        run(opts, buf)
+        assert buf.getvalue() == ref.stdout.decode("latin-1")
