@@ -99,10 +99,9 @@ class ConvScanner:
     _MB = 32
     _RESCAN = 2048  # rescan bucket (positions), fixed for compile caching
 
-    def _scan_pallas(self, codes: np.ndarray, interpret: bool = False):
-        """Fused single-round-trip scan: the Mosaic MXU microblock filter,
-        candidate compaction, window rescore and hit extraction all run in one
-        device call (:func:`..pallas.scan_kernel.pallas_scan_hits`)."""
+    def _pallas_dispatch(self, codes_dev, cap_mb: int, hit_cap: int,
+                         interpret: bool):
+        """Launch the fused scan (no sync) — one device call."""
         from .pallas.scan_kernel import kernel_weights, pallas_scan_hits
 
         t = self.tables
@@ -110,32 +109,35 @@ class ConvScanner:
             W, thr = kernel_weights(t, self.k, self.poison_eos)
             self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr))
         W, thr = self._pallas_wt
-        n = len(codes)
-        # cache the device copy across scans of the same array (repeated
-        # scans shouldn't re-pay the host->device transfer)
-        cached = getattr(self, "_dev_codes", None)
-        if cached is None or cached[0] is not codes:
-            self._dev_codes = (codes, jnp.asarray(codes.astype(np.int32)))
-        MB = self._MB
-        cap_mb, hit_cap = 1024, 4096
+        return pallas_scan_hits(
+            codes_dev, W, thr, self.weights, self.thresholds,
+            self.lengths_dev, alpha=t.alpha, Lmax=t.Lmax,
+            eos_code=t.eos_code, MB=self._MB, cap_mb=cap_mb,
+            hit_cap=hit_cap, interpret=interpret,
+        )
+
+    def _pallas_decode(self, res, codes_dev, n: int, interpret: bool):
+        """Sync one dispatched result, retrying with larger caps on
+        overflow, and yield (end, pid, mism) tuples."""
+        t = self.tables
         while True:
-            mb_count, mb_idx, hit_count, hit_idx, hit_mism = jax.device_get(
-                pallas_scan_hits(
-                    self._dev_codes[1], W, thr, self.weights,
-                    self.thresholds, self.lengths_dev,
-                    alpha=t.alpha, Lmax=t.Lmax, eos_code=t.eos_code, MB=MB,
-                    cap_mb=cap_mb, hit_cap=hit_cap, interpret=interpret,
-                )
-            )
-            if int(mb_count) <= cap_mb and int(hit_count) <= hit_cap:
+            mb_count, mb_idx, hit_count, hit_idx, hit_mism = \
+                jax.device_get(res)
+            if int(mb_count) <= self._cap_mb and \
+                    int(hit_count) <= self._hit_cap:
                 break
-            cap_mb = max(cap_mb, 1 << int(mb_count - 1).bit_length())
-            hit_cap = max(hit_cap, 1 << int(hit_count - 1).bit_length())
+            self._cap_mb = max(
+                self._cap_mb, 1 << int(mb_count - 1).bit_length())
+            self._hit_cap = max(
+                self._hit_cap, 1 << int(hit_count - 1).bit_length())
+            res = self._pallas_dispatch(
+                codes_dev, self._cap_mb, self._hit_cap, interpret)
         hit_count = int(hit_count)
         if hit_count == 0:
             return
         lengths = t.lengths
         P = t.P
+        MB = self._MB
         idx = hit_idx[:hit_count].astype(np.int64)
         ms = hit_mism[:hit_count]
         slot = idx // (MB * P)
@@ -147,6 +149,55 @@ class ConvScanner:
         ends = starts + lengths[pid]
         for e, p, m in zip(ends, pid, ms):
             yield int(e), int(p), int(m)
+
+    _cap_mb = 1024
+    _hit_cap = 4096
+
+    def _scan_pallas(self, codes: np.ndarray, interpret: bool = False):
+        """Fused single-round-trip scan: the Mosaic MXU microblock filter,
+        candidate compaction, window rescore and hit extraction all run in one
+        device call (:func:`..pallas.scan_kernel.pallas_scan_hits`)."""
+        # cache the device copy across scans of the same array (repeated
+        # scans shouldn't re-pay the host->device transfer)
+        cached = getattr(self, "_dev_codes", None)
+        if cached is None or cached[0] is not codes:
+            self._dev_codes = (codes, jnp.asarray(codes.astype(np.int32)))
+        res = self._pallas_dispatch(
+            self._dev_codes[1], self._cap_mb, self._hit_cap, interpret)
+        yield from self._pallas_decode(
+            res, self._dev_codes[1], len(codes), interpret)
+
+    def scan_stream(self, blocks, depth: int = 2):
+        """Pipelined scan over an iterator of flat code arrays: block i+1
+        is dispatched before block i's results are collected, so the
+        host round-trip overlaps device compute (the double-buffered HBM
+        streaming design — one RTT amortized across the stream instead
+        of one per scan).  Yields (block_index, hits_list) in order."""
+        from collections import deque
+
+        if not self.use_pallas:
+            for i, codes in enumerate(blocks):
+                yield i, list(self.scan(codes))
+            return
+        pending = deque()
+        interpret = self.pallas_interpret
+        for i, codes in enumerate(blocks):
+            # reuse the device copy when the same host array repeats
+            cached = getattr(self, "_dev_codes", None)
+            if cached is not None and cached[0] is codes:
+                dev = cached[1]
+            else:
+                dev = jnp.asarray(np.asarray(codes).astype(np.int32))
+                self._dev_codes = (codes, dev)
+            res = self._pallas_dispatch(
+                dev, self._cap_mb, self._hit_cap, interpret)
+            pending.append((i, res, dev, len(codes)))
+            while len(pending) >= depth:
+                j, r, d, n = pending.popleft()
+                yield j, list(self._pallas_decode(r, d, n, interpret))
+        while pending:
+            j, r, d, n = pending.popleft()
+            yield j, list(self._pallas_decode(r, d, n, interpret))
 
     def scan(self, codes: np.ndarray):
         """Iterate candidate tuples over the whole array (host generator)."""

@@ -43,47 +43,64 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _lj(Lmax: int) -> int:
+    """j-stride of the K axis: Lmax rounded to a sublane multiple so the
+    shifted-codes block can be built and tiled with aligned row groups."""
+    return _round_up(max(Lmax, 1), 8)
+
+
 def kernel_weights(tables, k: int, poison_eos: bool):
     """Wt [PPAD, KPAD] bf16 + thresholds [PPAD, 1] f32.
 
-    K-lane m encodes (j = m % Lmax, c = m // Lmax); padded pattern rows get
-    an unreachable threshold."""
+    K-lane m encodes (j = m % LJ, c = m // LJ) with LJ = Lmax rounded up
+    to a sublane multiple; the pad columns (j >= Lmax) and padded pattern
+    rows carry zero weight / an unreachable threshold."""
     from ..tables import conv_weights
 
     w = conv_weights(tables, k, poison_eos).astype(np.float32)  # [L, A, P]
     Lmax, alpha, P = w.shape
-    K = Lmax * alpha
+    LJ = _lj(Lmax)
+    K = LJ * alpha
     KPAD = _round_up(max(K, 1), LANE)
     PPAD = _round_up(max(P, 1), LANE)
     Wt = np.zeros((PPAD, KPAD), dtype=np.float32)
-    # column m = (j = m % Lmax, c = m // Lmax)
-    wt = w.transpose(2, 1, 0).reshape(P, K)  # [P, c*Lmax + j]
-    Wt[:P, :K] = wt
+    for c in range(alpha):
+        Wt[:P, c * LJ : c * LJ + Lmax] = w[:, c, :].T
     thr = np.full((PPAD, 1), 3.0e38, dtype=np.float32)
     thr[:P, 0] = tables.lengths.astype(np.float32) - float(k)
     return Wt.astype("bfloat16"), thr
 
 
 def _scan_kernel(codes_ref, wt_ref, thr_ref, b_ref, out_ref, yt_ref, acc_ref,
-                 *, alpha: int, Lmax: int, T: int, kchunks: int, MB: int):
-    """One tile: codes row [1, T + HALO] int32 -> microblock counts."""
+                 sh_ref, *, alpha: int, Lmax: int, T: int, kchunks: int,
+                 MB: int):
+    """One tile: codes row [1, T + HALO] int32 -> microblock counts.
+
+    The one-hot im2col is built in three vector ops instead of a row
+    write per K lane: LJ shifted copies of the code row, tiled alpha
+    times along sublanes (pltpu.repeat), compared against the per-row
+    class index.  Pad rows (j >= Lmax) may compare true but carry zero
+    weight."""
+    LJ = _lj(Lmax)
+    K = LJ * alpha
+    KPAD = kchunks * LANE
+    for j in range(LJ):
+        sh_ref[j, :] = codes_ref[0, 0, j : j + T]
+    tiled = pltpu.repeat(sh_ref[:], alpha, axis=0)  # [K, T]
+    cvec = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) // LJ
+    yt_ref[0:K, :] = (tiled == cvec).astype(jnp.bfloat16)
+    if K < KPAD:
+        yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, T), jnp.bfloat16)
     acc_ref[:] = jnp.zeros((LANE, T), jnp.float32)
     for kc in range(kchunks):
-        for m in range(LANE):
-            mg = kc * LANE + m
-            j, c = mg % Lmax, mg // Lmax
-            if c < alpha:
-                yt_ref[m, :] = (
-                    codes_ref[0, 0, j : j + T] == c
-                ).astype(jnp.bfloat16)
-            else:
-                yt_ref[m, :] = jnp.zeros((T,), jnp.bfloat16)
         acc_ref[:] += jnp.dot(
-            wt_ref[kc], yt_ref[:], preferred_element_type=jnp.float32
+            wt_ref[kc], yt_ref[kc * LANE : (kc + 1) * LANE],
+            preferred_element_type=jnp.float32,
         )
     hit = (acc_ref[:] >= thr_ref[:]).astype(jnp.float32)
     # pattern reduce then MB-lane-group reduce, both as skinny matmuls
-    # (Mosaic has no in-kernel [T] -> [T//MB, MB] reshape)
+    # (Mosaic has no in-kernel [T] -> [T//MB, MB] reshape; a sublane
+    # jnp.sum here stalls the Mosaic compiler on this backend)
     rowsum = jnp.dot(jnp.ones((1, LANE), jnp.float32), hit,
                      preferred_element_type=jnp.float32)  # [1, T]
     mb = jnp.dot(rowsum, b_ref[:],
@@ -148,8 +165,9 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
         out_specs=pl.BlockSpec((1, 1, T // MB), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((LANE, T), jnp.bfloat16),
+            pltpu.VMEM((kchunks * LANE, T), jnp.bfloat16),
             pltpu.VMEM((LANE, T), jnp.float32),
+            pltpu.VMEM((_lj(Lmax), T), jnp.int32),
         ],
         interpret=interpret,
     )(codes2d, W3, thr, B)

@@ -88,3 +88,59 @@ def sharded_scan_counts(shards, weights, thresholds, lengths, alpha,
         out_specs=P(axis, None),
         check_vma=False,
     )(shards, weights, thresholds, lengths)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("alpha", "mesh", "axis", "cap")
+)
+def sharded_scan_hits(shards, weights, thresholds, lengths, alpha,
+                      mesh, axis: str = "data", cap: int = 4096):
+    """All-shard scan returning the REPLICATED global hit list.
+
+    Each shard extracts its local (window-start, pattern) hits into a
+    fixed-capacity buffer (overflow detectable via the returned counts),
+    rebases starts to global coordinates, and the lists ride one
+    ``all_gather`` over ICI.  Returns (counts [n_dev], starts
+    [n_dev, cap], pids [n_dev, cap]) replicated on every chip; unused
+    slots hold -1.  The deterministic global order is the position-major
+    sort of the concatenation (shards own disjoint start ranges, so
+    concatenation order == shard order == position order)."""
+
+    def per_shard(codes_block, weights, thresholds, lengths):
+        codes = codes_block[0]
+        Lmax = weights.shape[0]
+        P = weights.shape[2]
+        B = codes.shape[0] - Lmax + 1
+        onehot = jax.nn.one_hot(codes, alpha, dtype=jnp.bfloat16)
+
+        def step(j, acc):
+            window = jax.lax.dynamic_slice_in_dim(onehot, j, B, axis=0)
+            return acc + jnp.dot(
+                window, weights[j], preferred_element_type=jnp.float32
+            )
+
+        out = jax.lax.fori_loop(
+            0, Lmax, step, jnp.zeros((B, weights.shape[2]), jnp.float32)
+        )
+        hit = out >= thresholds[None, :]
+        flat = hit.reshape(-1)
+        count = jnp.sum(flat, dtype=jnp.int32)
+        (idx,) = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])
+        valid = idx < flat.shape[0]
+        base = jax.lax.axis_index(axis).astype(jnp.int32) * B
+        starts = jnp.where(valid, idx // P + base, -1).astype(jnp.int32)
+        pids = jnp.where(valid, idx % P, -1).astype(jnp.int32)
+        return (
+            jax.lax.all_gather(count, axis)[None],
+            jax.lax.all_gather(starts, axis)[None],
+            jax.lax.all_gather(pids, axis)[None],
+        )
+
+    counts, starts, pids = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None, None), P(axis, None, None)),
+        check_vma=False,
+    )(shards, weights, thresholds, lengths)
+    return counts[0], starts[0], pids[0]

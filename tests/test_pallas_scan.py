@@ -47,3 +47,17 @@ def test_pallas_matches_xla_path(planted_db, k):
     got = list(got_sc.scan(db.codes))
     assert got == want
     assert len(want) >= (12 if k == 0 else 12)
+
+
+def test_scan_stream_matches_scan(planted_db):
+    """The pipelined scan_stream yields per-block results identical to
+    sequential scan() calls."""
+    db, pats = planted_db
+    ps = build_pattern_set(pats, rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    sc = ConvScanner(tables, k=0, use_pallas=True)
+    sc.pallas_interpret = True
+    blocks = [db.codes, db.codes[: len(db.codes) // 2], db.codes]
+    want = [list(sc.scan(b)) for b in blocks]
+    got = dict(sc.scan_stream(iter(blocks)))
+    assert [got[i] for i in range(len(blocks))] == want

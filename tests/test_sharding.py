@@ -85,3 +85,50 @@ def test_shard_boundary_straddle():
         jnp.asarray(tables.lengths), tables.alpha, mesh,
     )
     assert int(np.asarray(counts)[0, 0]) == 3
+
+
+def test_sharded_hit_gather(syn_fasta):
+    """sharded_scan_hits: the all_gathered global hit list equals the
+    single-device hit set, replicated identically on every chip, in
+    position-major order (shards own disjoint start ranges)."""
+    import jax.numpy as jnp
+
+    from sequence_alignment_tools_tpu.parallel.shard import sharded_scan_hits
+
+    db = SeqDB.from_fasta(syn_fasta)
+    pats = [l.strip() for l in open("/root/reference/db/pat.txt")
+            if l.strip()]
+    ps = build_pattern_set(pats, rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    w = conv_weights(tables, 0, poison_eos=False)
+    thresholds = tables.lengths.astype(np.float32)
+
+    codes = db.codes.astype(np.int32)
+    Lmax = tables.Lmax
+    padded = np.concatenate(
+        [codes, np.full(Lmax - 1, tables.eos_code, np.int32)]
+    )
+    onehot = jax.nn.one_hot(jnp.asarray(padded), tables.alpha,
+                            dtype=jnp.bfloat16)
+    B = len(codes)
+    acc = jnp.zeros((B, tables.P), jnp.float32)
+    for j in range(Lmax):
+        acc = acc + jnp.dot(onehot[j : j + B], jnp.asarray(w)[j],
+                            preferred_element_type=jnp.float32)
+    ref = np.argwhere(np.asarray(acc >= thresholds[None, :]))
+    ref_set = {(int(s), int(p)) for s, p in ref}
+    assert ref_set  # non-degenerate
+
+    mesh = make_mesh(jax.devices()[:8])
+    shards, _ = shard_codes(codes, mesh, Lmax - 1, tables.eos_code)
+    counts, starts, pids = sharded_scan_hits(
+        shards, jnp.asarray(w), jnp.asarray(thresholds),
+        jnp.asarray(tables.lengths), tables.alpha, mesh,
+    )
+    counts, starts, pids = (np.asarray(x) for x in (counts, starts, pids))
+    got = [(int(s), int(p)) for s, p in
+           zip(starts.reshape(-1), pids.reshape(-1)) if s >= 0]
+    assert set(got) == ref_set
+    assert sum(counts) == len(ref_set)
+    # position-major deterministic order after dropping empty slots
+    assert [g for g in got] == sorted(got)
