@@ -100,7 +100,8 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, b_ref, out_ref, yt_ref, acc_ref,
     hit = (acc_ref[:] >= thr_ref[:]).astype(jnp.float32)
     # pattern reduce then MB-lane-group reduce, both as skinny matmuls
     # (Mosaic has no in-kernel [T] -> [T//MB, MB] reshape; a sublane
-    # jnp.sum here stalls the Mosaic compiler on this backend)
+    # jnp.sum stalls its compiler, and reordering the two reduces or
+    # downcasting B to bf16 measured slightly slower)
     rowsum = jnp.dot(jnp.ones((1, LANE), jnp.float32), hit,
                      preferred_element_type=jnp.float32)  # [1, T]
     mb = jnp.dot(rowsum, b_ref[:],
