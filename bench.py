@@ -97,12 +97,16 @@ def main():
     make_corpus()
     tpu_bps = bench_tpu()
 
-    ref_bps = bench_reference()
-    if ref_bps is not None:
-        with open(BASELINE_CACHE, "w") as f:
-            json.dump({"reference_bases_per_sec": ref_bps}, f)
-    elif os.path.exists(BASELINE_CACHE):
+    # the reference's CPU throughput is a constant of this host (~4.5 min
+    # to measure) — reuse the recorded value once established
+    ref_bps = None
+    if os.path.exists(BASELINE_CACHE):
         ref_bps = json.load(open(BASELINE_CACHE))["reference_bases_per_sec"]
+    if ref_bps is None:
+        ref_bps = bench_reference()
+        if ref_bps is not None:
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump({"reference_bases_per_sec": ref_bps}, f)
 
     vs = (tpu_bps / ref_bps) if ref_bps else 0.0
     print(json.dumps({

@@ -109,10 +109,13 @@ class ConvScanner:
             W, thr = kernel_weights(t, self.k, self.poison_eos)
             self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr))
         W, thr = self._pallas_wt
+        # larger tiles measure ~5% faster, but the K-chunked im2col
+        # scratch must still fit VMEM for wide alphabets
+        T = 8192 if W.shape[1] // 128 == 1 else 4096
         return pallas_scan_hits(
             codes_dev, W, thr, self.weights, self.thresholds,
             self.lengths_dev, alpha=t.alpha, Lmax=t.Lmax,
-            eos_code=t.eos_code, MB=self._MB, cap_mb=cap_mb,
+            eos_code=t.eos_code, T=T, MB=self._MB, cap_mb=cap_mb,
             hit_cap=hit_cap, interpret=interpret,
         )
 
