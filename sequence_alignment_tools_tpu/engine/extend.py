@@ -45,6 +45,48 @@ class Extender:
         self.dna_mut = dna_mut
         self._compat = compat_matrix()
         self._aasub = aasubdist_matrix() if dna_mut else None
+        # native C-ABI DP (one call per pigeonhole seed hit — the k>0
+        # host hot loop); pure-Python fallback below
+        from ..native import load_verify_lib
+
+        self._native = load_verify_lib()
+        if self._native is not None:
+            import ctypes
+
+            import numpy as np
+
+            self._c_ok = ctypes.c_int32()
+            self._c_ml = ctypes.c_int32()
+            self._c_val = ctypes.c_int32()
+            cm = np.ascontiguousarray(self._compat, dtype=np.uint8)
+            self._c_compat = cm
+            self._c_compat_p = cm.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8))
+            if self._aasub is not None:
+                am = np.ascontiguousarray(self._aasub, dtype=np.int8)
+                self._c_aasub = am
+                self._c_aasub_p = am.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int8))
+            else:
+                self._c_aasub_p = None
+
+    def _global_align_native(self, text: str, pattern: str, dirn: int,
+                             lmatch: int, rmatch: int):
+        import ctypes
+
+        tb = text.encode("latin-1")
+        pb = pattern.encode("latin-1")
+        r = self._native.sat_extend_align(
+            tb, len(tb), pb, len(pb), dirn, lmatch, rmatch,
+            self.k, ord(self.eos), int(self.wc), int(self.textn),
+            int(self.indels), int(self.dna_mut),
+            self._c_compat_p, self._c_aasub_p,
+            ctypes.byref(self._c_ok), ctypes.byref(self._c_ml),
+            ctypes.byref(self._c_val),
+        )
+        if r != 1:
+            raise RuntimeError("sat_extend_align failed")
+        return bool(self._c_ok.value), self._c_ml.value, self._c_val.value
 
     def _band(self) -> int:
         if not self.indels:

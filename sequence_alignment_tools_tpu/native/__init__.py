@@ -71,5 +71,16 @@ def load_verify_lib():
         c_i32p, ctypes.c_int32, c_i32p,        # codes, cap, ncodes
         c_i64p,                                # stats
     ]
+    lib.sat_extend_align.restype = ctypes.c_int
+    lib.sat_extend_align.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32,       # text
+        ctypes.c_char_p, ctypes.c_int32,       # pattern
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # dirn, lm, rm
+        ctypes.c_int32, ctypes.c_uint8,        # k, eos
+        ctypes.c_int32, ctypes.c_int32,        # wc, textn
+        ctypes.c_int32, ctypes.c_int32,        # indels, dna_mut
+        c_u8p, c_i8p,                          # compat, aasub
+        c_i32p, c_i32p, c_i32p,                # ok, matchlen, value
+    ]
     _LIB = lib
     return _LIB

@@ -301,3 +301,179 @@ int sat_verify_align(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Seed-extension DP (engine/extend.py::Extender.global_align, yesno path) —
+// exact port of the reference's primer_alignment::global_align
+// (primer_alignment.cc:10-299): banded global DP from an anchored side,
+// direction +-1, constraint columns from the residual exact-base bounds,
+// diagonal-preferring final-row selection.  One call per pigeonhole seed
+// hit (exact_halves / exact_bases), the k>0 host hot loop.
+
+extern "C" {
+
+int sat_extend_align(
+    const unsigned char* text, int32_t textlen,
+    const unsigned char* pattern, int32_t patlen,
+    int32_t dirn, int32_t lmatch, int32_t rmatch,
+    int32_t k, uint8_t eos, int32_t wc, int32_t textn,
+    int32_t indels, int32_t dna_mut,
+    const uint8_t* compat, const int8_t* aasub,
+    int32_t* out_ok, int32_t* out_matchlen, int32_t* out_value) {
+  const int band = indels ? (dna_mut ? 1 : k) : 0;
+  const int64_t cvp = 5 * (int64_t)k + 1;
+
+  int lbexact = 0;
+  int rbexact = patlen + 1;
+  if (dirn < 0) {
+    if (lmatch > 0) rbexact = patlen + 1 - lmatch;
+    if (rmatch > 0) lbexact = rmatch;
+  } else {
+    if (lmatch > 0) lbexact = lmatch;
+    if (rmatch > 0) rbexact = patlen + 1 - rmatch;
+  }
+
+  const int P = patlen + 1;
+  const int T = textlen + 1;
+  Scratch& s = g_scratch;
+  if ((int64_t)s.dp.size() < (int64_t)P * T) {
+    s.dp.resize((size_t)P * T);
+    s.best.resize((size_t)P * T);
+  }
+  int64_t* dp = s.dp.data();
+  int32_t* best = s.best.data();
+  const int64_t INF = 1ll << 30;
+  for (int64_t i = 0; i < (int64_t)P * T; i++) dp[i] = INF;
+  std::memset(best, 0, sizeof(int32_t) * (size_t)P * T);
+#define EDP(p, t) dp[(int64_t)(p) * T + (t)]
+#define EBEST(p, t) best[(int64_t)(p) * T + (t)]
+
+  *out_ok = 0;
+  *out_matchlen = 0;
+  *out_value = 0;
+
+  EDP(0, 0) = 0;
+  const int64_t gapc = dna_mut ? 3 : 1;
+
+  int ub0 = band < patlen ? band : patlen;
+  for (int p = 1; p <= ub0; p++) {
+    if (!indels || p < lbexact || p >= rbexact) {
+      EDP(p, 0) = cvp;
+      EBEST(p, 0) = M_CV;
+    } else {
+      EDP(p, 0) = EDP(p - 1, 0) + gapc;
+      EBEST(p, 0) = dna_mut ? M_DEL3 : M_DEL;
+    }
+  }
+  int ub1 = band < textlen ? band : textlen;
+  for (int t = 1; t <= ub1; t++) {
+    const unsigned char tc =
+        (dirn > 0) ? text[t - 1] : text[textlen - t];
+    if (!indels || 0 < lbexact || 0 >= rbexact || tc == eos) {
+      EDP(0, t) = cvp;
+      EBEST(0, t) = M_CV;
+    } else {
+      EDP(0, t) = EDP(0, t - 1) + gapc;
+      EBEST(0, t) = dna_mut ? M_INS3 : M_INS;
+    }
+  }
+
+  for (int p = 1; p <= patlen; p++) {
+    int lb = p - band;
+    if (lb < 1) lb = 1;
+    int ub = p + band;
+    if (ub > textlen) ub = textlen;
+    int64_t bestrow = cvp;
+    for (int t = lb; t <= ub; t++) {
+      unsigned char tc, pc;
+      if (dirn > 0) {
+        tc = text[t - 1];
+        pc = pattern[p - 1];
+      } else {
+        tc = text[textlen - t];
+        pc = pattern[patlen - p];
+      }
+      int64_t v;
+      int32_t ac;
+      if (tc == pc) {
+        v = EDP(p - 1, t - 1);
+        ac = M_EQUAL;
+      } else if (wc && compat && compat[(size_t)tc * 256 + pc] &&
+                 (textn || tc != 'N')) {
+        v = EDP(p - 1, t - 1);
+        ac = M_WC;
+      } else if (tc == eos || pc == eos || p <= lbexact || p >= rbexact) {
+        v = cvp;
+        ac = M_CV;
+      } else if (!dna_mut) {
+        v = EDP(p - 1, t - 1) + 1;
+        ac = M_SUB;
+      } else {
+        const int mut = aasub ? aasub[(size_t)tc * 256 + pc] : -1;
+        if (mut >= 0) {
+          v = EDP(p - 1, t - 1) + (int64_t)mut;
+          ac = (mut == 1) ? M_SUB1 : (mut == 2 ? M_SUB2 : M_SUB3);
+        } else {
+          v = cvp;
+          ac = M_CV;
+        }
+      }
+      int64_t v1;
+      int32_t ac1;
+      if (tc == eos || pc == eos || !indels || t <= lb || p < lbexact ||
+          p >= rbexact) {
+        v1 = cvp;
+        ac1 = M_CV;
+      } else {
+        v1 = EDP(p, t - 1) + gapc;
+        ac1 = dna_mut ? M_INS3 : M_INS;
+      }
+      if (v1 < v) {
+        v = v1;
+        ac = ac1;
+      } else if (v1 == v) {
+        ac |= ac1;
+      }
+      if (!indels || t >= ub || p <= lbexact || p >= rbexact) {
+        v1 = cvp;
+        ac1 = M_CV;
+      } else {
+        v1 = EDP(p - 1, t) + gapc;
+        ac1 = dna_mut ? M_DEL3 : M_DEL;
+      }
+      if (v1 < v) {
+        v = v1;
+        ac = ac1;
+      } else if (v1 == v) {
+        ac |= ac1;
+      }
+      EDP(p, t) = v;
+      EBEST(p, t) = ac;
+      if (v < bestrow) bestrow = v;
+    }
+    if (bestrow > (int64_t)k) return 1;  // ok=0
+  }
+
+  int bestpos = patlen - band;
+  if (bestpos > textlen) bestpos = textlen;
+  if (bestpos < 0) bestpos = 0;
+  int64_t bestval = EDP(patlen, bestpos);
+  int ubf = patlen + band;
+  if (ubf > textlen) ubf = textlen;
+  for (int t = bestpos + 1; t <= ubf; t++) {
+    const int64_t val = EDP(patlen, t);
+    if (val < bestval || (val <= bestval && (EBEST(patlen, t) & DIAG))) {
+      bestval = val;
+      bestpos = t;
+    }
+  }
+  if (bestpos < patlen - band || bestpos > patlen + band) return 1;
+  *out_ok = 1;
+  *out_matchlen = bestpos;
+  *out_value = (int32_t)bestval;
+  return 1;
+#undef EDP
+#undef EBEST
+}
+
+}  // extern "C"

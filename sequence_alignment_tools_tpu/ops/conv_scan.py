@@ -156,6 +156,87 @@ class ConvScanner:
     _cap_mb = 1024
     _hit_cap = 4096
 
+    def _expected_hits(self, n: int) -> float:
+        """Crude expected candidate count on random text: n * P /
+        alpha^(Lmin-k).  Steers the pallas/XLA choice and initial caps."""
+        t = self.tables
+        lmin = int(t.lengths.min()) if len(t.lengths) else 1
+        eff = max(lmin - self.k, 1)
+        sigma = max(t.alpha - 1, 2)  # alphabet minus the EOS code
+        try:
+            return float(n) * t.P / float(sigma) ** eff
+        except OverflowError:
+            return 0.0
+
+    def _radix_eligible(self) -> bool:
+        """Radix lookup needs literal (wildcard-free) patterns and codes
+        that fit an int64 base-alpha register."""
+        t = self.tables
+        if t.Lmax * np.log2(max(t.alpha, 2)) >= 62:
+            return False
+        for pi in range(t.P):
+            L = int(t.lengths[pi])
+            if (t.pat_codes[pi, :L] < 0).any():
+                return False
+        return True
+
+    def _scan_radix(self, codes: np.ndarray):
+        """Exact multi-pattern scan as a host radix-code census: rolling
+        base-alpha window codes per distinct pattern length, matched by
+        binary search against the sorted pattern codes.  The hash_table
+        engine's direct-indexed lookup (hash_table.cc:144-226) as a
+        whole-array vector pass."""
+        t = self.tables
+        n = len(codes)
+        alpha = t.alpha
+        by_len: dict[int, list] = {}
+        for pi in range(t.P):
+            L = int(t.lengths[pi])
+            c = 0
+            for j in range(L):
+                c = c * alpha + int(t.pat_codes[pi, j])
+            by_len.setdefault(L, []).append((c, pi))
+        c64 = codes.astype(np.int64)
+        all_starts = []
+        all_pids = []
+        for L, entries in by_len.items():
+            if n < L:
+                continue
+            ids = np.zeros(n - L + 1, dtype=np.int64)
+            for j in range(L):
+                ids = ids * alpha + c64[j : j + n - L + 1]
+            entries.sort()
+            scodes = np.fromiter((c for c, _ in entries), np.int64,
+                                 len(entries))
+            uniq, first = np.unique(scodes, return_index=True)
+            pos = np.searchsorted(uniq, ids)
+            pos = np.minimum(pos, len(uniq) - 1)
+            starts = np.nonzero(uniq[pos] == ids)[0]
+            ci = pos[starts]
+            # one emission per matching pattern; duplicate pattern codes
+            # (identical patterns) fan out
+            counts = np.diff(np.append(first, len(scodes)))
+            order = np.argsort(uniq)  # identity; uniq sorted
+            del order
+            for rep in range(int(counts.max(initial=1))):
+                sel = counts[ci] > rep
+                if not sel.any():
+                    break
+                idx = first[ci[sel]] + rep
+                all_starts.append(starts[sel])
+                all_pids.append(
+                    np.fromiter((entries[i][1] for i in idx), np.int64,
+                                len(idx)))
+        if not all_starts:
+            return
+        starts = np.concatenate(all_starts)
+        pids = np.concatenate(all_pids)
+        order = np.lexsort((pids, starts))
+        lengths = t.lengths
+        for i in order:
+            s0, p0 = int(starts[i]), int(pids[i])
+            yield s0 + int(lengths[p0]), p0, 0
+
     def _scan_pallas(self, codes: np.ndarray, interpret: bool = False):
         """Fused single-round-trip scan: the Mosaic MXU microblock filter,
         candidate compaction, window rescore and hit extraction all run in one
@@ -165,6 +246,14 @@ class ConvScanner:
         cached = getattr(self, "_dev_codes", None)
         if cached is None or cached[0] is not codes:
             self._dev_codes = (codes, jnp.asarray(codes.astype(np.int32)))
+        # pre-size the candidate buffers from the expected density so the
+        # overflow-retry (a fresh Mosaic compile) stays rare
+        est = int(self._expected_hits(len(codes)) * 4) + 1
+        if est > self._hit_cap:
+            self._hit_cap = 1 << (est - 1).bit_length()
+        if est > self._cap_mb:
+            nmb = max(len(codes) // self._MB, 1)
+            self._cap_mb = 1 << (min(est, nmb) - 1).bit_length()
         res = self._pallas_dispatch(
             self._dev_codes[1], self._cap_mb, self._hit_cap, interpret)
         yield from self._pallas_decode(
@@ -204,6 +293,16 @@ class ConvScanner:
 
     def scan(self, codes: np.ndarray):
         """Iterate candidate tuples over the whole array (host generator)."""
+        est = self._expected_hits(len(codes))
+        nmb = max(len(codes) // self._MB, 1)
+        if (self.k == 0 and est * 4 >= nmb and len(codes) >= (1 << 18)
+                and self._radix_eligible()):
+            # dense exact seeds (pigeonhole halves/bases/hash engines):
+            # nearly every microblock fires, which degenerates the
+            # two-level device filter — a host radix-code lookup beats
+            # any device path here (no transfers, no compiles)
+            yield from self._scan_radix(codes)
+            return
         if self.use_pallas and (
             self.pallas_interpret or len(codes) >= (1 << 20)
         ):

@@ -230,28 +230,31 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
         starts[:, None]
         + jax.lax.broadcasted_iota(jnp.int32, (1, win_len), 1)
     ]  # [cap_mb, win_len]
-    onehot = jax.nn.one_hot(wins, alpha, dtype=jnp.bfloat16)
-
-    def step(j, acc):
-        sl = jax.lax.dynamic_slice_in_dim(onehot, j, MB, axis=1)
-        return acc + jnp.einsum(
-            "swa,ap->swp", sl, wconv[j],
-            preferred_element_type=jnp.float32,
-        )
-
-    scores = jax.lax.fori_loop(
-        0, Lmax, step, jnp.zeros((cap_mb, MB, P), jnp.float32)
+    # one im2col matmul instead of an Lmax-pass accumulation: the
+    # [cap_mb, MB, P] score tensor is written ONCE (the fori_loop version
+    # rewrote it Lmax times — gigabytes of HBM traffic when seeds are
+    # short and candidate microblocks dense).  Scores are integer-valued
+    # and < 256, exact in bf16.
+    sub_idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (MB, Lmax), 0)
+        + jax.lax.broadcasted_iota(jnp.int32, (MB, Lmax), 1)
     )
-    valid = (mb_idx < nmb)[:, None, None]
-    hit = (scores >= thresholds[None, None, :]) & valid
+    sub = wins[:, sub_idx]  # [cap_mb, MB, Lmax]
+    im2col = jax.nn.one_hot(sub, alpha, dtype=jnp.bfloat16).reshape(
+        cap_mb * MB, Lmax * alpha)
+    w2 = wconv.reshape(Lmax * alpha, P)
+    scores = jnp.dot(im2col, w2,
+                     preferred_element_type=jnp.bfloat16)  # [cap*MB, P]
+    valid = jnp.repeat(mb_idx < nmb, MB)[:, None]
+    hit = (scores >= thresholds[None, :].astype(jnp.bfloat16)) & valid
     flat = hit.reshape(-1)
     hit_count = jnp.sum(flat, dtype=jnp.int32)
     (hit_idx,) = jnp.nonzero(flat, size=hit_cap, fill_value=flat.shape[0])
-    mism = jnp.concatenate(
-        [
-            (lengths[None, None, :].astype(jnp.float32) - scores).reshape(-1),
-            jnp.zeros((1,), jnp.float32),
-        ]
+    # mismatch counts gathered per hit only (never materialized densely)
+    sflat = jnp.concatenate(
+        [scores.reshape(-1), jnp.zeros((1,), jnp.bfloat16)]
     )
+    mism = (lengths[hit_idx % P].astype(jnp.float32)
+            - sflat[hit_idx].astype(jnp.float32))
     return (mb_count, mb_idx, hit_count, hit_idx.astype(jnp.int32),
-            mism[hit_idx].astype(jnp.int32))
+            mism.astype(jnp.int32))

@@ -82,3 +82,36 @@ def test_native_matches_python_trans():
         ap._native = None
         _cmp(ap.align(text_at, pat, end, posub, codon_at=codon_at),
              an.align(text_at, pat, end, posub, codon_at=codon_at))
+
+
+def test_native_extend_fuzz():
+    """sat_extend_align ≡ the pure-Python Extender.global_align across
+    random anchored extensions in every mode."""
+    import random
+
+    from sequence_alignment_tools_tpu.engine.extend import Extender
+
+    rng = random.Random(123)
+    for trial in range(400):
+        k = rng.choice([1, 2, 3])
+        dna_mut = rng.random() < 0.25
+        wc = rng.random() < 0.3
+        indels = rng.random() < 0.8
+        ext = Extender(k, "\n", wc=wc, textn=rng.random() < 0.5,
+                       indels=indels, dna_mut=dna_mut)
+        if ext._native is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        alpha = "ACDEFGHIKLMNPQRSTVWY" if dna_mut else "ACGTN"
+        pat = "".join(rng.choice(alpha) for _ in range(rng.randint(3, 14)))
+        tlen = rng.randint(0, len(pat) + k + 3)
+        text = "".join(rng.choice(alpha + "\n") for _ in range(tlen))
+        dirn = rng.choice([1, -1])
+        lm = rng.randint(-3, 6)
+        rm = rng.randint(-3, 6)
+        got = ext.global_align(text, pat, dirn, lm, rm)
+        ext._native = None  # force the Python path
+        want = ext.global_align(text, pat, dirn, lm, rm)
+        assert got == want, (trial, k, dna_mut, wc, indels, pat, text,
+                             dirn, lm, rm)

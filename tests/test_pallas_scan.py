@@ -61,3 +61,28 @@ def test_scan_stream_matches_scan(planted_db):
     want = [list(sc.scan(b)) for b in blocks]
     got = dict(sc.scan_stream(iter(blocks)))
     assert [got[i] for i in range(len(blocks))] == want
+
+
+def test_radix_path_matches_xla(planted_db):
+    """The host radix-code scan (dense exact-seed regime) yields exactly
+    the XLA block path's candidate stream."""
+    import numpy as np
+
+    db, pats = planted_db
+    # short seeds: the halves-engine shape that triggers the dense path
+    halves = sorted({p[: len(p) // 2] for p in pats} |
+                    {p[len(p) // 2 :] for p in pats})
+    ps = build_pattern_set(halves, rev_comp=False)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    sc = ConvScanner(tables, k=0, use_pallas=False)
+    want = list(sc.scan(db.codes))
+    assert sc._radix_eligible()
+    got = list(sc._scan_radix(db.codes))
+    assert got == want
+    assert len(got) > 50  # dense, non-degenerate
+    # duplicate patterns fan out like the device paths
+    ps2 = build_pattern_set([halves[0], halves[0], halves[1]],
+                            rev_comp=False)
+    t2 = build_tables(ps2, db, wc=False, textn=False)
+    sc2 = ConvScanner(t2, k=0, use_pallas=False)
+    assert list(sc2._scan_radix(db.codes)) == list(sc2.scan(db.codes))
