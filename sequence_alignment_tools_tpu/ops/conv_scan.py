@@ -87,7 +87,7 @@ class ConvScanner:
             # current kernel
             use_pallas = (
                 jax.default_backend() not in ("cpu",)
-                and tables.P <= 128
+                and tables.P <= 2048  # pattern-tiled kernel grid
                 and tables.Lmax <= 128
             )
         self.use_pallas = use_pallas

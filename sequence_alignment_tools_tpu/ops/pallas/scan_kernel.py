@@ -74,6 +74,8 @@ def kernel_weights(tables, k: int, poison_eos: bool):
 def _scan_kernel(codes_ref, wt_ref, thr_ref, b_ref, out_ref, yt_ref, acc_ref,
                  sh_ref, *, alpha: int, Lmax: int, T: int, kchunks: int,
                  MB: int):
+    # wt_ref: [1, kchunks, LANE, LANE] (this grid step's pattern tile);
+    # thr_ref: [1, LANE, 1]; out_ref: [1, 1, 1, T//MB]
     """One tile: codes row [1, T + HALO] int32 -> microblock counts.
 
     The one-hot im2col is built in three vector ops instead of a row
@@ -94,10 +96,10 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, b_ref, out_ref, yt_ref, acc_ref,
     acc_ref[:] = jnp.zeros((LANE, T), jnp.float32)
     for kc in range(kchunks):
         acc_ref[:] += jnp.dot(
-            wt_ref[kc], yt_ref[kc * LANE : (kc + 1) * LANE],
+            wt_ref[0, kc], yt_ref[kc * LANE : (kc + 1) * LANE],
             preferred_element_type=jnp.float32,
         )
-    hit = (acc_ref[:] >= thr_ref[:]).astype(jnp.float32)
+    hit = (acc_ref[:] >= thr_ref[0]).astype(jnp.float32)
     # pattern reduce then MB-lane-group reduce, both as skinny matmuls
     # (Mosaic has no in-kernel [T] -> [T//MB, MB] reshape; a sublane
     # jnp.sum stalls its compiler, and reordering the two reduces or
@@ -106,7 +108,7 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, b_ref, out_ref, yt_ref, acc_ref,
                      preferred_element_type=jnp.float32)  # [1, T]
     mb = jnp.dot(rowsum, b_ref[:],
                  preferred_element_type=jnp.float32)  # [1, T // MB]
-    out_ref[0, :, :] = mb
+    out_ref[0, 0, :, :] = mb
 
 
 @functools.partial(
@@ -122,10 +124,9 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
     hits whose start position falls in each MB-position microblock."""
     if Lmax > HALO:
         raise NotImplementedError(f"Lmax {Lmax} exceeds kernel halo {HALO}")
-    if W.shape[0] != LANE:
-        raise NotImplementedError("pattern tiling beyond 128 not yet wired")
     n = codes.shape[0]
     ntiles = max((n + T - 1) // T, 1)
+    ptiles = W.shape[0] // LANE
     kchunks = W.shape[1] // LANE
     # overlapping tile rows [ntiles, T + HALO] — the only large HBM array
     padded = jnp.concatenate(
@@ -139,8 +140,10 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
         ntiles, 1, T + HALO
     )
 
-    # chunk the K axis: W3[kc] = Wt[:, kc*LANE:(kc+1)*LANE]
-    W3 = W.reshape(LANE, kchunks, LANE).swapaxes(0, 1)
+    # chunk the K axis per pattern tile:
+    # W4[pt, kc] = Wt[pt*LANE:(pt+1)*LANE, kc*LANE:(kc+1)*LANE]
+    W4 = W.reshape(ptiles, LANE, kchunks, LANE).swapaxes(1, 2)
+    thr3 = thr.reshape(ptiles, LANE, 1)
     # microblock indicator: B[t, b] = (t // MB == b)
     B = (
         jax.lax.broadcasted_iota(jnp.int32, (T, T // MB), 0) // MB
@@ -151,19 +154,20 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
         functools.partial(
             _scan_kernel, alpha=alpha, Lmax=Lmax, T=T, kchunks=kchunks, MB=MB
         ),
-        out_shape=jax.ShapeDtypeStruct((ntiles, 1, T // MB), jnp.float32),
-        grid=(ntiles,),
+        out_shape=jax.ShapeDtypeStruct((ntiles, ptiles, 1, T // MB),
+                                       jnp.float32),
+        grid=(ntiles, ptiles),
         in_specs=[
-            pl.BlockSpec((1, 1, T + HALO), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, T + HALO), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kchunks, LANE, LANE), lambda i: (0, 0, 0),
+            pl.BlockSpec((1, kchunks, LANE, LANE), lambda i, j: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANE, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, LANE, 1), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, T // MB), lambda i: (0, 0),
+            pl.BlockSpec((T, T // MB), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, T // MB), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, T // MB), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((kchunks * LANE, T), jnp.bfloat16),
@@ -171,8 +175,9 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
             pltpu.VMEM((_lj(Lmax), T), jnp.int32),
         ],
         interpret=interpret,
-    )(codes2d, W3, thr, B)
-    return out.reshape(-1)
+    )(codes2d, W4, thr3, B)
+    # candidate counts add across pattern tiles
+    return out.sum(axis=1).reshape(-1)
 
 
 def _microhits_impl(codes, W, thr, *, alpha, Lmax, T, MB, interpret):

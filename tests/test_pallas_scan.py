@@ -86,3 +86,21 @@ def test_radix_path_matches_xla(planted_db):
     t2 = build_tables(ps2, db, wc=False, textn=False)
     sc2 = ConvScanner(t2, k=0, use_pallas=False)
     assert list(sc2._scan_radix(db.codes)) == list(sc2.scan(db.codes))
+
+
+def test_pallas_pattern_tiling(planted_db):
+    """P > 128 runs the 2-D (text, pattern-tile) kernel grid."""
+    import numpy as np
+
+    db, pats = planted_db
+    rng = np.random.default_rng(3)
+    # 150 distinct patterns (ptiles=2): the planted ones + random fillers
+    fillers = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=14))
+               for _ in range(150 - len(pats))]
+    ps = build_pattern_set(pats + fillers, rev_comp=False)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    assert tables.P > 128
+    sc = ConvScanner(tables, k=0, use_pallas=True)
+    sc.pallas_interpret = True
+    want_sc = ConvScanner(tables, k=0, use_pallas=False)
+    assert list(sc.scan(db.codes)) == list(want_sc.scan(db.codes))
