@@ -105,7 +105,7 @@ class SellersScanner:
     (end, pattern)."""
 
     def __init__(self, tables, k: int, indels: bool = True,
-                 block: int = 1 << 18, cap: int = 1 << 16):
+                 block: int = 1 << 20, cap: int = 1 << 16):
         self.tables = tables
         self.k = k
         self.indels = indels
@@ -117,44 +117,61 @@ class SellersScanner:
         )
         self.lengths_dev = jnp.asarray(tables.lengths)
 
+    def _block_inputs(self, codes, nrun_all, start, halo, W, n):
+        t = self.tables
+        lo = start - halo
+        chunk = np.full(W, t.eos_code, dtype=np.int32)
+        nrun = np.zeros(W, dtype=np.int32)
+        s0 = max(0, lo)
+        hi = min(n, start + self.block)
+        chunk[s0 - lo : W - max(0, (start + self.block) - n)] = codes[s0:hi]
+        nrun[s0 - lo : W - max(0, (start + self.block) - n)] = \
+            nrun_all[s0:hi]
+        return lo, jnp.asarray(chunk), jnp.asarray(nrun)
+
     def scan(self, codes: np.ndarray):
+        """Pipelined block scan: block i+1 is dispatched before block i's
+        results are collected, hiding the host round-trip behind device
+        compute."""
+        from collections import deque
+
         t = self.tables
         halo = t.Lmax + self.k
         n = len(codes)
         nrun_all = nonexact_runs(codes, t.eos_code)
-        P = t.P
-        block = self.block
-        W = block + halo
-        for start in range(0, n, block):
-            lo = start - halo
-            chunk = np.full(W, t.eos_code, dtype=np.int32)
-            nrun = np.zeros(W, dtype=np.int32)
-            s0 = max(0, lo)
-            chunk[s0 - lo : W - max(0, (start + block) - n)] = codes[
-                s0 : min(n, start + block)
-            ]
-            nrun[s0 - lo : W - max(0, (start + block) - n)] = nrun_all[
-                s0 : min(n, start + block)
-            ]
-            cap = self.cap
-            while True:
+        W = self.block + halo
+        pending = deque()
+
+        def collect(lo, dchunk, dnrun, res):
+            count, idx, dist = res
+            count = int(count)
+            while count > self.cap:
+                self.cap = 1 << (count - 1).bit_length()
                 count, idx, dist = _sellers_block(
-                    jnp.asarray(chunk), self.match, self.lengths_dev,
-                    jnp.asarray(nrun), self.k, self.indels, cap,
+                    dchunk, self.match, self.lengths_dev, dnrun,
+                    self.k, self.indels, self.cap,
                 )
                 count = int(count)
-                if count <= cap:
-                    break
-                cap *= 4
             if count == 0:
-                continue
+                return
             idx = np.asarray(idx[:count])
             dist = np.asarray(dist[:count])
             pos = idx % W  # position within chunk
             pid = idx // W
-            keep = pos >= halo  # halo candidates belong to the previous block
+            keep = pos >= halo  # halo candidates belong to the prior block
             pos, pid, dist = pos[keep], pid[keep], dist[keep]
             ends = lo + pos + 1  # boundary after char
             order = np.lexsort((pid, ends))
             for e, p, d in zip(ends[order], pid[order], dist[order]):
                 yield int(e), int(p), int(d)
+
+        for start in range(0, n, self.block):
+            lo, dchunk, dnrun = self._block_inputs(
+                codes, nrun_all, start, halo, W, n)
+            res = _sellers_block(dchunk, self.match, self.lengths_dev,
+                                 dnrun, self.k, self.indels, self.cap)
+            pending.append((lo, dchunk, dnrun, res))
+            while len(pending) >= 2:
+                yield from collect(*pending.popleft())
+        while pending:
+            yield from collect(*pending.popleft())
