@@ -87,6 +87,7 @@ def parse_args(argv):
         "verbose": False,
         "node": 0,
         "dbind": 0,
+        "memmap": True,
     }
     try:
         parsed, _ = getopt.getopt(
@@ -159,12 +160,16 @@ def parse_args(argv):
             opts["dbind"] = int(val)
         elif flag == "-v":
             opts["verbose"] = True
-        elif flag in ("-B", "-I", "-T"):
+        elif flag == "-B":
+            opts["memmap"] = False  # buffered I/O mode (verbose msg only)
+        elif flag in ("-I", "-T"):
             pass  # I/O strategy hints; -T (translate) handled in peptide tools
         elif flag == "-h":
             sys.stdout.write(USAGE)
             raise SystemExit(0)
-    if not opts["patterns"] or not opts["database"]:
+    # verbose skips the usage check (primer_match.cc:274) — an empty pattern
+    # list then exits 0 after the Release Tag line
+    if (not opts["patterns"] or not opts["database"]) and not opts["verbose"]:
         sys.stderr.write("No primers and/or no sequence database supplied.\n\n"
                          + USAGE)
         raise SystemExit(1)
@@ -191,9 +196,25 @@ def load_patterns(opts):
 
 
 def run(opts, out) -> None:
+    """Reference main-loop structure incl. the verbose stderr protocol
+    (primer_match.cc:856-861,930-941,973-979,1062-1069,1082-1084,
+    1109-1111,1330-1332; select.t/select.cc messages via
+    models.primer_match.db_pick_report/select_report)."""
+    from ..models.primer_match import db_pick_report, select_report
+    from ..utils.log import ProgressReporter, timestamp
+
+    v = opts["verbose"]
+    if v:
+        timestamp("Release Tag: $Name:  $")
+    if not opts["patterns"] or not opts["database"]:
+        return  # verbose-mode early exit 0 (primer_match.cc:274,927-929)
     pats, deflines, sts = load_patterns(opts)
     if not pats:
         return
+    if v:
+        timestamp("Read primers")
+        if opts["ucdict"]:
+            timestamp("Uppercase primers")
     ps = build_pattern_set(
         pats,
         rev_comp=opts["rev_comp"],
@@ -205,7 +226,18 @@ def run(opts, out) -> None:
         deflines=deflines,
         sts=sts,
     )
+    if v:
+        if ps.n_forward < 100:
+            for i in range(1, ps.n_forward + 1):
+                timestamp("Pattern %3d > %s" % (i, ps.pattern(i)))
+                if opts["rev_comp"]:
+                    timestamp("Pattern %3d < %s"
+                              % (i, ps.pattern(i + ps.n_forward)))
+        timestamp("Put primers in an array")
     db = load_db(opts["database"], eos_char=opts["eos_char"])
+    if v:
+        for line in db_pick_report(db, opts["memmap"]):
+            timestamp(line)
     model = PrimerMatchModel(
         db,
         ps,
@@ -218,6 +250,14 @@ def run(opts, out) -> None:
         node=opts["node"],
         report_interval=opts["report_interval"],
     )
+    if v:
+        for line in select_report(db, ps, k=opts["k"], wc=opts["wc"],
+                                  textn=opts["tn"], seedlen=opts["seedlen"],
+                                  node=opts["node"], indels=opts["indels"],
+                                  dna_mut=opts["dna_mut"]):
+            timestamp(line)
+        # kt->progress_interval(*ff, 1.0) (primer_match.cc:1109-1111)
+        model.progress = ProgressReporter(0.01)
 
     n = ps.n_forward
     k = opts["k"]
@@ -309,6 +349,9 @@ def run(opts, out) -> None:
                     countformat(opts["countformat"], i, ps.pattern(i), patdef,
                                 "", "", "", total, c, k, gtmax, stsref)
                 )
+
+    if v:
+        timestamp("Done.")
 
 
 def main(argv=None) -> int:

@@ -307,6 +307,7 @@ def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
         db = _mk_db(codes, table, keys[:-1], headers, eos_char,
                     producer_alphabet=len(table))
         db.has_suffix_tree = os.path.exists(base + ".sqn.st")
+        db.source_kind = "sqn"
         return db
     if os.path.exists(base + ".sqz") and os.path.exists(base + ".tbz"):
         table = open(base + ".tbz", "rb").read()
@@ -314,8 +315,10 @@ def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
         n = int(keys[-1]) - 1
         codes = unpack_sqz(open(base + ".sqz", "rb").read(), len(table), n)
         headers = _read_headers(base + ".hdr", vals)
-        return _mk_db(codes, table, keys[:-1], headers, eos_char,
-                      producer_alphabet=len(table))
+        db = _mk_db(codes, table, keys[:-1], headers, eos_char,
+                    producer_alphabet=len(table))
+        db.source_kind = "sqz"
+        return db
     if os.path.exists(base + ".seq") and os.path.exists(base + ".idb"):
         raw = np.fromfile(base + ".seq", dtype=np.uint8)
         keys, vals = read_idb(base + ".idb")
@@ -329,8 +332,10 @@ def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
         c2c = np.zeros(256, dtype=np.uint8)
         for code, ch in enumerate(table):
             c2c[ch] = code
-        return _mk_db(c2c[raw], table, keys[:-1], headers, eos_char,
-                      producer_alphabet=256)
+        db = _mk_db(c2c[raw], table, keys[:-1], headers, eos_char,
+                    producer_alphabet=256)
+        db.source_kind = "seq"
+        return db
     return SeqDB.from_fasta(fasta_path, eos_char=eos_char)
 
 

@@ -103,6 +103,10 @@ class SeqDB:
     # next to the loaded representation (select.cc:184-209 trigger)
     has_suffix_tree: bool = False
 
+    # which representation load_db picked ("sqn"/"sqz"/"seq"/"raw") — drives
+    # the verbose database-selection message (select.t:29-188)
+    source_kind: str = "raw"
+
     # Mapped<> databases (char_io.t:280-335): getnch() remaps codes but
     # getch() still returns the ORIGINAL character — when set, decode() reads
     # these chars instead of table[codes].

@@ -130,6 +130,131 @@ def select_engine(db: SeqDB, ps: PatternSet, k: int, wc: bool,
     return "filter"
 
 
+_KT_STYLE = {1: "list nodes", 2: "nodes optimized for DNA",
+             3: "jump table nodes"}
+
+
+def _pmselect(db: SeqDB, ps: PatternSet, k: int, wc: bool,
+              seedlen: int, node: int) -> int:
+    """Reconstruct the reference's numeric strategy index
+    (select.cc:103-142).  Matches the oracle's NOPRIMEGEN build: the
+    auto-path gapped-seed branch (select.cc:128-130) is compiled out
+    there, so auto never yields 15."""
+    if node != 0:
+        return node
+    if wc:
+        pm = 4
+    elif db.producer_alphabet < 255:
+        pm = 2 if (db.nch("A") == 0 and db.nch("C") == 1
+                   and db.nch("G") == 2 and db.nch("T") == 3) else 3
+    else:
+        pm = 3
+    if k > 0:
+        min_exact, cumdiff, cumbool, _, min_len = _constraint_stats(ps)
+        alpha = db.producer_alphabet
+        if (k == 1
+                and ((min_len >= 12 and alpha < 10)
+                     or (min_len >= 8 and alpha >= 10))
+                and (cumbool <= 0 or cumdiff <= 0)):
+            pm = 11 + pm - 1
+        elif min_exact >= 6:
+            pm = 7 + pm - 1
+        elif seedlen > 0:
+            pm = 6
+        else:
+            pm = 5
+    return pm
+
+
+def select_report(db: SeqDB, ps: PatternSet, k: int, wc: bool, textn: bool,
+                  seedlen: int, node: int, indels: bool,
+                  dna_mut: bool) -> list[str]:
+    """The verbose lines pick_pattern_index emits (select.cc:149-278):
+    primer statistics, options summary, and the strategy announcement.
+    Returned without the ``[asctime]`` prefix — callers render each with
+    :func:`..utils.log.timestamp`."""
+    import math
+
+    N1 = ps.n_total
+    lines: list[str] = []
+    if N1:
+        patlens = [len(ps.pattern(i)) for i in range(1, N1 + 1)]
+        min_length = min(patlens)
+        avlen = sum(patlens) / N1
+        min_exact, cumdiff, cumbool, _, _ = _constraint_stats(ps)
+        cum_exact = sum(max(ps.esb[i], ps.eeb[i]) for i in range(1, N1 + 1))
+        lines.append("Primer stats: min length: %d" % min_length)
+        lines.append("              average len: %g"
+                     % (math.floor(avlen * 10 + 0.5) / 10))
+        if k > 0:
+            lines.append("              min exact bases: %d" % min_exact)
+            lines.append("              average exact: %g"
+                         % (math.floor(cum_exact / N1 * 10 + 0.5) / 10))
+            lines.append("              average (exact - len/2): %g"
+                         % (math.floor(cumdiff / N1 * 10 + 0.5) / 10))
+            lines.append("              count (exact >= len/2): %d" % cumbool)
+            lines.append("              seed length: %d" % seedlen)
+        lines.append("              number of primers: %d" % N1)
+    if indels:
+        lines.append("Options summary: string edits: %d" % k)
+    else:
+        lines.append("Options summary: mismatches: %d" % k)
+    if dna_mut:
+        lines.append("                 DNA mutation scoring")
+    if wc:
+        lines.append("                 wildcard, w/ text N" if textn
+                     else "                 wildcard, no text N")
+    else:
+        lines.append("                 no wildcard")
+    pm = _pmselect(db, ps, k, wc, seedlen, node)
+    if pm in (1, 2, 3):
+        lines.append("Using suffix tree..." if db.has_suffix_tree
+                     else "Using keyword tree with %s..." % _KT_STYLE[pm])
+    elif pm == 4:
+        lines.append("Using bitvector...")
+    elif pm == 5:
+        lines.append("Using inexact bitvector...")
+    elif pm == 6:
+        if math.log2(max(db.producer_alphabet, 2)) * seedlen <= 25:
+            lines.append("Using exact seed with hash table...")
+        else:
+            lines.append(
+                "Using (large) exact seed with randomized hash table...")
+    elif pm in (7, 8, 9):
+        lines.append("Using keyword tree with %s for exact portion..."
+                     % _KT_STYLE[pm - 6])
+    elif pm == 10:
+        lines.append("Using bitvector for exact portion...")
+    elif pm in (11, 12, 13):
+        lines.append("Using keyword tree with %s for exact halves..."
+                     % _KT_STYLE[pm - 10])
+    elif pm == 14:
+        lines.append("Using bitvector for exact halves...")
+    elif pm == 15:
+        from ..ops.gapped_seeds import select as gs_select
+
+        sch = gs_select(ps.min_len, k, indels)
+        if sch is not None:
+            lines.append("Using gapped seed set, scheme %s(n%d)"
+                         % (sch.name, sch.n))
+    return lines
+
+
+def db_pick_report(db: SeqDB, memmap: bool) -> list[str]:
+    """The verbose lines pick_fasta_file emits (select.t:29-188) for the
+    representation load_db chose and the reference-compatible I/O mode
+    flag (-B; our loads are flat ``np.fromfile`` reads either way)."""
+    kind = {
+        "sqn": "Normalized sequence database...",
+        "sqz": "Compressed sequence database...",
+        "seq": "Indexed sequence database...",
+        "raw": "Raw sequence database...",
+    }[db.source_kind]
+    io = ("Using mmap for sequence I/O..." if memmap
+          else "Not using mmap for sequence I/O...")
+    return [kind, io]
+
+
 class PrimerMatchModel:
     def __init__(
         self,
@@ -157,6 +282,9 @@ class PrimerMatchModel:
         self.seedlen = seedlen
         self.node = node
         self.engine = select_engine(db, ps, k, wc, seedlen, node)
+        # verbose-mode progress reporter (utils.log.ProgressReporter);
+        # attached to every scanner the engines build
+        self.progress = None
         eos = chr(db.eos_char)
         self._final_aligner = EditDistAligner(
             k, eos, wc, textn, indels, dna_mut, yesno=False
@@ -171,6 +299,11 @@ class PrimerMatchModel:
             self._hash_aligner = EditDistAligner(
                 k, eos, wc, textn, indels, dna_mut, yesno=True
             )
+
+
+    def _attach(self, scanner):
+        scanner.progress = self.progress
+        return scanner
 
     # -- text access for the verify DPs ------------------------------------
 
@@ -199,7 +332,7 @@ class PrimerMatchModel:
 
     def _exact_engine(self):
         tables = build_tables(self.ps, self.db, self.wc, self.textn)
-        scanner = ConvScanner(tables, k=0, block=self.block)
+        scanner = self._attach(ConvScanner(tables, k=0, block=self.block))
         lengths = tables.lengths
         cands = []
         for end, p0, _ in scanner.scan(self.db.codes):
@@ -225,7 +358,7 @@ class PrimerMatchModel:
         .st query path is bit-rotted and reports spurious hits at every
         position in current builds)."""
         tables = build_tables(self.ps, self.db, self.wc, self.textn)
-        scanner = ConvScanner(tables, k=0, block=self.block)
+        scanner = self._attach(ConvScanner(tables, k=0, block=self.block))
         cands = sorted(
             (end, p0) for end, p0, _ in scanner.scan(self.db.codes)
         )
@@ -244,7 +377,7 @@ class PrimerMatchModel:
         half_ps = PatternSet(patterns=halves, esb=[0] * len(halves),
                              eeb=[0] * len(halves), n_forward=len(halves) - 1)
         tables = build_tables(half_ps, self.db, wc=self.wc, textn=self.textn)
-        scanner = ConvScanner(tables, k=0, block=self.block)
+        scanner = self._attach(ConvScanner(tables, k=0, block=self.block))
         cands = []
         for end, h0, _ in scanner.scan(self.db.codes):
             cands.append((end, -(h0 + 1)))
@@ -297,7 +430,7 @@ class PrimerMatchModel:
         seed_ps = PatternSet(patterns=seeds, esb=[0] * len(seeds),
                              eeb=[0] * len(seeds), n_forward=len(seeds) - 1)
         tables = build_tables(seed_ps, self.db, wc=self.wc, textn=self.textn)
-        scanner = ConvScanner(tables, k=0, block=self.block)
+        scanner = self._attach(ConvScanner(tables, k=0, block=self.block))
         cands = []
         for end, s0, _ in scanner.scan(self.db.codes):
             if self.node == 10:
@@ -342,7 +475,7 @@ class PrimerMatchModel:
         seed_ps = PatternSet(patterns=seeds, esb=[0] * len(seeds),
                              eeb=[0] * len(seeds), n_forward=len(seeds) - 1)
         tables = build_tables(seed_ps, self.db, wc=False, textn=False)
-        scanner = ConvScanner(tables, k=0, block=self.block)
+        scanner = self._attach(ConvScanner(tables, k=0, block=self.block))
         # (pos asc, seed index desc) == scan order with push_front cell lists
         cands = sorted(
             ((end, -(s0 + 1)) for end, s0, _ in scanner.scan(self.db.codes))
@@ -425,8 +558,8 @@ class PrimerMatchModel:
             pat_codes=np.full((P, tmax), -1, dtype=np.int16),
             Lmax=tmax, alpha=alpha, eos_code=db.eos_code,
         )
-        scanner = ConvScanner(tables, k=0, block=self.block,
-                              use_pallas=False)
+        scanner = self._attach(ConvScanner(tables, k=0, block=self.block,
+                                           use_pallas=False))
         cands = []
         for end, row, _ in scanner.scan(db.codes):
             win_start = end - L  # ConvScanner end = start + lengths
@@ -472,11 +605,11 @@ class PrimerMatchModel:
         minka = self.report_interval
         tables = build_tables(self.ps, self.db, self.wc, self.textn)
         if self.indels:
-            scanner = SellersScanner(tables, k=k, indels=True,
-                                     block=min(self.block, 1 << 18))
+            scanner = self._attach(SellersScanner(
+                tables, k=k, indels=True, block=min(self.block, 1 << 18)))
         else:
-            scanner = ConvScanner(tables, k=k, poison_eos=True,
-                                  block=self.block)
+            scanner = self._attach(ConvScanner(tables, k=k, poison_eos=True,
+                                               block=self.block))
         stream = sorted(
             (end, p0) for end, p0, _ in scanner.scan(self.db.codes)
         )

@@ -155,6 +155,10 @@ class ConvScanner:
 
     _cap_mb = 1024
     _hit_cap = 4096
+    # optional per-block progress callback (frac in (0,1]) — the reference's
+    # report_progress protocol (pattern_match.h:144-155), attached by the
+    # model when the driver runs verbose
+    progress = None
 
     def _expected_hits(self, n: int) -> float:
         """Crude expected candidate count on random text: n * P /
@@ -302,6 +306,8 @@ class ConvScanner:
             # two-level device filter — a host radix-code lookup beats
             # any device path here (no transfers, no compiles)
             yield from self._scan_radix(codes)
+            if self.progress:
+                self.progress(1.0)
             return
         if self.use_pallas and (
             self.pallas_interpret or len(codes) >= (1 << 20)
@@ -309,6 +315,8 @@ class ConvScanner:
             # small inputs aren't worth the Mosaic compile; the XLA block
             # path below is already instant there
             yield from self._scan_pallas(codes, self.pallas_interpret)
+            if self.progress:
+                self.progress(1.0)
             return
         Lmax = self.tables.Lmax
         P = self.tables.P
@@ -332,6 +340,8 @@ class ConvScanner:
                     break
                 cap *= 4  # recompile with larger capacity (rare)
             if count == 0:
+                if self.progress:
+                    self.progress((start + b) / n)
                 continue
             idx = np.asarray(idx[:count])
             mism = np.asarray(mism[:count])
@@ -342,3 +352,5 @@ class ConvScanner:
             ends = start + win + lengths[pid]
             for e, p, m in zip(ends, pid, mism):
                 yield int(e), int(p), int(m)
+            if self.progress:
+                self.progress((start + b) / n)

@@ -116,6 +116,8 @@ class SellersScanner:
             np.ascontiguousarray(tables.match.transpose(1, 0, 2))
         )
         self.lengths_dev = jnp.asarray(tables.lengths)
+        # optional per-block progress callback (pattern_match.h:144-155)
+        self.progress = None
 
     def _block_inputs(self, codes, nrun_all, start, halo, W, n):
         t = self.tables
@@ -143,6 +145,8 @@ class SellersScanner:
         pending = deque()
 
         def collect(lo, dchunk, dnrun, res):
+            if self.progress:
+                self.progress(min(1.0, (lo + halo + self.block) / n))
             count, idx, dist = res
             count = int(count)
             while count > self.cap:
