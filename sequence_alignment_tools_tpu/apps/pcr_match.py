@@ -80,6 +80,8 @@ def parse_args(argv):
         "betweenlen": False,
         "alignformat": DEFAULT_PCR_ALIGN_FORMAT,
         "verbose": False,
+        "veryverbose": False,
+        "memmap": True,
         "node": 0,
         "dbind": 0,
     }
@@ -138,8 +140,10 @@ def parse_args(argv):
             opts["mindist"] = int(val)
         elif flag == "-E":
             opts["eos_char"] = int(val, 0)
-        elif flag in ("-v", "-V"):
+        elif flag == "-v":
             opts["verbose"] = True
+        elif flag == "-V":
+            opts["verbose"] = opts["veryverbose"] = True
         elif flag == "-b":
             opts["betweenlen"] = True
         elif flag == "-r":
@@ -147,11 +151,13 @@ def parse_args(argv):
         elif flag == "-a":
             opts["allorient"] = True
         elif flag == "-B":
-            pass
+            opts["memmap"] = False  # buffered I/O mode (verbose msg only)
         elif flag == "-h":
             sys.stderr.write(USAGE)
             raise SystemExit(1)
-    if not opts["patterns"] or not opts["database"]:
+    # verbose skips the usage check (pcr_match.cc:246)
+    if (not opts["patterns"] or not opts["database"]) \
+            and not opts["verbose"]:
         sys.stderr.write(USAGE)
         raise SystemExit(1)
     if opts["k"] < 0:
@@ -213,6 +219,17 @@ def build_pair_pattern_set(pats, opts, sts, deflines) -> PatternSet:
 
 
 def run(opts, out) -> None:
+    """Reference main-loop structure incl. the verbose stderr protocol
+    (pcr_match.cc:698-702 release tag, :810-880 primer listing,
+    :928-935 scan milestones, :1261-1263 Done)."""
+    from ..models.primer_match import db_pick_report, select_report
+    from ..utils.log import ProgressReporter, timestamp
+
+    v = opts["verbose"]
+    if v:
+        timestamp("Release Tag: $Name:  $")
+    if not opts["patterns"] or not opts["database"]:
+        return  # verbose-mode early exit 0 (pcr_match.cc:246,768-769)
     pats, sts, deflines = load_patterns(opts)
     if not pats:
         return
@@ -222,7 +239,19 @@ def run(opts, out) -> None:
     if opts["pattern_mode"] == "sts":
         opts["rev_comp"] = True
     ps = build_pair_pattern_set(pats, opts, sts, deflines)
+    if v and (ps.n_forward < 100 or opts["veryverbose"]):
+        n = ps.n_forward
+        for i in range(1, n + 1):
+            kind = "Forward" if i % 2 == 1 else "Reverse"
+            pair = (i - 1) // 2 + 1
+            timestamp("[%4d] %s primer: %3d > %s"
+                      % (i, kind, pair, ps.pattern(i)))
+            timestamp("[%4d] %s primer: %3d < %s"
+                      % (i + n, kind, pair, ps.pattern(i + n)))
     db = load_db(opts["database"], eos_char=opts["eos_char"])
+    if v:
+        for line in db_pick_report(db, opts["memmap"]):
+            timestamp(line)
     model = PcrMatchModel(
         db,
         ps,
@@ -242,8 +271,19 @@ def run(opts, out) -> None:
         sts_mode=opts["pattern_mode"] == "sts",
         fasta_mode=opts["pattern_mode"] == "fasta",
     )
+    if v:
+        for line in select_report(db, ps, k=opts["k"], wc=opts["wc"],
+                                  textn=opts["tn"], seedlen=opts["seedlen"],
+                                  node=opts["node"], indels=opts["indels"],
+                                  dna_mut=False):
+            timestamp(line)
+        # pm->progress_interval(*ff) (pcr_match.cc:928-930)
+        model.inner.progress = ProgressReporter(0.01)
+        timestamp("Scanning sequence database...")
     for hit in model.pairs():
         out.write(pcr_alignformat(opts["alignformat"], hit))
+    if v:
+        timestamp("Done.")
 
 
 def main(argv=None) -> int:

@@ -108,6 +108,69 @@ def test_verbose_empty_patterns_exits_zero(corpus):
     assert _clean(err) == ["Release Tag: $Name:  $"]
 
 
+@pytest.fixture(scope="module")
+def pcr_corpus(tmp_path_factory):
+    """Corpus with planted amplicons for six primer pairs."""
+    import random
+
+    rng = random.Random(5)
+    rc = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    seq = [rng.choice("ACGT") for _ in range(60000)]
+    pairs = []
+    pos = 1000
+    for _ in range(6):
+        f = "".join(rng.choice("ACGT") for _ in range(20))
+        r = "".join(rng.choice("ACGT") for _ in range(20))
+        pairs.append((f, r))
+        amp = (f + "".join(rng.choice("ACGT") for _ in range(200))
+               + "".join(rc[c] for c in reversed(r)))
+        seq[pos : pos + len(amp)] = list(amp)
+        pos += len(amp) + 500
+    d = tmp_path_factory.mktemp("pcrv")
+    fasta = d / "corpus.fasta"
+    with open(fasta, "w") as fo:
+        fo.write(">pc test corpus\n")
+        s = "".join(seq)
+        for i in range(0, len(s), 70):
+            fo.write(s[i : i + 70] + "\n")
+    patf = d / "pairs.txt"
+    with open(patf, "w") as fo:
+        for f, r in pairs:
+            fo.write(f + " " + r + "\n")
+    return str(fasta), str(patf)
+
+
+PCR_CONFIGS = [
+    ["-v", "-r"],
+    ["-v", "-k", "1"],
+    ["-v", "-K", "1", "-B"],
+    ["-v", "-k", "1", "-x", "6"],
+    ["-V", "-u"],
+]
+
+
+@pytest.mark.parametrize("cfg", PCR_CONFIGS, ids=lambda c: " ".join(c))
+def test_pcr_verbose_stderr_parity(oracle, pcr_corpus, cfg):
+    from sequence_alignment_tools_tpu.apps.pcr_match import (
+        parse_args as pcr_parse,
+        run as pcr_run,
+    )
+
+    fasta, patf = pcr_corpus
+    full = ["-i", fasta, "-P", patf] + cfg
+    ref = subprocess.run(
+        [os.path.join(oracle, "pcr_match")] + full,
+        capture_output=True, text=True, check=True,
+    )
+    out, err = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stderr(err):
+        pcr_run(pcr_parse(full), out)
+    assert out.getvalue() == ref.stdout
+    ref_msgs = [TS.sub("", l) for l in ref.stderr.splitlines()
+                if not TS.sub("", l).startswith("Progress:")]
+    assert _clean(err.getvalue()) == ref_msgs
+
+
 def test_progress_reporter_throttles():
     from sequence_alignment_tools_tpu.utils.log import ProgressReporter
 
