@@ -42,6 +42,7 @@ _TOOLS = {
     "Xspace": ("xspace", "xspace_main"),
     "XspaceLo": ("xspace", "xspacelo_main"),
     "WordGraph": ("wordgraph_build", "wordgraph_main"),
+    "chario": ("chario", "main"),
     "walk_graph": ("walk_graph", "walk_main"),
     "build_graph": ("walk_graph", "build_main"),
     "cannon_csbh_graph": ("walk_graph", "cannon_main"),

@@ -5,7 +5,8 @@ set -e
 HERE="$(cd "$(dirname "$0")" && pwd)"
 REF_SRC="${REF_SRC:-/root/reference}"
 REF=/tmp/ref
-if [ -x "$REF/primer_match" ] && [ -x "$REF/compress_seq" ]; then
+if [ -x "$REF/primer_match" ] && [ -x "$REF/compress_seq" ] \
+    && [ -x "$REF/atac_seq" ]; then
     exit 0
 fi
 [ -d "$REF_SRC" ] || { echo "no reference source at $REF_SRC" >&2; exit 1; }
@@ -15,9 +16,12 @@ mkdir -p /tmp/primegen
 cp "$HERE/primegen_shim.h" /tmp/primegen/primegen.h
 ar rcs /tmp/primegen/primegen.a
 cd "$REF"
-make compress_seq primer_match exact_match inexact_match pcr_match \
-     peptide_scan protein_mw peptide_mult polyrun tandem_match nrdb \
-     extract_seq aacomp aacomplookup genome_simulation \
+# -k: tandem_match.cc is bit-rotted (sortedvector::erase no longer exists)
+# and must not abort the rest of the target list
+make -k compress_seq primer_match exact_match inexact_match pcr_match \
+     peptide_scan protein_mw peptide_mult polyrun nrdb \
+     extract_seq aacomp aacomplookup genome_simulation atac_seq \
+     solid_simulation \
      PGEN=/tmp/primegen PARAM=-DNOPRIMEGEN >/dev/null 2>&1 || true
 # kmer_count clashes with std hash under modern g++; rename its local fns
 if [ ! -x "$REF/kmer_count" ]; then
