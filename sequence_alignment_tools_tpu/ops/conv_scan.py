@@ -29,8 +29,10 @@ def _conv_scan_block(codes, weights, thresholds, lengths, alpha, cap):
 
     codes: [B + Lmax - 1] int32 (right halo of Lmax-1, EOS-padded)
     weights: [Lmax, alpha, P] bf16; thresholds/lengths: [P] f32/int32
-    Returns (count, flat_idx [cap], mism [cap]) where flat_idx indexes the
-    [B, P] (window-start, pattern) grid row-major; mism = L_p - score.
+    Returns ONE packed int32 array [1 + 2*cap]: (count, flat_idx...,
+    mism...) where flat_idx indexes the [B, P] (window-start, pattern)
+    grid row-major; mism = L_p - score.  Single output because each
+    extra jit output costs a transport round-trip on this backend.
 
     The correlation is evaluated as Lmax shifted [B, A] @ [A, P] matmuls
     (MXU) rather than one huge-spatial-dim conv, which XLA compiles far
@@ -55,7 +57,9 @@ def _conv_scan_block(codes, weights, thresholds, lengths, alpha, cap):
     count = jnp.sum(flat, dtype=jnp.int32)
     (idx,) = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])
     m = jnp.concatenate([mism.reshape(-1), jnp.zeros((1,), jnp.float32)])
-    return count, idx, m[idx].astype(jnp.int32)
+    return jnp.concatenate(
+        [count[None], idx.astype(jnp.int32), m[idx].astype(jnp.int32)]
+    )
 
 
 class ConvScanner:
@@ -119,23 +123,27 @@ class ConvScanner:
             hit_cap=hit_cap, interpret=interpret,
         )
 
-    def _pallas_decode(self, res, codes_dev, n: int, interpret: bool):
-        """Sync one dispatched result, retrying with larger caps on
-        overflow, and yield (end, pid, mism) tuples."""
+    def _pallas_decode(self, res, codes_dev, n: int, interpret: bool,
+                       caps=None):
+        """Sync one dispatched result (a single packed int32 array — one
+        transport round-trip), retrying with larger caps on overflow, and
+        yield (end, pid, mism) tuples."""
         t = self.tables
+        cap_mb, hit_cap = caps or (self._cap_mb, self._hit_cap)
         while True:
-            mb_count, mb_idx, hit_count, hit_idx, hit_mism = \
-                jax.device_get(res)
-            if int(mb_count) <= self._cap_mb and \
-                    int(hit_count) <= self._hit_cap:
+            packed = np.asarray(jax.device_get(res))
+            mb_count, hit_count = int(packed[0]), int(packed[1])
+            mb_idx = packed[2 : 2 + cap_mb]
+            hit_idx = packed[2 + cap_mb : 2 + cap_mb + hit_cap]
+            hit_mism = packed[2 + cap_mb + hit_cap :]
+            if mb_count <= cap_mb and hit_count <= hit_cap:
                 break
-            self._cap_mb = max(
-                self._cap_mb, 1 << int(mb_count - 1).bit_length())
-            self._hit_cap = max(
-                self._hit_cap, 1 << int(hit_count - 1).bit_length())
+            cap_mb = max(cap_mb, 1 << int(mb_count - 1).bit_length())
+            hit_cap = max(hit_cap, 1 << int(hit_count - 1).bit_length())
+            self._cap_mb = max(self._cap_mb, cap_mb)
+            self._hit_cap = max(self._hit_cap, hit_cap)
             res = self._pallas_dispatch(
-                codes_dev, self._cap_mb, self._hit_cap, interpret)
-        hit_count = int(hit_count)
+                codes_dev, cap_mb, hit_cap, interpret)
         if hit_count == 0:
             return
         lengths = t.lengths
@@ -258,10 +266,11 @@ class ConvScanner:
         if est > self._cap_mb:
             nmb = max(len(codes) // self._MB, 1)
             self._cap_mb = 1 << (min(est, nmb) - 1).bit_length()
+        caps = (self._cap_mb, self._hit_cap)
         res = self._pallas_dispatch(
-            self._dev_codes[1], self._cap_mb, self._hit_cap, interpret)
+            self._dev_codes[1], caps[0], caps[1], interpret)
         yield from self._pallas_decode(
-            res, self._dev_codes[1], len(codes), interpret)
+            res, self._dev_codes[1], len(codes), interpret, caps)
 
     def scan_stream(self, blocks, depth: int = 2):
         """Pipelined scan over an iterator of flat code arrays: block i+1
@@ -285,15 +294,15 @@ class ConvScanner:
             else:
                 dev = jnp.asarray(np.asarray(codes).astype(np.int32))
                 self._dev_codes = (codes, dev)
-            res = self._pallas_dispatch(
-                dev, self._cap_mb, self._hit_cap, interpret)
-            pending.append((i, res, dev, len(codes)))
+            caps = (self._cap_mb, self._hit_cap)
+            res = self._pallas_dispatch(dev, caps[0], caps[1], interpret)
+            pending.append((i, res, dev, len(codes), caps))
             while len(pending) >= depth:
-                j, r, d, n = pending.popleft()
-                yield j, list(self._pallas_decode(r, d, n, interpret))
+                j, r, d, n, c = pending.popleft()
+                yield j, list(self._pallas_decode(r, d, n, interpret, c))
         while pending:
-            j, r, d, n = pending.popleft()
-            yield j, list(self._pallas_decode(r, d, n, interpret))
+            j, r, d, n, c = pending.popleft()
+            yield j, list(self._pallas_decode(r, d, n, interpret, c))
 
     def scan(self, codes: np.ndarray):
         """Iterate candidate tuples over the whole array (host generator)."""
@@ -331,11 +340,11 @@ class ConvScanner:
             chunk[:avail] = codes[start : start + avail]
             cap = self.cap
             while True:
-                count, idx, mism = _conv_scan_block(
+                packed = np.asarray(_conv_scan_block(
                     jnp.asarray(chunk), self.weights, self.thresholds,
                     self.lengths_dev, self.tables.alpha, cap,
-                )
-                count = int(count)
+                ))
+                count = int(packed[0])
                 if count <= cap:
                     break
                 cap *= 4  # recompile with larger capacity (rare)
@@ -343,8 +352,8 @@ class ConvScanner:
                 if self.progress:
                     self.progress((start + b) / n)
                 continue
-            idx = np.asarray(idx[:count])
-            mism = np.asarray(mism[:count])
+            idx = packed[1 : 1 + count].astype(np.int64)
+            mism = packed[1 + cap : 1 + cap + count]
             win = idx // P
             pid = idx % P
             keep = win < b  # windows starting beyond the true block are halo

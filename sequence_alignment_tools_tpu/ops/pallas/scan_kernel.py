@@ -71,18 +71,25 @@ def kernel_weights(tables, k: int, poison_eos: bool):
     return Wt.astype("bfloat16"), thr
 
 
-def _scan_kernel(codes_ref, wt_ref, thr_ref, b_ref, out_ref, yt_ref, acc_ref,
-                 sh_ref, *, alpha: int, Lmax: int, T: int, kchunks: int,
-                 MB: int):
+def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
+                 sh_ref, *, alpha: int, Lmax: int, T: int, kchunks: int):
     # wt_ref: [1, kchunks, LANE, LANE] (this grid step's pattern tile);
-    # thr_ref: [1, LANE, 1]; out_ref: [1, 1, 1, T//MB]
-    """One tile: codes row [1, T + HALO] int32 -> microblock counts.
+    # thr_ref: [1, LANE, 1]; out_ref: [1, 1, 1, T]
+    """One tile: codes row [1, T + HALO] int32 -> per-position hit counts.
 
     The one-hot im2col is built in three vector ops instead of a row
     write per K lane: LJ shifted copies of the code row, tiled alpha
     times along sublanes (pltpu.repeat), compared against the per-row
     class index.  Pad rows (j >= Lmax) may compare true but carry zero
-    weight."""
+    weight.
+
+    The pattern-axis reduction is a log-tree of aligned sublane adds on
+    the VPU (a sublane ``jnp.sum`` stalls the Mosaic compiler; the old
+    skinny ``[1,128] @ hit`` matmul serialized behind the main matmul
+    with M=1 occupancy).  The MB-lane microblock reduction happens
+    OUTSIDE the kernel as an XLA reshape-sum — in-kernel it needed a
+    ``[T, T//MB]`` indicator matmul that cost ~2x the main scan matmul
+    and 8 MB of VMEM."""
     LJ = _lj(Lmax)
     K = LJ * alpha
     KPAD = kchunks * LANE
@@ -100,15 +107,12 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, b_ref, out_ref, yt_ref, acc_ref,
             preferred_element_type=jnp.float32,
         )
     hit = (acc_ref[:] >= thr_ref[0]).astype(jnp.float32)
-    # pattern reduce then MB-lane-group reduce, both as skinny matmuls
-    # (Mosaic has no in-kernel [T] -> [T//MB, MB] reshape; a sublane
-    # jnp.sum stalls its compiler, and reordering the two reduces or
-    # downcasting B to bf16 measured slightly slower)
-    rowsum = jnp.dot(jnp.ones((1, LANE), jnp.float32), hit,
-                     preferred_element_type=jnp.float32)  # [1, T]
-    mb = jnp.dot(rowsum, b_ref[:],
-                 preferred_element_type=jnp.float32)  # [1, T // MB]
-    out_ref[0, 0, :, :] = mb
+    s = hit
+    r = LANE
+    while r > 1:
+        r //= 2
+        s = s[:r, :] + s[r : 2 * r, :]
+    out_ref[0, 0, :, :] = s[0:1, :]
 
 
 @functools.partial(
@@ -144,17 +148,12 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
     # W4[pt, kc] = Wt[pt*LANE:(pt+1)*LANE, kc*LANE:(kc+1)*LANE]
     W4 = W.reshape(ptiles, LANE, kchunks, LANE).swapaxes(1, 2)
     thr3 = thr.reshape(ptiles, LANE, 1)
-    # microblock indicator: B[t, b] = (t // MB == b)
-    B = (
-        jax.lax.broadcasted_iota(jnp.int32, (T, T // MB), 0) // MB
-        == jax.lax.broadcasted_iota(jnp.int32, (T, T // MB), 1)
-    ).astype(jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(
-            _scan_kernel, alpha=alpha, Lmax=Lmax, T=T, kchunks=kchunks, MB=MB
+            _scan_kernel, alpha=alpha, Lmax=Lmax, T=T, kchunks=kchunks
         ),
-        out_shape=jax.ShapeDtypeStruct((ntiles, ptiles, 1, T // MB),
+        out_shape=jax.ShapeDtypeStruct((ntiles, ptiles, 1, T),
                                        jnp.float32),
         grid=(ntiles, ptiles),
         in_specs=[
@@ -164,10 +163,8 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANE, 1), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, T // MB), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, T // MB), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, T), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((kchunks * LANE, T), jnp.bfloat16),
@@ -175,9 +172,10 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
             pltpu.VMEM((_lj(Lmax), T), jnp.int32),
         ],
         interpret=interpret,
-    )(codes2d, W4, thr3, B)
-    # candidate counts add across pattern tiles
-    return out.sum(axis=1).reshape(-1)
+    )(codes2d, W4, thr3)
+    # per-position counts add across pattern tiles; microblock totals as
+    # one XLA reshape-sum (fast HBM-bound reduce; see kernel docstring)
+    return out.sum(axis=1).reshape(-1, MB).sum(axis=1)
 
 
 def _microhits_impl(codes, W, thr, *, alpha, Lmax, T, MB, interpret):
@@ -208,10 +206,13 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
 
     codes: [n] int32; wconv: [Lmax, alpha, P] bf16 (conv_weights layout);
     thresholds, lengths: [P] f32 / int32.
-    Returns (mb_count, mb_idx [cap_mb], hit_count, hit_idx [hit_cap],
-    hit_mism [hit_cap]) — hit_idx flat-indexes [cap_mb, MB, P] row-major;
-    overflow when mb_count > cap_mb or hit_count > hit_cap (caller retries
-    with bigger caps)."""
+    Returns ONE packed int32 array [2 + cap_mb + 2*hit_cap]:
+    (mb_count, hit_count, mb_idx..., hit_idx..., hit_mism...) — hit_idx
+    flat-indexes [cap_mb, MB, P] row-major; overflow when mb_count >
+    cap_mb or hit_count > hit_cap (caller retries with bigger caps).
+    Packed because on the tunneled device transport each additional jit
+    output costs a full extra round-trip (~30 ms measured) — one array,
+    one fetch."""
     n = codes.shape[0]
     P = wconv.shape[2]
     mh = _microhits_impl(codes, W, thr, alpha=alpha, Lmax=Lmax, T=T, MB=MB,
@@ -261,5 +262,7 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
     )
     mism = (lengths[hit_idx % P].astype(jnp.float32)
             - sflat[hit_idx].astype(jnp.float32))
-    return (mb_count, mb_idx, hit_count, hit_idx.astype(jnp.int32),
-            mism.astype(jnp.int32))
+    return jnp.concatenate([
+        mb_count[None], hit_count[None], mb_idx,
+        hit_idx.astype(jnp.int32), mism.astype(jnp.int32),
+    ])

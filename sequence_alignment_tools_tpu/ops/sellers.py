@@ -34,8 +34,10 @@ def _sellers_block(codes, match, lengths, nrun, k, indels, cap):
     """codes: [W] int32 (left halo Lmax+k); match: [Lmax, P, alpha] bool;
     lengths: [P] int32; nrun: [W] int32 non-EOS run length ending at i.
 
-    Returns (count, flat_idx [cap], dist [cap]) over the [P, W] grid of
-    per-boundary min distances (boundary b = i + 1).
+    Returns ONE packed int32 array [1 + 2*cap]: (count, flat_idx...,
+    dist...) over the [P, W] grid of per-boundary min distances
+    (boundary b = i + 1).  Packed into a single output because each
+    extra jit output costs a transport round-trip on this backend.
     """
     Lmax, P, alpha = match.shape
     W = codes.shape[0]
@@ -81,7 +83,7 @@ def _sellers_block(codes, match, lengths, nrun, k, indels, cap):
     count = jnp.sum(flat, dtype=jnp.int32)
     (idx,) = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])
     d = jnp.concatenate([D.reshape(-1), jnp.zeros((1,), jnp.int32)])
-    return count, idx, d[idx]
+    return jnp.concatenate([count[None], idx.astype(jnp.int32), d[idx]])
 
 
 def nonexact_runs(codes: np.ndarray, eos_code: int) -> np.ndarray:
@@ -144,22 +146,23 @@ class SellersScanner:
         W = self.block + halo
         pending = deque()
 
-        def collect(lo, dchunk, dnrun, res):
+        def collect(lo, dchunk, dnrun, res, cap):
             if self.progress:
                 self.progress(min(1.0, (lo + halo + self.block) / n))
-            count, idx, dist = res
-            count = int(count)
-            while count > self.cap:
-                self.cap = 1 << (count - 1).bit_length()
-                count, idx, dist = _sellers_block(
+            packed = np.asarray(res)
+            count = int(packed[0])
+            while count > cap:
+                cap = 1 << (count - 1).bit_length()
+                self.cap = max(self.cap, cap)
+                packed = np.asarray(_sellers_block(
                     dchunk, self.match, self.lengths_dev, dnrun,
-                    self.k, self.indels, self.cap,
-                )
-                count = int(count)
+                    self.k, self.indels, cap,
+                ))
+                count = int(packed[0])
             if count == 0:
                 return
-            idx = np.asarray(idx[:count])
-            dist = np.asarray(dist[:count])
+            idx = packed[1 : 1 + count].astype(np.int64)
+            dist = packed[1 + cap : 1 + cap + count]
             pos = idx % W  # position within chunk
             pid = idx // W
             keep = pos >= halo  # halo candidates belong to the prior block
@@ -174,7 +177,7 @@ class SellersScanner:
                 codes, nrun_all, start, halo, W, n)
             res = _sellers_block(dchunk, self.match, self.lengths_dev,
                                  dnrun, self.k, self.indels, self.cap)
-            pending.append((lo, dchunk, dnrun, res))
+            pending.append((lo, dchunk, dnrun, res, self.cap))
             while len(pending) >= 2:
                 yield from collect(*pending.popleft())
         while pending:
