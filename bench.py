@@ -64,10 +64,11 @@ def bench_tpu() -> float:
     nhits = sum(1 for _ in sc.scan(db.codes))
     for _ in sc.scan_stream(db.codes for _ in range(1)):
         pass
-    # sustained throughput: the double-buffered scan_stream pipeline keeps
-    # the device busy across scans (dispatch i+1 before collecting i), so
-    # the host round-trip amortizes as it would in production streaming
-    reps = 4
+    # sustained throughput: the grouped-fetch scan_stream pipeline keeps
+    # the device busy across scans (dispatch ahead, sync half the window
+    # per ~30 ms tunnel round-trip), so transport latency amortizes as it
+    # would in production streaming
+    reps = 32
     best = float("inf")
     for _pass in range(3):  # best-of-3: the chip is shared, draws vary ±6%
         t0 = time.perf_counter()

@@ -51,11 +51,11 @@ def _conv_scan_block(codes, weights, thresholds, lengths, alpha, cap):
     out = jax.lax.fori_loop(
         0, Lmax, step, jnp.zeros((B, weights.shape[2]), jnp.float32)
     )  # [B, P]
+    from .compact import compact_mask
+
     mism = lengths[None, :].astype(jnp.float32) - out
     hit = out >= thresholds[None, :]
-    flat = hit.reshape(-1)
-    count = jnp.sum(flat, dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])
+    count, idx = compact_mask(hit.reshape(-1), cap)
     m = jnp.concatenate([mism.reshape(-1), jnp.zeros((1,), jnp.float32)])
     return jnp.concatenate(
         [count[None], idx.astype(jnp.int32), m[idx].astype(jnp.int32)]
@@ -113,9 +113,10 @@ class ConvScanner:
             W, thr = kernel_weights(t, self.k, self.poison_eos)
             self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr))
         W, thr = self._pallas_wt
-        # larger tiles measure ~5% faster, but the K-chunked im2col
-        # scratch must still fit VMEM for wide alphabets
-        T = 8192 if W.shape[1] // 128 == 1 else 4096
+        # larger tiles measure ~7% faster (fewer grid steps), but the
+        # K-chunked im2col scratch must still fit the ~16 MB VMEM for
+        # wide alphabets: kchunks==1 keeps yt+acc+sh at ~13.5 MB
+        T = 16384 if W.shape[1] // 128 == 1 else 4096
         return pallas_scan_hits(
             codes_dev, W, thr, self.weights, self.thresholds,
             self.lengths_dev, alpha=t.alpha, Lmax=t.Lmax,
@@ -128,10 +129,16 @@ class ConvScanner:
         """Sync one dispatched result (a single packed int32 array — one
         transport round-trip), retrying with larger caps on overflow, and
         yield (end, pid, mism) tuples."""
+        packed = np.asarray(jax.device_get(res))
+        yield from self._decode_packed(packed, codes_dev, n, interpret, caps)
+
+    def _decode_packed(self, packed, codes_dev, n: int, interpret: bool,
+                       caps=None):
+        """Decode an already-fetched packed result row, retrying with
+        larger caps on overflow (a fresh dispatch + solo fetch; rare)."""
         t = self.tables
         cap_mb, hit_cap = caps or (self._cap_mb, self._hit_cap)
         while True:
-            packed = np.asarray(jax.device_get(res))
             mb_count, hit_count = int(packed[0]), int(packed[1])
             mb_idx = packed[2 : 2 + cap_mb]
             hit_idx = packed[2 + cap_mb : 2 + cap_mb + hit_cap]
@@ -144,6 +151,7 @@ class ConvScanner:
             self._hit_cap = max(self._hit_cap, hit_cap)
             res = self._pallas_dispatch(
                 codes_dev, cap_mb, hit_cap, interpret)
+            packed = np.asarray(jax.device_get(res))
         if hit_count == 0:
             return
         lengths = t.lengths
@@ -272,12 +280,30 @@ class ConvScanner:
         yield from self._pallas_decode(
             res, self._dev_codes[1], len(codes), interpret, caps)
 
-    def scan_stream(self, blocks, depth: int = 2):
-        """Pipelined scan over an iterator of flat code arrays: block i+1
-        is dispatched before block i's results are collected, so the
-        host round-trip overlaps device compute (the double-buffered HBM
-        streaming design — one RTT amortized across the stream instead
-        of one per scan).  Yields (block_index, hits_list) in order."""
+    _stack_jit = None
+
+    @classmethod
+    def _stack(cls, rs):
+        """On-device stack of same-shape packed results (one dispatch)."""
+        if cls._stack_jit is None:
+            cls._stack_jit = jax.jit(lambda *a: jnp.stack(a))
+        return cls._stack_jit(*rs)
+
+    def scan_stream(self, blocks, depth: int = 32):
+        """Pipelined scan over an iterator of flat code arrays.
+
+        Two-level latency hiding for the tunneled transport (one fetch
+        round-trip is ~30 ms regardless of payload, comparable to the
+        kernel time for a whole 16 MB block):
+
+        - block i+1 is dispatched before block i's results are collected
+          (device compute overlaps the host round-trip), and
+        - results are synced in GROUPS: when ``depth`` blocks are in
+          flight, the oldest ``depth // 2`` are stacked on device and
+          fetched with ONE ``device_get`` while the other half keeps the
+          chip busy — amortizing the round-trip across the group.
+
+        Yields (block_index, hits_list) in order."""
         from collections import deque
 
         if not self.use_pallas:
@@ -286,6 +312,23 @@ class ConvScanner:
             return
         pending = deque()
         interpret = self.pallas_interpret
+
+        def flush(count):
+            # stack only the leading run with identical caps (packed rows
+            # must share a length; caps can grow after an overflow retry)
+            group = [pending.popleft()]
+            while len(group) < count and pending and \
+                    pending[0][4] == group[0][4]:
+                group.append(pending.popleft())
+            if len(group) == 1:
+                j, r, d, n, c = group[0]
+                yield j, list(self._pallas_decode(r, d, n, interpret, c))
+                return
+            rows = np.asarray(
+                jax.device_get(self._stack([g[1] for g in group])))
+            for (j, r, d, n, c), row in zip(group, rows):
+                yield j, list(self._decode_packed(row, d, n, interpret, c))
+
         for i, codes in enumerate(blocks):
             # reuse the device copy when the same host array repeats
             cached = getattr(self, "_dev_codes", None)
@@ -297,12 +340,10 @@ class ConvScanner:
             caps = (self._cap_mb, self._hit_cap)
             res = self._pallas_dispatch(dev, caps[0], caps[1], interpret)
             pending.append((i, res, dev, len(codes), caps))
-            while len(pending) >= depth:
-                j, r, d, n, c = pending.popleft()
-                yield j, list(self._pallas_decode(r, d, n, interpret, c))
+            if len(pending) >= depth:
+                yield from flush(max(depth // 2, 1))
         while pending:
-            j, r, d, n, c = pending.popleft()
-            yield j, list(self._pallas_decode(r, d, n, interpret, c))
+            yield from flush(len(pending))
 
     def scan(self, codes: np.ndarray):
         """Iterate candidate tuples over the whole array (host generator)."""

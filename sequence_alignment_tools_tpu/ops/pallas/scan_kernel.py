@@ -213,15 +213,14 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
     Packed because on the tunneled device transport each additional jit
     output costs a full extra round-trip (~30 ms measured) — one array,
     one fetch."""
+    from ..compact import compact_mask
+
     n = codes.shape[0]
     P = wconv.shape[2]
     mh = _microhits_impl(codes, W, thr, alpha=alpha, Lmax=Lmax, T=T, MB=MB,
                          interpret=interpret)
     nmb = mh.shape[0]
-    nz = mh != 0
-    mb_count = jnp.sum(nz, dtype=jnp.int32)
-    (mb_idx,) = jnp.nonzero(nz, size=cap_mb, fill_value=nmb)
-    mb_idx = mb_idx.astype(jnp.int32)
+    mb_count, mb_idx = compact_mask(mh != 0, cap_mb)
 
     win_len = MB + Lmax - 1
     # pad with EOS so windows crossing the array end behave exactly like the
@@ -253,9 +252,7 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
                      preferred_element_type=jnp.bfloat16)  # [cap*MB, P]
     valid = jnp.repeat(mb_idx < nmb, MB)[:, None]
     hit = (scores >= thresholds[None, :].astype(jnp.bfloat16)) & valid
-    flat = hit.reshape(-1)
-    hit_count = jnp.sum(flat, dtype=jnp.int32)
-    (hit_idx,) = jnp.nonzero(flat, size=hit_cap, fill_value=flat.shape[0])
+    hit_count, hit_idx = compact_mask(hit.reshape(-1), hit_cap)
     # mismatch counts gathered per hit only (never materialized densely)
     sflat = jnp.concatenate(
         [scores.reshape(-1), jnp.zeros((1,), jnp.bfloat16)]

@@ -78,10 +78,10 @@ def _sellers_block(codes, match, lengths, nrun, k, indels, cap):
     D0 = jnp.zeros((P, W), dtype=jnp.int32)
     D = jax.lax.fori_loop(0, Lmax, row, D0)
 
+    from .compact import compact_mask
+
     hit = D <= k
-    flat = hit.reshape(-1)
-    count = jnp.sum(flat, dtype=jnp.int32)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=flat.shape[0])
+    count, idx = compact_mask(hit.reshape(-1), cap)
     d = jnp.concatenate([D.reshape(-1), jnp.zeros((1,), jnp.int32)])
     return jnp.concatenate([count[None], idx.astype(jnp.int32), d[idx]])
 
