@@ -95,9 +95,13 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
     KPAD = kchunks * LANE
     for j in range(LJ):
         sh_ref[j, :] = codes_ref[0, 0, j : j + T]
-    tiled = pltpu.repeat(sh_ref[:], alpha, axis=0)  # [K, T]
-    cvec = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0) // LJ
-    yt_ref[0:K, :] = (tiled == cvec).astype(jnp.bfloat16)
+    # one compare per class over the [LJ, T] shifted block (reads sh alpha
+    # times) instead of pltpu.repeat + iota compare (which materializes an
+    # extra [K, T] int32 — the VPU build, not the matmul, bounds this
+    # kernel, so writes are the budget)
+    sh = sh_ref[:]
+    for c in range(alpha):
+        yt_ref[c * LJ : (c + 1) * LJ, :] = (sh == c).astype(jnp.bfloat16)
     if K < KPAD:
         yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, T), jnp.bfloat16)
     acc_ref[:] = jnp.zeros((LANE, T), jnp.float32)
@@ -128,6 +132,7 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
     hits whose start position falls in each MB-position microblock."""
     if Lmax > HALO:
         raise NotImplementedError(f"Lmax {Lmax} exceeds kernel halo {HALO}")
+    codes = codes.astype(jnp.int32)  # shipped uint8 (4x less transport)
     n = codes.shape[0]
     ntiles = max((n + T - 1) // T, 1)
     ptiles = W.shape[0] // LANE
@@ -206,15 +211,18 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
 
     codes: [n] int32; wconv: [Lmax, alpha, P] bf16 (conv_weights layout);
     thresholds, lengths: [P] f32 / int32.
-    Returns ONE packed int32 array [2 + cap_mb + 2*hit_cap]:
-    (mb_count, hit_count, mb_idx..., hit_idx..., hit_mism...) — hit_idx
-    flat-indexes [cap_mb, MB, P] row-major; overflow when mb_count >
-    cap_mb or hit_count > hit_cap (caller retries with bigger caps).
-    Packed because on the tunneled device transport each additional jit
-    output costs a full extra round-trip (~30 ms measured) — one array,
-    one fetch."""
+    Returns ONE packed int32 array: (mb_count, hit_count, mb_idx...,
+    hits...) — a hit flat-indexes [cap_mb, MB, P] row-major; overflow
+    when mb_count > cap_mb or hit_count > hit_cap (caller retries with
+    bigger caps).  When the flat index space fits 24 bits the mismatch
+    count rides in the hit word's high byte (``mism << 24 | idx``, row
+    length 2 + cap_mb + hit_cap); otherwise mismatches follow as a
+    separate section (row length 2 + cap_mb + 2*hit_cap).  Packed because
+    on the tunneled device transport fetch cost is RTT + payload/~20MB/s
+    — one small array, one fetch."""
     from ..compact import compact_mask
 
+    codes = codes.astype(jnp.int32)  # shipped uint8 (4x less transport)
     n = codes.shape[0]
     P = wconv.shape[2]
     mh = _microhits_impl(codes, W, thr, alpha=alpha, Lmax=Lmax, T=T, MB=MB,
@@ -257,9 +265,14 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
     sflat = jnp.concatenate(
         [scores.reshape(-1), jnp.zeros((1,), jnp.bfloat16)]
     )
-    mism = (lengths[hit_idx % P].astype(jnp.float32)
-            - sflat[hit_idx].astype(jnp.float32))
+    mism = jnp.clip(
+        lengths[hit_idx % P].astype(jnp.int32)
+        - sflat[hit_idx].astype(jnp.int32), 0, 127)
+    if cap_mb * MB * P < (1 << 24):
+        hits = (mism << 24) | hit_idx.astype(jnp.int32)
+        return jnp.concatenate(
+            [mb_count[None], hit_count[None], mb_idx, hits])
     return jnp.concatenate([
         mb_count[None], hit_count[None], mb_idx,
-        hit_idx.astype(jnp.int32), mism.astype(jnp.int32),
+        hit_idx.astype(jnp.int32), mism,
     ])

@@ -29,29 +29,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("k", "indels", "cap"))
-def _sellers_block(codes, match, lengths, nrun, k, indels, cap):
-    """codes: [W] int32 (left halo Lmax+k); match: [Lmax, P, alpha] bool;
-    lengths: [P] int32; nrun: [W] int32 non-EOS run length ending at i.
+@functools.partial(jax.jit, static_argnames=("eos", "k", "indels", "cap"))
+def _sellers_block(codes, match, lengths, eos, k, indels, cap):
+    """codes: [W] uint8 (left halo Lmax+k, shipped narrow — the tunneled
+    transport runs ~56 MB/s); match: [Lmax, P, alpha] bool; lengths: [P]
+    int32; eos: the EOS alphabet code.
 
     Returns ONE packed int32 array [1 + 2*cap]: (count, flat_idx...,
     dist...) over the [P, W] grid of per-boundary min distances
     (boundary b = i + 1).  Packed into a single output because each
     extra jit output costs a transport round-trip on this backend.
+
+    The non-EOS run length ``nrun`` is derived on device (a max-scan of
+    EOS positions).  Within-chunk truncation at the left edge is safe:
+    candidates in the halo are discarded by the caller, and kept
+    positions (>= halo >= k in) only ever test ``nrun >= t`` for t <= k.
     """
     Lmax, P, alpha = match.shape
     W = codes.shape[0]
     INF = np.int32(k + 1)
-    onehot_codes = codes  # gather index per position
+    codes = codes.astype(jnp.int32)
+    iota = jax.lax.iota(jnp.int32, W)
+    last_eos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(codes == eos, iota, -1))
+    nrun = iota - last_eos
+    # row-invariant masks, hoisted: the per-class one-hot rows (an XLA
+    # gather from the [P, alpha] match row is ~10x the cost of the whole
+    # row's elementwise DP; an unrolled broadcast-AND over the tiny
+    # static alpha axis fuses into one pass) and the EOS / run gates
+    eq = codes[None, :] == jax.lax.iota(jnp.int32, alpha)[:, None]  # [A, W]
+    at_eos = (nrun == 0)[None, :]
+    allowed = [(nrun >= t)[None, :] for t in range(k + 1)]
 
     def row(j, D):
         # D: [P, W] distances for pattern prefix j
         mrow = match[j]  # [P, alpha]
-        ok = jnp.take(mrow, onehot_codes, axis=1)  # [P, W] does pat[j] match?
+        ok = jnp.zeros((P, W), bool)
+        for c in range(alpha):
+            ok = ok | (eq[c][None, :] & mrow[:, c][:, None])
         subc = jnp.where(ok, 0, 1).astype(jnp.int32)
         # EOS: no sub/ins/del; match of a pattern char vs EOS is already
         # impossible (EOS never in a match row), so make diag cost INF there.
-        at_eos = (nrun == 0)[None, :]
         diag_prev = jnp.concatenate(
             [jnp.full((P, 1), INF, jnp.int32), D[:, :-1]], axis=1
         )
@@ -66,9 +84,8 @@ def _sellers_block(codes, match, lengths, nrun, k, indels, cap):
                 shifted = jnp.concatenate(
                     [jnp.full((P, t), INF, jnp.int32), base[:, :-t]], axis=1
                 )
-                allowed = (nrun >= t)[None, :]
                 out = jnp.minimum(
-                    out, jnp.where(allowed, shifted + t, INF)
+                    out, jnp.where(allowed[t], shifted + t, INF)
                 )
         out = jnp.minimum(out, INF)
         # rows past a pattern's length are identity (pattern finished)
@@ -78,10 +95,25 @@ def _sellers_block(codes, match, lengths, nrun, k, indels, cap):
     D0 = jnp.zeros((P, W), dtype=jnp.int32)
     D = jax.lax.fori_loop(0, Lmax, row, D0)
 
-    from .compact import compact_mask
+    from .compact import _topk_idx
 
+    # two-level compaction along the TEXT axis: compact the occupied
+    # boundary columns (almost-empty [W] mask), then the gathered
+    # [P, pcap] submatrix — a flat top_k over the whole [P, W] grid costs
+    # as much as the DP itself.  Emitted order is (pattern, column-rank),
+    # not flat order: the caller lexsorts by (end, pattern) anyway, and
+    # the overflow contract holds because count >= occupied columns, so
+    # count <= cap implies every occupied column was kept.
     hit = D <= k
-    count, idx = compact_mask(hit.reshape(-1), cap)
+    colcnt = jnp.sum(hit, axis=0, dtype=jnp.int32)  # [W]
+    count = jnp.sum(colcnt, dtype=jnp.int32)
+    pcap = min(cap, W)
+    pidx = _topk_idx(colcnt > 0, pcap)  # ascending columns, fill W
+    sub = hit[:, jnp.minimum(pidx, W - 1)] & (pidx < W)[None, :]
+    sidx = _topk_idx(sub.reshape(-1), cap)  # over [P, pcap] row-major
+    svalid = sidx < P * pcap
+    cols = pidx[jnp.minimum(sidx % pcap, pcap - 1)]
+    idx = jnp.where(svalid, (sidx // pcap) * W + cols, P * W)
     d = jnp.concatenate([D.reshape(-1), jnp.zeros((1,), jnp.int32)])
     return jnp.concatenate([count[None], idx.astype(jnp.int32), d[idx]])
 
@@ -107,7 +139,11 @@ class SellersScanner:
     (end, pattern)."""
 
     def __init__(self, tables, k: int, indels: bool = True,
-                 block: int = 1 << 20, cap: int = 1 << 16):
+                 block: int = 1 << 20, cap: int = 1 << 12):
+        # cap default: the packed result row is 1 + 2*cap int32 and the
+        # transport runs ~20 MB/s on fetches — a 64K cap costs ~26 ms of
+        # payload per block while typical blocks carry a few hundred
+        # candidates; overflow retries (geometric growth) cover dense runs
         self.tables = tables
         self.k = k
         self.indels = indels
@@ -121,17 +157,14 @@ class SellersScanner:
         # optional per-block progress callback (pattern_match.h:144-155)
         self.progress = None
 
-    def _block_inputs(self, codes, nrun_all, start, halo, W, n):
+    def _block_inputs(self, codes, start, halo, W, n):
         t = self.tables
         lo = start - halo
-        chunk = np.full(W, t.eos_code, dtype=np.int32)
-        nrun = np.zeros(W, dtype=np.int32)
+        chunk = np.full(W, t.eos_code, dtype=np.uint8)
         s0 = max(0, lo)
         hi = min(n, start + self.block)
         chunk[s0 - lo : W - max(0, (start + self.block) - n)] = codes[s0:hi]
-        nrun[s0 - lo : W - max(0, (start + self.block) - n)] = \
-            nrun_all[s0:hi]
-        return lo, jnp.asarray(chunk), jnp.asarray(nrun)
+        return lo, jnp.asarray(chunk)
 
     def scan(self, codes: np.ndarray):
         """Pipelined block scan: block i+1 is dispatched before block i's
@@ -142,11 +175,10 @@ class SellersScanner:
         t = self.tables
         halo = t.Lmax + self.k
         n = len(codes)
-        nrun_all = nonexact_runs(codes, t.eos_code)
         W = self.block + halo
         pending = deque()
 
-        def collect(lo, dchunk, dnrun, res, cap):
+        def collect(lo, dchunk, res, cap):
             if self.progress:
                 self.progress(min(1.0, (lo + halo + self.block) / n))
             packed = np.asarray(res)
@@ -155,7 +187,7 @@ class SellersScanner:
                 cap = 1 << (count - 1).bit_length()
                 self.cap = max(self.cap, cap)
                 packed = np.asarray(_sellers_block(
-                    dchunk, self.match, self.lengths_dev, dnrun,
+                    dchunk, self.match, self.lengths_dev, t.eos_code,
                     self.k, self.indels, cap,
                 ))
                 count = int(packed[0])
@@ -173,11 +205,10 @@ class SellersScanner:
                 yield int(e), int(p), int(d)
 
         for start in range(0, n, self.block):
-            lo, dchunk, dnrun = self._block_inputs(
-                codes, nrun_all, start, halo, W, n)
+            lo, dchunk = self._block_inputs(codes, start, halo, W, n)
             res = _sellers_block(dchunk, self.match, self.lengths_dev,
-                                 dnrun, self.k, self.indels, self.cap)
-            pending.append((lo, dchunk, dnrun, res, self.cap))
+                                 t.eos_code, self.k, self.indels, self.cap)
+            pending.append((lo, dchunk, res, self.cap))
             while len(pending) >= 2:
                 yield from collect(*pending.popleft())
         while pending:
