@@ -104,13 +104,22 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
         yt_ref[c * LJ : (c + 1) * LJ, :] = (sh == c).astype(jnp.bfloat16)
     if K < KPAD:
         yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, T), jnp.bfloat16)
-    acc_ref[:] = jnp.zeros((LANE, T), jnp.float32)
-    for kc in range(kchunks):
-        acc_ref[:] += jnp.dot(
-            wt_ref[0, kc], yt_ref[kc * LANE : (kc + 1) * LANE],
-            preferred_element_type=jnp.float32,
-        )
-    hit = (acc_ref[:] >= thr_ref[0]).astype(jnp.float32)
+    if kchunks == 1:
+        # single K chunk: matmul feeds the compare directly — no f32
+        # accumulator scratch round-trip (acc_ref is a dummy here)
+        scores = jnp.dot(wt_ref[0, 0], yt_ref[:],
+                         preferred_element_type=jnp.float32)
+    else:
+        acc_ref[:] = jnp.zeros((LANE, T), jnp.float32)
+        for kc in range(kchunks):
+            acc_ref[:] += jnp.dot(
+                wt_ref[0, kc], yt_ref[kc * LANE : (kc + 1) * LANE],
+                preferred_element_type=jnp.float32,
+            )
+        scores = acc_ref[:]
+    # per-position hit counts <= P <= 128: exact in bf16, halving the
+    # reduce-tree and output traffic
+    hit = (scores >= thr_ref[0]).astype(jnp.bfloat16)
     s = hit
     r = LANE
     while r > 1:
@@ -159,7 +168,7 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
             _scan_kernel, alpha=alpha, Lmax=Lmax, T=T, kchunks=kchunks
         ),
         out_shape=jax.ShapeDtypeStruct((ntiles, ptiles, 1, T),
-                                       jnp.float32),
+                                       jnp.bfloat16),
         grid=(ntiles, ptiles),
         in_specs=[
             pl.BlockSpec((1, 1, T + HALO), lambda i, j: (i, 0, 0),
@@ -173,14 +182,18 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((kchunks * LANE, T), jnp.bfloat16),
-            pltpu.VMEM((LANE, T), jnp.float32),
+            # single-chunk kernels feed the matmul straight into the
+            # compare; the accumulator scratch shrinks to a dummy tile
+            pltpu.VMEM((LANE, T) if kchunks > 1 else (8, LANE),
+                       jnp.float32),
             pltpu.VMEM((_lj(Lmax), T), jnp.int32),
         ],
         interpret=interpret,
     )(codes2d, W4, thr3)
     # per-position counts add across pattern tiles; microblock totals as
-    # one XLA reshape-sum (fast HBM-bound reduce; see kernel docstring)
-    return out.sum(axis=1).reshape(-1, MB).sum(axis=1)
+    # one XLA reshape-sum (fast HBM-bound reduce; microblock sums can
+    # exceed bf16's exact-integer range, so widen first)
+    return out.astype(jnp.float32).sum(axis=1).reshape(-1, MB).sum(axis=1)
 
 
 def _microhits_impl(codes, W, thr, *, alpha, Lmax, T, MB, interpret):
