@@ -206,7 +206,24 @@ def compress(
 
 def _read_raw(fasta_path, eos, init_eos, eos_char, uppercase):
     """Replicates compress_seq pass 1: char filter 33..126, uppercase, EOS
-    layout, entry keys and header offsets (compress_seq.cc:438-630)."""
+    layout, entry keys and header offsets (compress_seq.cc:438-630).
+    Uses the native one-sweep packer (native/fasta_pack.cpp) when available;
+    the Python loop below is the portable fallback and conformance oracle."""
+    from .fasta import native_pass1
+
+    res = native_pass1(
+        fasta_path, filter_mode=1, uppercase=uppercase,
+        eos_between=eos, eos_start=init_eos, eos_char=eos_char,
+    )
+    if res is not None:
+        raw, starts, _lengths, headers = res
+        hdr_offsets = np.zeros(len(headers), dtype=np.int64)
+        off = 0
+        for i, h in enumerate(headers):
+            hdr_offsets[i] = off
+            off += len(h) + 1
+        return raw, headers, starts, hdr_offsets, [0] * len(headers)
+
     headers: list[str] = []
     parts: list[np.ndarray] = []
     entry_keys: list[int] = []
@@ -247,7 +264,33 @@ def _read_raw(fasta_path, eos, init_eos, eos_char, uppercase):
 
 
 def build_suffix_array(codes: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (O(n log^2 n), fully vectorized)."""
+    """Suffix array of the code space: linear-time native SA-IS
+    (native/sais.cpp) when the toolchain is available, NumPy prefix
+    doubling (O(n log^2 n), fully vectorized) otherwise.  Both produce the
+    identical array (a proper-prefix suffix sorts first)."""
+    import ctypes
+
+    n = len(codes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    from ..native import load_sais_lib
+
+    lib = load_sais_lib()
+    if lib is not None:
+        codes8 = np.ascontiguousarray(codes, dtype=np.uint8)
+        out = np.empty(n, dtype=np.int64)
+        rc = lib.sat_suffix_array(
+            codes8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc == 0:
+            return out
+    return _build_suffix_array_numpy(codes)
+
+
+def _build_suffix_array_numpy(codes: np.ndarray) -> np.ndarray:
+    """Prefix-doubling fallback (and the fuzz oracle for the native SA-IS)."""
     n = len(codes)
     if n == 0:
         return np.empty(0, dtype=np.int64)

@@ -1,22 +1,29 @@
 """Native (C++) host-runtime components.
 
-The verify DP — the per-candidate hot loop on the host side of the
-filter->verify pipeline — is built as a C-ABI shared library on first use
+Host-side hot loops are built as C-ABI shared libraries on first use
 (g++ is part of the deployment image; pybind11 is not, so binding is plain
 ctypes).  All callers fall back to the pure-Python implementation when the
-toolchain is unavailable."""
+toolchain is unavailable.  Components:
+
+- ``verify_dp.cpp`` — the per-candidate banded edit-distance DP on the host
+  side of the filter->verify pipeline (pattern_alignment.cc:117-463 /
+  primer_alignment.cc:10-463 semantics).
+- ``fasta_pack.cpp`` — FASTA pass-1: parse + filter + uppercase + EOS layout
+  into the flat code space (compress_seq.cc:438-630 / fasta_io.t streaming
+  readers), the data-loader's hot loop.
+- ``sais.cpp`` — linear-time SA-IS suffix array construction for the
+  persisted ``.sqn.st`` index (replaces the O(n log^2 n) prefix-doubling
+  path for large databases).
+"""
 
 from __future__ import annotations
 
 import ctypes
 import os
 import subprocess
-import sys
-import tempfile
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_LIB = None
-_TRIED = False
+_LIBS: dict[str, object] = {}
 
 
 def _build_dir() -> str:
@@ -30,16 +37,16 @@ def _build_dir() -> str:
     return d
 
 
-def load_verify_lib():
-    """Load (building if needed) the native verify DP; None if unavailable."""
-    global _LIB, _TRIED
-    if _TRIED:
-        return _LIB
-    _TRIED = True
+def _load(name: str, src_name: str):
+    """Build (if stale) and dlopen native/<src_name> as lib<name>.so;
+    None when the toolchain is unavailable or SAT_TPU_NO_NATIVE is set."""
     if os.environ.get("SAT_TPU_NO_NATIVE"):
         return None
-    src = os.path.join(_HERE, "verify_dp.cpp")
-    out = os.path.join(_build_dir(), "libsatverify.so")
+    if name in _LIBS:
+        return _LIBS[name]
+    _LIBS[name] = None
+    src = os.path.join(_HERE, src_name)
+    out = os.path.join(_build_dir(), f"lib{name}.so")
     try:
         if (not os.path.exists(out)
                 or os.path.getmtime(out) < os.path.getmtime(src)):
@@ -50,9 +57,17 @@ def load_verify_lib():
             if r.returncode != 0:
                 return None
             os.replace(out + ".tmp", out)
-        lib = ctypes.CDLL(out)
+        _LIBS[name] = ctypes.CDLL(out)
     except Exception:
         return None
+    return _LIBS[name]
+
+
+def load_verify_lib():
+    """Load (building if needed) the native verify DP; None if unavailable."""
+    lib = _load("satverify", "verify_dp.cpp")
+    if lib is None or getattr(lib, "_sat_bound", False):
+        return lib
     c_i8p = ctypes.POINTER(ctypes.c_int8)
     c_u8p = ctypes.POINTER(ctypes.c_uint8)
     c_i32p = ctypes.POINTER(ctypes.c_int32)
@@ -82,5 +97,40 @@ def load_verify_lib():
         c_u8p, c_i8p,                          # compat, aasub
         c_i32p, c_i32p, c_i32p,                # ok, matchlen, value
     ]
-    _LIB = lib
-    return _LIB
+    lib._sat_bound = True
+    return lib
+
+
+def load_fasta_lib():
+    """Native FASTA pass-1 packer; None if unavailable."""
+    lib = _load("satfasta", "fasta_pack.cpp")
+    if lib is None or getattr(lib, "_sat_bound", False):
+        return lib
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sat_fasta_pass1.restype = ctypes.c_int64
+    lib.sat_fasta_pass1.argtypes = [
+        c_u8p, ctypes.c_int64,                 # data, n
+        ctypes.c_int32, ctypes.c_int32,        # filter_mode, uppercase
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_uint8,  # eos, init_eos, char
+        c_u8p,                                 # out_seq
+        c_i64p, c_i64p,                        # entry_starts, entry_lengths
+        c_i64p, c_i64p,                        # hdr_start, hdr_end
+        ctypes.c_int64,                        # max_entries
+        c_i64p,                                # out_meta [seq_len, n_entries]
+    ]
+    lib._sat_bound = True
+    return lib
+
+
+def load_sais_lib():
+    """Native SA-IS suffix array builder; None if unavailable."""
+    lib = _load("satsais", "sais.cpp")
+    if lib is None or getattr(lib, "_sat_bound", False):
+        return lib
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sat_suffix_array.restype = ctypes.c_int
+    lib.sat_suffix_array.argtypes = [c_u8p, ctypes.c_int64, c_i64p]
+    lib._sat_bound = True
+    return lib
