@@ -68,7 +68,7 @@ def bench_tpu() -> float:
     # the device busy across scans (dispatch ahead, sync half the window
     # per ~30 ms tunnel round-trip), so transport latency amortizes as it
     # would in production streaming
-    reps = 32
+    reps = 64
     best = float("inf")
     for _pass in range(3):  # best-of-3: the chip is shared, draws vary ±6%
         t0 = time.perf_counter()

@@ -299,7 +299,7 @@ class ConvScanner:
             cls._stack_jit = jax.jit(lambda *a: jnp.stack(a))
         return cls._stack_jit(*rs)
 
-    def scan_stream(self, blocks, depth: int = 32):
+    def scan_stream(self, blocks, depth: int = 128):
         """Pipelined scan over an iterator of flat code arrays.
 
         Two-level latency hiding for the tunneled transport (one fetch
@@ -312,6 +312,12 @@ class ConvScanner:
           flight, the oldest ``depth // 2`` are stacked on device and
           fetched with ONE ``device_get`` while the other half keeps the
           chip busy — amortizing the round-trip across the group.
+
+        Depth 128 measures at the pure-dispatch device ceiling (~13%
+        over depth 32): half the window is ~0.6 s of queued kernel work,
+        which fully hides the ~100 ms grouped fetch.  Packed results are
+        ~20 KB each, so a deep window costs <3 MB of device memory on
+        top of the in-flight input blocks.
 
         Yields (block_index, hits_list) in order."""
         from collections import deque

@@ -72,7 +72,8 @@ def kernel_weights(tables, k: int, poison_eos: bool):
 
 
 def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
-                 sh_ref, *, alpha: int, Lmax: int, T: int, kchunks: int):
+                 sh_ref, *, alpha: int, Lmax: int, T: int, kchunks: int,
+                 plive: int):
     # wt_ref: [1, kchunks, LANE, LANE] (this grid step's pattern tile);
     # thr_ref: [1, LANE, 1]; out_ref: [1, 1, 1, T]
     """One tile: codes row [1, T + HALO] int32 -> per-position hit counts.
@@ -89,15 +90,24 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
     with M=1 occupancy).  The MB-lane microblock reduction happens
     OUTSIDE the kernel as an XLA reshape-sum — in-kernel it needed a
     ``[T, T//MB]`` indicator matmul that cost ~2x the main scan matmul
-    and 8 MB of VMEM."""
+    and 8 MB of VMEM.
+
+    ``plive`` (a power of two >= 8) restricts the matmul M dimension,
+    the threshold compare and the reduce tree to the sublane rows that
+    hold real patterns — the pad rows of the 128-row pattern tile can
+    never fire (threshold 3e38), so with few patterns (the typical
+    primer set) this skips ~3/4 of the VPU work that used to bound the
+    kernel."""
     LJ = _lj(Lmax)
     K = LJ * alpha
     KPAD = kchunks * LANE
+    # staged as int32: bf16/int8 equality compares are unsupported by this
+    # Mosaic target (v5e rejects arith.cmpf eq on bf16 vectors)
     for j in range(LJ):
         sh_ref[j, :] = codes_ref[0, 0, j : j + T]
     # one compare per class over the [LJ, T] shifted block (reads sh alpha
     # times) instead of pltpu.repeat + iota compare (which materializes an
-    # extra [K, T] int32 — the VPU build, not the matmul, bounds this
+    # extra [K, T] block — the VPU build, not the matmul, bounds this
     # kernel, so writes are the budget)
     sh = sh_ref[:]
     for c in range(alpha):
@@ -107,21 +117,22 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
     if kchunks == 1:
         # single K chunk: matmul feeds the compare directly — no f32
         # accumulator scratch round-trip (acc_ref is a dummy here)
-        scores = jnp.dot(wt_ref[0, 0], yt_ref[:],
+        scores = jnp.dot(wt_ref[0, 0, :plive, :], yt_ref[:],
                          preferred_element_type=jnp.float32)
     else:
-        acc_ref[:] = jnp.zeros((LANE, T), jnp.float32)
+        acc_ref[:] = jnp.zeros((plive, T), jnp.float32)
         for kc in range(kchunks):
             acc_ref[:] += jnp.dot(
-                wt_ref[0, kc], yt_ref[kc * LANE : (kc + 1) * LANE],
+                wt_ref[0, kc, :plive, :],
+                yt_ref[kc * LANE : (kc + 1) * LANE],
                 preferred_element_type=jnp.float32,
             )
         scores = acc_ref[:]
     # per-position hit counts <= P <= 128: exact in bf16, halving the
     # reduce-tree and output traffic
-    hit = (scores >= thr_ref[0]).astype(jnp.bfloat16)
+    hit = (scores >= thr_ref[0, :plive]).astype(jnp.bfloat16)
     s = hit
-    r = LANE
+    r = plive
     while r > 1:
         r //= 2
         s = s[:r, :] + s[r : 2 * r, :]
@@ -130,13 +141,16 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("alpha", "Lmax", "T", "MB", "interpret"),
+    static_argnames=("alpha", "Lmax", "T", "MB", "interpret", "n_pat"),
 )
 def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
-                     MB: int = 32, interpret: bool = False):
+                     MB: int = 32, interpret: bool = False,
+                     n_pat: int | None = None):
     """Microblock candidate counts over the whole code array.
 
     codes: [n] int32 device array (EOS-padded is fine).
+    n_pat: number of REAL pattern rows in W (rest are pad); single-tile
+    kernels restrict their VPU work to the next power of two of this.
     Returns counts [ntiles * T // MB] f32 — number of (window-start, pattern)
     hits whose start position falls in each MB-position microblock."""
     if Lmax > HALO:
@@ -146,6 +160,11 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
     ntiles = max((n + T - 1) // T, 1)
     ptiles = W.shape[0] // LANE
     kchunks = W.shape[1] // LANE
+    if ptiles == 1 and n_pat is not None:
+        plive = max(8, 1 << (max(n_pat, 1) - 1).bit_length())
+        plive = min(plive, LANE)
+    else:
+        plive = LANE
     # overlapping tile rows [ntiles, T + HALO] — the only large HBM array
     padded = jnp.concatenate(
         [codes, jnp.zeros(ntiles * T + HALO - n, jnp.int32)]
@@ -165,7 +184,8 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
 
     out = pl.pallas_call(
         functools.partial(
-            _scan_kernel, alpha=alpha, Lmax=Lmax, T=T, kchunks=kchunks
+            _scan_kernel, alpha=alpha, Lmax=Lmax, T=T, kchunks=kchunks,
+            plive=plive,
         ),
         out_shape=jax.ShapeDtypeStruct((ntiles, ptiles, 1, T),
                                        jnp.bfloat16),
@@ -184,7 +204,7 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
             pltpu.VMEM((kchunks * LANE, T), jnp.bfloat16),
             # single-chunk kernels feed the matmul straight into the
             # compare; the accumulator scratch shrinks to a dummy tile
-            pltpu.VMEM((LANE, T) if kchunks > 1 else (8, LANE),
+            pltpu.VMEM((plive, T) if kchunks > 1 else (8, LANE),
                        jnp.float32),
             pltpu.VMEM((_lj(Lmax), T), jnp.int32),
         ],
@@ -196,12 +216,13 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
     return out.astype(jnp.float32).sum(axis=1).reshape(-1, MB).sum(axis=1)
 
 
-def _microhits_impl(codes, W, thr, *, alpha, Lmax, T, MB, interpret):
+def _microhits_impl(codes, W, thr, *, alpha, Lmax, T, MB, interpret,
+                    n_pat=None):
     """Non-jitted body of :func:`pallas_microhits` for fusion into larger
     jitted pipelines."""
     return pallas_microhits.__wrapped__(
         codes, W, thr, alpha=alpha, Lmax=Lmax, T=T, MB=MB,
-        interpret=interpret,
+        interpret=interpret, n_pat=n_pat,
     )
 
 
@@ -239,7 +260,7 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
     n = codes.shape[0]
     P = wconv.shape[2]
     mh = _microhits_impl(codes, W, thr, alpha=alpha, Lmax=Lmax, T=T, MB=MB,
-                         interpret=interpret)
+                         interpret=interpret, n_pat=P)
     nmb = mh.shape[0]
     mb_count, mb_idx = compact_mask(mh != 0, cap_mb)
 
