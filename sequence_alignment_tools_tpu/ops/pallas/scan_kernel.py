@@ -10,8 +10,8 @@ evaluated transposed — positions on lanes — so the im2col matrix is built in
 VMEM from nothing but static lane-slices of the raw code row and never
 touches HBM:
 
-    Yt[m, t] = (codes[t + m % Lmax] == m // Lmax)        (K x T, bf16)
-    scoresT  = sum_chunks  Wt[:, chunk] @ Yt_chunk       (P x T, MXU)
+    Yt[m, t] = (codes[t + m % Lmax] == m // Lmax)        (K x T, int8)
+    scoresT  = sum_chunks  Wt[:, chunk] @ Yt_chunk       (P x T, int8 MXU)
 
 Per T-position tile the only HBM traffic is the [1, T + HALO] code row
 (int32) and a [1, T // MB] microblock-count row out: ~4 bytes/base total.
@@ -50,11 +50,18 @@ def _lj(Lmax: int) -> int:
 
 
 def kernel_weights(tables, k: int, poison_eos: bool):
-    """Wt [PPAD, KPAD] bf16 + thresholds [PPAD, 1] f32.
+    """Wt [PPAD, KPAD] int8 + thresholds [PPAD, 1] int32.
 
     K-lane m encodes (j = m % LJ, c = m // LJ) with LJ = Lmax rounded up
     to a sublane multiple; the pad columns (j >= Lmax) and padded pattern
-    rows carry zero weight / an unreachable threshold."""
+    rows carry zero weight / an unreachable threshold.
+
+    int8 (not bf16): the v5e MXU multiplies int8 natively with an int32
+    accumulator, and the one-hot im2col build — the VPU work that bounds
+    this kernel — writes half the bytes.  Weights are {0, 1, poison};
+    the EOS poison clamps to -127, which still sinks any window score
+    below every threshold: one poisoned position bounds the score by
+    Lmax - 1 - 127 <= 0 < 1 <= L_p - k (Lmax <= HALO = 128)."""
     from ..tables import conv_weights
 
     w = conv_weights(tables, k, poison_eos).astype(np.float32)  # [L, A, P]
@@ -66,9 +73,9 @@ def kernel_weights(tables, k: int, poison_eos: bool):
     Wt = np.zeros((PPAD, KPAD), dtype=np.float32)
     for c in range(alpha):
         Wt[:P, c * LJ : c * LJ + Lmax] = w[:, c, :].T
-    thr = np.full((PPAD, 1), 3.0e38, dtype=np.float32)
-    thr[:P, 0] = tables.lengths.astype(np.float32) - float(k)
-    return Wt.astype("bfloat16"), thr
+    thr = np.full((PPAD, 1), 1 << 30, dtype=np.int32)
+    thr[:P, 0] = tables.lengths.astype(np.int32) - int(k)
+    return np.clip(Wt, -127, 127).astype(np.int8), thr
 
 
 def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
@@ -101,31 +108,35 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
     LJ = _lj(Lmax)
     K = LJ * alpha
     KPAD = kchunks * LANE
-    # staged as int32: bf16/int8 equality compares are unsupported by this
-    # Mosaic target (v5e rejects arith.cmpf eq on bf16 vectors)
+    # codes arrive as uint8 tiles (4x less HBM traffic than int32 — the
+    # tile-building glue used to cost as much as the kernel) and widen
+    # once in VMEM; staged as int32 because bf16/int8 equality compares
+    # are unsupported by this Mosaic target (v5e rejects arith.cmpf eq
+    # on bf16 vectors)
+    row = codes_ref[0, 0, :].astype(jnp.int32)
     for j in range(LJ):
-        sh_ref[j, :] = codes_ref[0, 0, j : j + T]
+        sh_ref[j, :] = row[j : j + T]
     # one compare per class over the [LJ, T] shifted block (reads sh alpha
     # times) instead of pltpu.repeat + iota compare (which materializes an
     # extra [K, T] block — the VPU build, not the matmul, bounds this
     # kernel, so writes are the budget)
     sh = sh_ref[:]
     for c in range(alpha):
-        yt_ref[c * LJ : (c + 1) * LJ, :] = (sh == c).astype(jnp.bfloat16)
+        yt_ref[c * LJ : (c + 1) * LJ, :] = (sh == c).astype(jnp.int8)
     if K < KPAD:
-        yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, T), jnp.bfloat16)
+        yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, T), jnp.int8)
     if kchunks == 1:
-        # single K chunk: matmul feeds the compare directly — no f32
+        # single K chunk: matmul feeds the compare directly — no
         # accumulator scratch round-trip (acc_ref is a dummy here)
         scores = jnp.dot(wt_ref[0, 0, :plive, :], yt_ref[:],
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.int32)
     else:
-        acc_ref[:] = jnp.zeros((plive, T), jnp.float32)
+        acc_ref[:] = jnp.zeros((plive, T), jnp.int32)
         for kc in range(kchunks):
             acc_ref[:] += jnp.dot(
                 wt_ref[0, kc, :plive, :],
                 yt_ref[kc * LANE : (kc + 1) * LANE],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32,
             )
         scores = acc_ref[:]
     # per-position hit counts <= P <= 128: exact in bf16, halving the
@@ -155,7 +166,10 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
     hits whose start position falls in each MB-position microblock."""
     if Lmax > HALO:
         raise NotImplementedError(f"Lmax {Lmax} exceeds kernel halo {HALO}")
-    codes = codes.astype(jnp.int32)  # shipped uint8 (4x less transport)
+    # stay uint8 end-to-end (alphabet codes < 256): the overlapping tile
+    # array below is the only large HBM intermediate, and building it in
+    # int32 used to cost as much as the scan kernel itself
+    codes = codes.astype(jnp.uint8)
     n = codes.shape[0]
     ntiles = max((n + T - 1) // T, 1)
     ptiles = W.shape[0] // LANE
@@ -167,11 +181,11 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
         plive = LANE
     # overlapping tile rows [ntiles, T + HALO] — the only large HBM array
     padded = jnp.concatenate(
-        [codes, jnp.zeros(ntiles * T + HALO - n, jnp.int32)]
+        [codes, jnp.zeros(ntiles * T + HALO - n, jnp.uint8)]
     )
     base = padded[: ntiles * T].reshape(ntiles, T)
     halo = jnp.concatenate(
-        [padded[T:], jnp.zeros(T, jnp.int32)]
+        [padded[T:], jnp.zeros(T, jnp.uint8)]
     )[: ntiles * T].reshape(ntiles, T)[:, :HALO]
     codes2d = jnp.concatenate([base, halo], axis=1).reshape(
         ntiles, 1, T + HALO
@@ -201,11 +215,11 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
         out_specs=pl.BlockSpec((1, 1, 1, T), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((kchunks * LANE, T), jnp.bfloat16),
+            pltpu.VMEM((kchunks * LANE, T), jnp.int8),
             # single-chunk kernels feed the matmul straight into the
             # compare; the accumulator scratch shrinks to a dummy tile
             pltpu.VMEM((plive, T) if kchunks > 1 else (8, LANE),
-                       jnp.float32),
+                       jnp.int32),
             pltpu.VMEM((_lj(Lmax), T), jnp.int32),
         ],
         interpret=interpret,
@@ -256,7 +270,7 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
     — one small array, one fetch."""
     from ..compact import compact_mask
 
-    codes = codes.astype(jnp.int32)  # shipped uint8 (4x less transport)
+    codes = codes.astype(jnp.uint8)  # alphabet codes < 256, end-to-end
     n = codes.shape[0]
     P = wconv.shape[2]
     mh = _microhits_impl(codes, W, thr, alpha=alpha, Lmax=Lmax, T=T, MB=MB,
@@ -265,9 +279,10 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
     mb_count, mb_idx = compact_mask(mh != 0, cap_mb)
 
     win_len = MB + Lmax - 1
-    # pad with EOS so windows crossing the array end behave exactly like the
-    # XLA block path (poison weights reject them in k>0 mode)
-    eos_fill = jnp.full(nmb * MB + win_len - n, eos_code, jnp.int32)
+    # pad with EOS (callers pass a real code >= 0) so windows crossing the
+    # array end behave exactly like the XLA block path (poison weights
+    # reject them in k>0 mode)
+    eos_fill = jnp.full(nmb * MB + win_len - n, max(eos_code, 0), jnp.uint8)
     padded = jnp.concatenate([codes, eos_fill])
 
     # advanced-indexing gather (a vmap'd dynamic_slice compiles
