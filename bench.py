@@ -65,10 +65,11 @@ def bench_tpu() -> float:
     for _ in sc.scan_stream(db.codes for _ in range(1)):
         pass
     # sustained throughput: the grouped-fetch scan_stream pipeline keeps
-    # the device busy across scans (dispatch ahead, sync half the window
-    # per ~30 ms tunnel round-trip), so transport latency amortizes as it
-    # would in production streaming
-    reps = 64
+    # the device busy across scans (dispatch ahead, compact results on
+    # device, fetch groups on a background thread), so transport latency
+    # amortizes as it would in production streaming; reps must exceed the
+    # pipeline depth (256) to measure the overlapped steady state
+    reps = 768
     best = float("inf")
     for _pass in range(3):  # best-of-3: the chip is shared, draws vary ±6%
         t0 = time.perf_counter()

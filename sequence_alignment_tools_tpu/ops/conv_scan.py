@@ -23,6 +23,59 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cap_mb", "hit_cap", "gcap", "long_form"))
+def _pack_group(stacked, *, cap_mb: int, hit_cap: int, gcap: int,
+                long_form: bool):
+    """Compact a stacked group of packed scan results to live entries.
+
+    ``stacked``: [g, row] int32 — g packed rows from
+    :func:`..pallas.scan_kernel.pallas_scan_hits` sharing one (cap_mb,
+    hit_cap) layout.  Each row is almost entirely capacity padding (true
+    counts are tiny on non-degenerate inputs), and on the tunneled
+    transport fetch time scales with BYTES (~34 ms + n/14 MB/s), so
+    fetching the padding dominated the whole scan pipeline.  This packs
+    the group into ONE small row:
+
+        [g true mb_counts][g true hit_counts]
+        [gcap mb entries][gcap hit entries]([gcap mism entries])
+
+    where the entry sections are each row's live prefix concatenated in
+    row order (clamped to the caps).  The host re-segments with a cumsum
+    of the clamped counts; if the clamped totals exceed ``gcap`` the host
+    falls back to fetching the full stacked rows (rare — it also grows
+    ``gcap`` for the next group).  Pure XLA: a cumsum + searchsorted
+    segmented gather, no data-dependent shapes.
+    """
+    g = stacked.shape[0]
+    mbc_true = stacked[:, 0]
+    hc_true = stacked[:, 1]
+    mbc = jnp.minimum(mbc_true, cap_mb)
+    hc = jnp.minimum(hc_true, hit_cap)
+
+    def seg_gather(counts, section):
+        width = section.shape[1]
+        cum = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
+        pos = jax.lax.broadcasted_iota(jnp.int32, (gcap,), 0)
+        row = jnp.clip(
+            jnp.searchsorted(cum, pos, side="right") - 1, 0, g - 1)
+        off = pos - cum[row]
+        valid = pos < cum[g]
+        src = row * width + jnp.minimum(off, width - 1)
+        out = section.reshape(-1)[jnp.where(valid, src, 0)]
+        return jnp.where(valid, out, 0)
+
+    mb_sec = stacked[:, 2 : 2 + cap_mb]
+    hit_sec = stacked[:, 2 + cap_mb : 2 + cap_mb + hit_cap]
+    parts = [mbc_true, hc_true, seg_gather(mbc, mb_sec),
+             seg_gather(hc, hit_sec)]
+    if long_form:
+        mism_sec = stacked[:, 2 + cap_mb + hit_cap : 2 + cap_mb + 2 * hit_cap]
+        parts.append(seg_gather(hc, mism_sec))
+    return jnp.concatenate(parts)
+
+
 @functools.partial(jax.jit, static_argnames=("alpha", "cap"))
 def _conv_scan_block(codes, weights, thresholds, lengths, alpha, cap):
     """One text block.
@@ -111,16 +164,16 @@ class ConvScanner:
 
         t = self.tables
         if self._pallas_wt is None:
-            W, thr = kernel_weights(t, self.k, self.poison_eos)
-            self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr))
-        W, thr = self._pallas_wt
+            W, thr, classes = kernel_weights(t, self.k, self.poison_eos)
+            self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr), classes)
+        W, thr, classes = self._pallas_wt
         # larger tiles measure ~7% faster (fewer grid steps), but the
         # K-chunked im2col scratch must still fit the ~16 MB VMEM for
         # wide alphabets: kchunks==1 keeps yt+acc+sh at ~13.5 MB
         T = 16384 if W.shape[1] // 128 == 1 else 4096
         return pallas_scan_hits(
             codes_dev, W, thr, self.weights, self.thresholds,
-            self.lengths_dev, alpha=t.alpha, Lmax=t.Lmax,
+            self.lengths_dev, classes=classes, alpha=t.alpha, Lmax=t.Lmax,
             eos_code=t.eos_code, T=T, MB=self._MB, cap_mb=cap_mb,
             hit_cap=hit_cap, interpret=interpret,
         )
@@ -137,30 +190,48 @@ class ConvScanner:
                        caps=None):
         """Decode an already-fetched packed result row, retrying with
         larger caps on overflow (a fresh dispatch + solo fetch; rare)."""
-        t = self.tables
         cap_mb, hit_cap = caps or (self._cap_mb, self._hit_cap)
-        while True:
-            mb_count, hit_count = int(packed[0]), int(packed[1])
-            mb_idx = packed[2 : 2 + cap_mb]
-            hits = packed[2 + cap_mb : 2 + cap_mb + hit_cap]
-            if cap_mb * self._MB * t.P < (1 << 24):
-                # mism rides the hit word's high byte (scan_kernel layout)
-                hit_idx = hits & 0x00FFFFFF
-                hit_mism = hits >> 24
-            else:
-                hit_idx = hits
-                hit_mism = packed[2 + cap_mb + hit_cap :]
-            if mb_count <= cap_mb and hit_count <= hit_cap:
-                break
-            cap_mb = max(cap_mb, 1 << int(mb_count - 1).bit_length())
-            hit_cap = max(hit_cap, 1 << int(hit_count - 1).bit_length())
-            self._cap_mb = max(self._cap_mb, cap_mb)
-            self._hit_cap = max(self._hit_cap, hit_cap)
-            res = self._pallas_dispatch(
-                codes_dev, cap_mb, hit_cap, interpret)
-            packed = np.asarray(jax.device_get(res))
+        mb_count, hit_count = int(packed[0]), int(packed[1])
+        if mb_count > cap_mb or hit_count > hit_cap:
+            yield from self._redispatch(
+                codes_dev, n, interpret, mb_count, hit_count)
+            return
+        mb_idx = packed[2 : 2 + cap_mb]
+        hits = packed[2 + cap_mb : 2 + cap_mb + hit_cap]
+        if cap_mb * self._MB * self.tables.P < (1 << 24):
+            # mism rides the hit word's high byte (scan_kernel layout)
+            hit_idx = hits & 0x00FFFFFF
+            hit_mism = hits >> 24
+        else:
+            hit_idx = hits
+            hit_mism = packed[2 + cap_mb + hit_cap :]
+        yield from self._emit(hit_count, mb_idx, hit_idx, hit_mism, n)
+
+    def _redispatch(self, codes_dev, n: int, interpret: bool,
+                    mb_count: int, hit_count: int):
+        """Overflow retry: grow the caps past the observed true counts,
+        rerun the scan, and decode solo.  Recursion through
+        :meth:`_pallas_decode` covers the case where a grown ``cap_mb``
+        exposes new hits past the grown ``hit_cap``; caps grow
+        monotonically so it terminates."""
+        cap_mb = max(self._cap_mb,
+                     1 << int(max(mb_count, 1) - 1).bit_length())
+        hit_cap = max(self._hit_cap,
+                      1 << int(max(hit_count, 1) - 1).bit_length())
+        self._cap_mb = max(self._cap_mb, cap_mb)
+        self._hit_cap = max(self._hit_cap, hit_cap)
+        res = self._pallas_dispatch(codes_dev, cap_mb, hit_cap, interpret)
+        yield from self._pallas_decode(
+            res, codes_dev, n, interpret, (cap_mb, hit_cap))
+
+    def _emit(self, hit_count: int, mb_idx, hit_idx, hit_mism, n: int):
+        """Yield (end, pid, mism) tuples from live result sections.
+        ``mb_idx`` may be just the live prefix: hit words only reference
+        slots below the true microblock count (pad windows carry the
+        ``compact_mask`` fill index >= nmb and are masked in-kernel)."""
         if hit_count == 0:
             return
+        t = self.tables
         lengths = t.lengths
         P = t.P
         MB = self._MB
@@ -299,25 +370,117 @@ class ConvScanner:
             cls._stack_jit = jax.jit(lambda *a: jnp.stack(a))
         return cls._stack_jit(*rs)
 
-    def scan_stream(self, blocks, depth: int = 128):
+    _gcap = 1024  # group-fetch entry capacity (grows on group overflow)
+    _fetch_exec = None
+
+    def _fetch_pool(self):
+        if self._fetch_exec is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._fetch_exec = ThreadPoolExecutor(max_workers=1)
+        return self._fetch_exec
+
+    def _launch_group(self, pending, count: int):
+        """Pop the leading same-caps run (packed rows must share a
+        layout; caps can grow after an overflow retry) and start its
+        fetch in the background.  Returns an in-flight handle for
+        :meth:`_drain_group`."""
+        group = [pending.popleft()]
+        while len(group) < count and pending and \
+                pending[0][4] == group[0][4]:
+            group.append(pending.popleft())
+        caps = group[0][4]
+        pool = self._fetch_pool()
+        if len(group) == 1:
+            fut = pool.submit(
+                lambda r=group[0][1]: np.asarray(jax.device_get(r)))
+            return ("solo", group, None, fut, 0, caps)
+        # pad the stack to a power-of-two bucket by repeating the last row
+        # (bounds the (#args, shape) jit specializations; pad entries land
+        # AFTER every real row's segment, so they only ever truncate
+        # themselves on gcap overflow)
+        bucket = 1 << (len(group) - 1).bit_length()
+        rs = [x[1] for x in group]
+        rs += [rs[-1]] * (bucket - len(rs))
+        stacked = self._stack(rs)
+        long_form = caps[0] * self._MB * self.tables.P >= (1 << 24)
+        gcap = self._gcap
+        res = _pack_group(stacked, cap_mb=caps[0], hit_cap=caps[1],
+                          gcap=gcap, long_form=long_form)
+        fut = pool.submit(lambda r=res: np.asarray(jax.device_get(r)))
+        return ("group", group, stacked, fut, gcap, caps)
+
+    def _drain_group(self, inflight, interpret: bool):
+        """Wait for an in-flight group fetch and yield its
+        (block_index, hits_list) results in order."""
+        kind, group, stacked, fut, gcap, caps = inflight
+        cap_mb, hit_cap = caps
+        packed = fut.result()
+        if kind == "solo":
+            j, r, d, n, c = group[0]
+            yield j, list(self._decode_packed(packed, d, n, interpret, c))
+            return
+        g = len(group)
+        bucket = int(stacked.shape[0])
+        mbc_t = packed[:g]
+        hc_t = packed[bucket : bucket + g]
+        mbc = np.minimum(mbc_t, cap_mb)
+        hc = np.minimum(hc_t, hit_cap)
+        # the pad rows' (duplicated last row) entries sit after all real
+        # segments, so real segments are intact iff the REAL totals fit
+        if int(mbc.sum()) > gcap or int(hc.sum()) > gcap:
+            # group overflow: fall back to the full stacked fetch and
+            # grow the entry capacity for subsequent groups
+            need = max(int(mbc.sum()), int(hc.sum()))
+            self._gcap = max(self._gcap, 1 << (need - 1).bit_length())
+            rows = np.asarray(jax.device_get(stacked))
+            for (j, r, d, n, c), row in zip(group, rows):
+                yield j, list(self._decode_packed(row, d, n, interpret, c))
+            return
+        base = 2 * bucket
+        mb_entries = packed[base : base + gcap]
+        hit_entries = packed[base + gcap : base + 2 * gcap]
+        long_form = cap_mb * self._MB * self.tables.P >= (1 << 24)
+        mism_entries = packed[base + 2 * gcap :] if long_form else None
+        mb_off = np.zeros(g + 1, np.int64)
+        mb_off[1:] = np.cumsum(mbc, dtype=np.int64)
+        hit_off = np.zeros(g + 1, np.int64)
+        hit_off[1:] = np.cumsum(hc, dtype=np.int64)
+        for gi, (j, r, d, n, c) in enumerate(group):
+            if mbc_t[gi] > cap_mb or hc_t[gi] > hit_cap:
+                yield j, list(self._redispatch(
+                    d, n, interpret, int(mbc_t[gi]), int(hc_t[gi])))
+                continue
+            mb = mb_entries[mb_off[gi] : mb_off[gi + 1]]
+            hv = hit_entries[hit_off[gi] : hit_off[gi + 1]]
+            if long_form:
+                hi, hm = hv, mism_entries[hit_off[gi] : hit_off[gi + 1]]
+            else:
+                hi, hm = hv & 0x00FFFFFF, hv >> 24
+            yield j, list(self._emit(int(hc_t[gi]), mb, hi, hm, n))
+
+    def scan_stream(self, blocks, depth: int = 256):
         """Pipelined scan over an iterator of flat code arrays.
 
-        Two-level latency hiding for the tunneled transport (one fetch
-        round-trip is ~30 ms regardless of payload, comparable to the
-        kernel time for a whole 16 MB block):
+        Three-level latency hiding for the tunneled transport (fetch
+        cost is ~34 ms + bytes/14 MB/s regardless of payload; device
+        compute for a whole 16 MB block is ~30 us — the transport, not
+        the chip, is the resource to schedule):
 
         - block i+1 is dispatched before block i's results are collected
-          (device compute overlaps the host round-trip), and
+          (device compute overlaps the host round-trip),
         - results are synced in GROUPS: when ``depth`` blocks are in
-          flight, the oldest ``depth // 2`` are stacked on device and
-          fetched with ONE ``device_get`` while the other half keeps the
-          chip busy — amortizing the round-trip across the group.
+          flight, the oldest ``depth // 2`` are compacted ON DEVICE to
+          their live entries (:func:`_pack_group` — true counts are tiny,
+          so this turns a ~1.3 MB padded fetch into a few KB) and fetched
+          with ONE ``device_get``, and
+        - the fetch itself runs on a background thread, so the round-trip
+          overlaps the dispatch of the NEXT ``depth // 2`` blocks instead
+          of stalling the stream.
 
-        Depth 128 measures at the pure-dispatch device ceiling (~13%
-        over depth 32): half the window is ~0.6 s of queued kernel work,
-        which fully hides the ~100 ms grouped fetch.  Packed results are
-        ~20 KB each, so a deep window costs <3 MB of device memory on
-        top of the in-flight input blocks.
+        Packed results are ~20 KB each, so a deep window costs ~5 MB of
+        device memory on top of the in-flight input blocks (those
+        dominate: depth x block bytes).
 
         Yields (block_index, hits_list) in order."""
         from collections import deque
@@ -328,23 +491,7 @@ class ConvScanner:
             return
         pending = deque()
         interpret = self.pallas_interpret
-
-        def flush(count):
-            # stack only the leading run with identical caps (packed rows
-            # must share a length; caps can grow after an overflow retry)
-            group = [pending.popleft()]
-            while len(group) < count and pending and \
-                    pending[0][4] == group[0][4]:
-                group.append(pending.popleft())
-            if len(group) == 1:
-                j, r, d, n, c = group[0]
-                yield j, list(self._pallas_decode(r, d, n, interpret, c))
-                return
-            rows = np.asarray(
-                jax.device_get(self._stack([g[1] for g in group])))
-            for (j, r, d, n, c), row in zip(group, rows):
-                yield j, list(self._decode_packed(row, d, n, interpret, c))
-
+        inflight = None
         for i, codes in enumerate(blocks):
             # reuse the device copy when the same host array repeats
             cached = getattr(self, "_dev_codes", None)
@@ -357,9 +504,15 @@ class ConvScanner:
             res = self._pallas_dispatch(dev, caps[0], caps[1], interpret)
             pending.append((i, res, dev, len(codes), caps))
             if len(pending) >= depth:
-                yield from flush(max(depth // 2, 1))
-        while pending:
-            yield from flush(len(pending))
+                if inflight is not None:
+                    yield from self._drain_group(inflight, interpret)
+                inflight = self._launch_group(pending, max(depth // 2, 1))
+        while inflight is not None or pending:
+            if inflight is not None:
+                yield from self._drain_group(inflight, interpret)
+                inflight = None
+            if pending:
+                inflight = self._launch_group(pending, len(pending))
 
     def scan(self, codes: np.ndarray):
         """Iterate candidate tuples over the whole array (host generator)."""

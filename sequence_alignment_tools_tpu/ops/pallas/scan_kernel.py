@@ -50,11 +50,15 @@ def _lj(Lmax: int) -> int:
 
 
 def kernel_weights(tables, k: int, poison_eos: bool):
-    """Wt [PPAD, KPAD] int8 + thresholds [PPAD, 1] int32.
+    """(Wt [PPAD, KPAD] int8, thresholds [PPAD, 1] int32, classes tuple).
 
-    K-lane m encodes (j = m % LJ, c = m // LJ) with LJ = Lmax rounded up
-    to a sublane multiple; the pad columns (j >= Lmax) and padded pattern
-    rows carry zero weight / an unreachable threshold.
+    K-lane m encodes (j = m % LJ, ci = m // LJ) with LJ = Lmax rounded up
+    to a sublane multiple and ci indexing ``classes`` — the LIVE alphabet
+    classes, i.e. those with any nonzero weight.  Dead classes (the EOS
+    class when poison is off — the k=0 common case) are dropped entirely:
+    each class costs a compare pass and LJ/8 block copies in the kernel.
+    The pad columns (j >= Lmax) and padded pattern rows carry zero weight
+    / an unreachable threshold.
 
     int8 (not bf16): the v5e MXU multiplies int8 natively with an int32
     accumulator, and the one-hot im2col build — the VPU work that bounds
@@ -66,63 +70,76 @@ def kernel_weights(tables, k: int, poison_eos: bool):
 
     w = conv_weights(tables, k, poison_eos).astype(np.float32)  # [L, A, P]
     Lmax, alpha, P = w.shape
+    classes = tuple(c for c in range(alpha) if np.any(w[:, c, :]))
+    if not classes:
+        classes = (0,)
     LJ = _lj(Lmax)
-    K = LJ * alpha
+    K = LJ * len(classes)
     KPAD = _round_up(max(K, 1), LANE)
     PPAD = _round_up(max(P, 1), LANE)
     Wt = np.zeros((PPAD, KPAD), dtype=np.float32)
-    for c in range(alpha):
-        Wt[:P, c * LJ : c * LJ + Lmax] = w[:, c, :].T
+    for ci, c in enumerate(classes):
+        Wt[:P, ci * LJ : ci * LJ + Lmax] = w[:, c, :].T
     thr = np.full((PPAD, 1), 1 << 30, dtype=np.int32)
     thr[:P, 0] = tables.lengths.astype(np.int32) - int(k)
-    return np.clip(Wt, -127, 127).astype(np.int8), thr
+    return np.clip(Wt, -127, 127).astype(np.int8), thr, classes
 
 
 def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
-                 sh_ref, *, alpha: int, Lmax: int, T: int, kchunks: int,
-                 plive: int):
+                 rowsh_ref, oh_ref, *, classes: tuple, Lmax: int, T: int,
+                 kchunks: int, plive: int):
     # wt_ref: [1, kchunks, LANE, LANE] (this grid step's pattern tile);
     # thr_ref: [1, LANE, 1]; out_ref: [1, 1, 1, T]
     """One tile: codes row [1, T + HALO] int32 -> per-position hit counts.
 
-    The one-hot im2col is built in three vector ops instead of a row
-    write per K lane: LJ shifted copies of the code row, tiled alpha
-    times along sublanes (pltpu.repeat), compared against the per-row
-    class index.  Pad rows (j >= Lmax) may compare true but carry zero
-    weight.
+    The one-hot im2col is built via an 8-row SHEAR so almost all VPU ops
+    run on full (8, 128) vector registers instead of masked single-
+    sublane rows (which cost a full vreg op per 128 lanes regardless of
+    the mask):
+
+      1. shear: rowsh[s, t] = codes[t + s] for s in 0..7 — the only 8
+         masked row writes in the kernel;
+      2. one compare per LIVE class on the [8, W2] sheared block:
+         oh[ci*8 + s, t] = (rowsh[s, t] == classes[ci]);
+      3. im2col rows land as [8, T] BLOCK slices: with j = 8q + s,
+         Yt[ci*LJ + 8q + s, t] = oh[ci*8 + s, t + 8q], so each (ci, q)
+         pair is one full-block lane-offset copy.
+
+    Pad rows (j >= Lmax) hold garbage shifts but carry zero weight.
 
     The pattern-axis reduction is a log-tree of aligned sublane adds on
-    the VPU (a sublane ``jnp.sum`` stalls the Mosaic compiler; the old
-    skinny ``[1,128] @ hit`` matmul serialized behind the main matmul
-    with M=1 occupancy).  The MB-lane microblock reduction happens
-    OUTSIDE the kernel as an XLA reshape-sum — in-kernel it needed a
-    ``[T, T//MB]`` indicator matmul that cost ~2x the main scan matmul
-    and 8 MB of VMEM.
+    the VPU (a sublane ``jnp.sum`` stalls the Mosaic compiler; a skinny
+    ``[1,128] @ hit`` matmul serialized behind the main matmul with M=1
+    occupancy).  The MB-lane microblock reduction happens OUTSIDE the
+    kernel as an XLA reshape-sum — in-kernel it needed a ``[T, T//MB]``
+    indicator matmul that cost ~2x the main scan matmul and 8 MB of
+    VMEM.
 
     ``plive`` (a power of two >= 8) restricts the matmul M dimension,
     the threshold compare and the reduce tree to the sublane rows that
     hold real patterns — the pad rows of the 128-row pattern tile can
-    never fire (threshold 3e38), so with few patterns (the typical
-    primer set) this skips ~3/4 of the VPU work that used to bound the
-    kernel."""
+    never fire (threshold 2^30), so with few patterns (the typical
+    primer set) this skips ~3/4 of that VPU work."""
     LJ = _lj(Lmax)
-    K = LJ * alpha
+    nc = len(classes)
+    K = LJ * nc
     KPAD = kchunks * LANE
+    W2 = rowsh_ref.shape[1]
     # codes arrive as uint8 tiles (4x less HBM traffic than int32 — the
     # tile-building glue used to cost as much as the kernel) and widen
     # once in VMEM; staged as int32 because bf16/int8 equality compares
     # are unsupported by this Mosaic target (v5e rejects arith.cmpf eq
     # on bf16 vectors)
     row = codes_ref[0, 0, :].astype(jnp.int32)
-    for j in range(LJ):
-        sh_ref[j, :] = row[j : j + T]
-    # one compare per class over the [LJ, T] shifted block (reads sh alpha
-    # times) instead of pltpu.repeat + iota compare (which materializes an
-    # extra [K, T] block — the VPU build, not the matmul, bounds this
-    # kernel, so writes are the budget)
-    sh = sh_ref[:]
-    for c in range(alpha):
-        yt_ref[c * LJ : (c + 1) * LJ, :] = (sh == c).astype(jnp.int8)
+    for s in range(8):
+        rowsh_ref[s, :] = row[s : s + W2]
+    rs = rowsh_ref[:]
+    for ci, c in enumerate(classes):
+        oh_ref[ci * 8 : (ci + 1) * 8, :] = (rs == c).astype(jnp.int8)
+    for ci in range(nc):
+        for q in range(LJ // 8):
+            yt_ref[ci * LJ + 8 * q : ci * LJ + 8 * q + 8, :] = \
+                oh_ref[ci * 8 : (ci + 1) * 8, 8 * q : 8 * q + T]
     if K < KPAD:
         yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, T), jnp.int8)
     if kchunks == 1:
@@ -140,7 +157,8 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
             )
         scores = acc_ref[:]
     # per-position hit counts <= P <= 128: exact in bf16, halving the
-    # reduce-tree and output traffic
+    # reduce-tree and output traffic (int8 adds are rejected by this
+    # Mosaic target: vector add supports only i16/i32)
     hit = (scores >= thr_ref[0, :plive]).astype(jnp.bfloat16)
     s = hit
     r = plive
@@ -152,14 +170,15 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("alpha", "Lmax", "T", "MB", "interpret", "n_pat"),
+    static_argnames=("classes", "Lmax", "T", "MB", "interpret", "n_pat"),
 )
-def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
-                     MB: int = 32, interpret: bool = False,
+def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
+                     T: int = 4096, MB: int = 32, interpret: bool = False,
                      n_pat: int | None = None):
     """Microblock candidate counts over the whole code array.
 
     codes: [n] int32 device array (EOS-padded is fine).
+    classes: live alphabet class codes (from :func:`kernel_weights`).
     n_pat: number of REAL pattern rows in W (rest are pad); single-tile
     kernels restrict their VPU work to the next power of two of this.
     Returns counts [ntiles * T // MB] f32 — number of (window-start, pattern)
@@ -196,9 +215,10 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
     W4 = W.reshape(ptiles, LANE, kchunks, LANE).swapaxes(1, 2)
     thr3 = thr.reshape(ptiles, LANE, 1)
 
+    W2 = T + HALO - 8  # sheared stage width (shear consumes 7 lanes)
     out = pl.pallas_call(
         functools.partial(
-            _scan_kernel, alpha=alpha, Lmax=Lmax, T=T, kchunks=kchunks,
+            _scan_kernel, classes=classes, Lmax=Lmax, T=T, kchunks=kchunks,
             plive=plive,
         ),
         out_shape=jax.ShapeDtypeStruct((ntiles, ptiles, 1, T),
@@ -220,7 +240,8 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
             # compare; the accumulator scratch shrinks to a dummy tile
             pltpu.VMEM((plive, T) if kchunks > 1 else (8, LANE),
                        jnp.int32),
-            pltpu.VMEM((_lj(Lmax), T), jnp.int32),
+            pltpu.VMEM((8, W2), jnp.int32),
+            pltpu.VMEM((8 * len(classes), W2), jnp.int8),
         ],
         interpret=interpret,
     )(codes2d, W4, thr3)
@@ -230,12 +251,12 @@ def pallas_microhits(codes, W, thr, *, alpha: int, Lmax: int, T: int = 4096,
     return out.astype(jnp.float32).sum(axis=1).reshape(-1, MB).sum(axis=1)
 
 
-def _microhits_impl(codes, W, thr, *, alpha, Lmax, T, MB, interpret,
+def _microhits_impl(codes, W, thr, *, classes, Lmax, T, MB, interpret,
                     n_pat=None):
     """Non-jitted body of :func:`pallas_microhits` for fusion into larger
     jitted pipelines."""
     return pallas_microhits.__wrapped__(
-        codes, W, thr, alpha=alpha, Lmax=Lmax, T=T, MB=MB,
+        codes, W, thr, classes=classes, Lmax=Lmax, T=T, MB=MB,
         interpret=interpret, n_pat=n_pat,
     )
 
@@ -243,11 +264,12 @@ def _microhits_impl(codes, W, thr, *, alpha, Lmax, T, MB, interpret,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "alpha", "Lmax", "eos_code", "T", "MB", "cap_mb", "hit_cap",
-        "interpret"
+        "classes", "alpha", "Lmax", "eos_code", "T", "MB", "cap_mb",
+        "hit_cap", "interpret"
     ),
 )
-def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
+def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *,
+                     classes: tuple, alpha: int,
                      Lmax: int, eos_code: int = -1, T: int = 4096, MB: int = 32,
                      cap_mb: int = 1024, hit_cap: int = 4096,
                      interpret: bool = False):
@@ -273,8 +295,8 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *, alpha: int,
     codes = codes.astype(jnp.uint8)  # alphabet codes < 256, end-to-end
     n = codes.shape[0]
     P = wconv.shape[2]
-    mh = _microhits_impl(codes, W, thr, alpha=alpha, Lmax=Lmax, T=T, MB=MB,
-                         interpret=interpret, n_pat=P)
+    mh = _microhits_impl(codes, W, thr, classes=classes, Lmax=Lmax, T=T,
+                         MB=MB, interpret=interpret, n_pat=P)
     nmb = mh.shape[0]
     mb_count, mb_idx = compact_mask(mh != 0, cap_mb)
 

@@ -63,6 +63,30 @@ def test_scan_stream_matches_scan(planted_db):
     assert [got[i] for i in range(len(blocks))] == want
 
 
+def test_scan_stream_grouped_flush(planted_db):
+    """Mid-stream grouped flushes through the compact group fetch
+    (_pack_group), mixed block lengths in one group, and the gcap
+    overflow fallback to the full stacked fetch."""
+    db, pats = planted_db
+    ps = build_pattern_set(pats, rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    sc = ConvScanner(tables, k=0, use_pallas=True)
+    sc.pallas_interpret = True
+    blocks = [db.codes, db.codes[: len(db.codes) // 2],
+              db.codes[:3000], db.codes] * 3
+    want = [list(sc.scan(b)) for b in blocks]
+    got = dict(sc.scan_stream(iter(blocks), depth=4))
+    assert [got[i] for i in range(len(blocks))] == want
+    # group overflow: gcap smaller than the live totals forces the
+    # stacked-row fallback and grows gcap for subsequent groups
+    sc2 = ConvScanner(tables, k=0, use_pallas=True)
+    sc2.pallas_interpret = True
+    sc2._gcap = 8
+    got2 = dict(sc2.scan_stream(iter(blocks), depth=4))
+    assert [got2[i] for i in range(len(blocks))] == want
+    assert sc2._gcap > 8
+
+
 def test_radix_path_matches_xla(planted_db):
     """The host radix-code scan (dense exact-seed regime) yields exactly
     the XLA block path's candidate stream."""
