@@ -247,8 +247,14 @@ class ConvScanner:
         for e, p, m in zip(ends, pid, ms):
             yield int(e), int(p), int(m)
 
-    _cap_mb = 1024
-    _hit_cap = 4096
+    # candidate-buffer floors: true candidate counts on non-degenerate
+    # corpora are tiny (tens per 16 MB block), and every downstream stage
+    # (rescan gather, hit-mask compaction, result fetch) scales with the
+    # caps, so small floors buy real throughput; `_expected_hits` raises
+    # them up-front for dense configs and overflow retries grow them
+    # stickily
+    _cap_mb = 128
+    _hit_cap = 512
     # optional per-block progress callback (frac in (0,1]) — the reference's
     # report_progress protocol (pattern_match.h:144-155), attached by the
     # model when the driver runs verbose

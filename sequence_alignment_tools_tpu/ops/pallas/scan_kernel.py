@@ -78,30 +78,43 @@ def kernel_weights(tables, k: int, poison_eos: bool):
     KPAD = _round_up(max(K, 1), LANE)
     PPAD = _round_up(max(P, 1), LANE)
     Wt = np.zeros((PPAD, KPAD), dtype=np.float32)
+    # K-lane order within each 8-group is REVERSED (m = ci*LJ + 8q + s
+    # encodes j = 8q + 7 - s): the kernel's shear is built with a strided
+    # lane-roll whose per-sublane shift INCREASES, so sublane s of the
+    # sheared block holds text offset 7 - s; baking the flip into the
+    # weight columns keeps the im2col copies contiguous 8-row blocks.
     for ci, c in enumerate(classes):
-        Wt[:P, ci * LJ : ci * LJ + Lmax] = w[:, c, :].T
+        wT = w[:, c, :].T  # [P, Lmax]
+        for m0 in range(LJ):
+            j = (m0 // 8) * 8 + (7 - m0 % 8)
+            if j < Lmax:
+                Wt[:P, ci * LJ + m0] = wT[:, j]
     thr = np.full((PPAD, 1), 1 << 30, dtype=np.int32)
     thr[:P, 0] = tables.lengths.astype(np.int32) - int(k)
     return np.clip(Wt, -127, 127).astype(np.int8), thr, classes
 
 
-def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
-                 rowsh_ref, oh_ref, *, classes: tuple, Lmax: int, T: int,
-                 kchunks: int, plive: int):
-    # wt_ref: [1, kchunks, LANE, LANE] (this grid step's pattern tile);
-    # thr_ref: [1, LANE, 1]; out_ref: [1, 1, 1, T]
-    """One tile: codes row [1, T + HALO] int32 -> per-position hit counts.
+def _scan_kernel(codes_ref, next_ref, wt_ref, thr_ref, out_ref, yt_ref,
+                 acc_ref, rowsh_ref, oh_ref, *, classes: tuple, Lmax: int,
+                 T: int, kchunks: int, plive: int, ptiles: int):
+    # codes_ref/next_ref: [1, 1, T] uint8 (text rows i and i+1 of the SAME
+    # padded array — the halo is read in-kernel, so the caller only pads,
+    # never materializes overlapping tiles); wt_ref: [1, kchunks, LANE,
+    # LANE] (this grid step's pattern tile); thr_ref: [1, LANE, 1];
+    # out_ref: [1, 1, 1, T]
+    """One tile: text row + next-row halo -> per-position hit counts.
 
-    The one-hot im2col is built via an 8-row SHEAR so almost all VPU ops
-    run on full (8, 128) vector registers instead of masked single-
-    sublane rows (which cost a full vreg op per 128 lanes regardless of
-    the mask):
+    The one-hot im2col is built via an 8-row SHEAR so all VPU ops run on
+    full (8, 128) vector register blocks (a masked single-sublane row
+    write costs a full vreg op per 128 lanes regardless of the mask):
 
-      1. shear: rowsh[s, t] = codes[t + s] for s in 0..7 — the only 8
-         masked row writes in the kernel;
+      1. shear: ONE strided lane-roll of the sublane-broadcast code row
+         (pltpu.roll stride=1: sublane s rotates right by s, so
+         rowsh[s, t] = codes[t + 7 - s]; the weight columns bake in the
+         s-flip, see :func:`kernel_weights`);
       2. one compare per LIVE class on the [8, W2] sheared block:
          oh[ci*8 + s, t] = (rowsh[s, t] == classes[ci]);
-      3. im2col rows land as [8, T] BLOCK slices: with j = 8q + s,
+      3. im2col rows land as [8, T] BLOCK slices: with m = 8q + s,
          Yt[ci*LJ + 8q + s, t] = oh[ci*8 + s, t + 8q], so each (ci, q)
          pair is one full-block lane-offset copy.
 
@@ -111,37 +124,60 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
     the VPU (a sublane ``jnp.sum`` stalls the Mosaic compiler; a skinny
     ``[1,128] @ hit`` matmul serialized behind the main matmul with M=1
     occupancy).  The MB-lane microblock reduction happens OUTSIDE the
-    kernel as an XLA reshape-sum — in-kernel it needed a ``[T, T//MB]``
-    indicator matmul that cost ~2x the main scan matmul and 8 MB of
-    VMEM.
+    kernel as an XLA reshape-max/sum — in-kernel it needed a
+    ``[T, T//MB]`` indicator matmul that cost ~2x the main scan matmul
+    and 8 MB of VMEM.
 
     ``plive`` (a power of two >= 8) restricts the matmul M dimension,
     the threshold compare and the reduce tree to the sublane rows that
     hold real patterns — the pad rows of the 128-row pattern tile can
     never fire (threshold 2^30), so with few patterns (the typical
-    primer set) this skips ~3/4 of that VPU work."""
+    primer set) this skips ~3/4 of that VPU work.
+
+    Scratch reuse across the grid (TPU grids run sequentially,
+    pattern-tile axis innermost): the K-pad rows of ``yt`` are zeroed
+    once at the first step, and with several pattern tiles the im2col
+    build itself runs only at pattern-tile 0 of each text tile."""
     LJ = _lj(Lmax)
     nc = len(classes)
     K = LJ * nc
     KPAD = kchunks * LANE
     W2 = rowsh_ref.shape[1]
-    # codes arrive as uint8 tiles (4x less HBM traffic than int32 — the
-    # tile-building glue used to cost as much as the kernel) and widen
-    # once in VMEM; staged as int32 because bf16/int8 equality compares
-    # are unsupported by this Mosaic target (v5e rejects arith.cmpf eq
-    # on bf16 vectors)
-    row = codes_ref[0, 0, :].astype(jnp.int32)
-    for s in range(8):
-        rowsh_ref[s, :] = row[s : s + W2]
-    rs = rowsh_ref[:]
-    for ci, c in enumerate(classes):
-        oh_ref[ci * 8 : (ci + 1) * 8, :] = (rs == c).astype(jnp.int8)
-    for ci in range(nc):
-        for q in range(LJ // 8):
-            yt_ref[ci * LJ + 8 * q : ci * LJ + 8 * q + 8, :] = \
-                oh_ref[ci * 8 : (ci + 1) * 8, 8 * q : 8 * q + T]
+    W = T + HALO
+
+    def build():
+        # codes arrive as uint8 rows (4x less HBM traffic than int32) and
+        # widen once in VMEM; staged as int32 because bf16/int8 equality
+        # compares and uint8 lane-rolls are unsupported by this Mosaic
+        # target
+        bb = jnp.broadcast_to(codes_ref[0], (8, T))
+        nb = jnp.broadcast_to(next_ref[0], (8, T))[:, :HALO]
+        b = jnp.concatenate([bb, nb], axis=1).astype(jnp.int32)
+        rowsh_ref[:] = pltpu.roll(
+            b, shift=W - 7, axis=1, stride=1, stride_axis=0)[:, :W2]
+        rs = rowsh_ref[:]
+        for ci, c in enumerate(classes):
+            oh_ref[ci * 8 : (ci + 1) * 8, :] = (rs == c).astype(jnp.int8)
+        for ci in range(nc):
+            for q in range(LJ // 8):
+                yt_ref[ci * LJ + 8 * q : ci * LJ + 8 * q + 8, :] = \
+                    oh_ref[ci * 8 : (ci + 1) * 8, 8 * q : 8 * q + T]
+
     if K < KPAD:
-        yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, T), jnp.int8)
+        # the pad rows are never written again: zero them once
+        @pl.when(jnp.logical_and(pl.program_id(0) == 0,
+                                 pl.program_id(1) == 0))
+        def _():
+            yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, T), jnp.int8)
+
+    if ptiles == 1:
+        build()
+    else:
+        # im2col depends only on the text tile; rebuild at pattern-tile 0
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            build()
+
     if kchunks == 1:
         # single K chunk: matmul feeds the compare directly — no
         # accumulator scratch round-trip (acc_ref is a dummy here)
@@ -170,11 +206,12 @@ def _scan_kernel(codes_ref, wt_ref, thr_ref, out_ref, yt_ref, acc_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("classes", "Lmax", "T", "MB", "interpret", "n_pat"),
+    static_argnames=("classes", "Lmax", "T", "MB", "interpret", "n_pat",
+                     "occupancy"),
 )
 def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
                      T: int = 4096, MB: int = 32, interpret: bool = False,
-                     n_pat: int | None = None):
+                     n_pat: int | None = None, occupancy: bool = False):
     """Microblock candidate counts over the whole code array.
 
     codes: [n] int32 device array (EOS-padded is fine).
@@ -182,12 +219,16 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
     n_pat: number of REAL pattern rows in W (rest are pad); single-tile
     kernels restrict their VPU work to the next power of two of this.
     Returns counts [ntiles * T // MB] f32 — number of (window-start, pattern)
-    hits whose start position falls in each MB-position microblock."""
+    hits whose start position falls in each MB-position microblock — or,
+    with ``occupancy=True``, a bool occupancy mask of the same shape
+    (cheaper: the microblock reduce stays an exact bf16 max instead of
+    widening every per-position count to f32)."""
     if Lmax > HALO:
         raise NotImplementedError(f"Lmax {Lmax} exceeds kernel halo {HALO}")
-    # stay uint8 end-to-end (alphabet codes < 256): the overlapping tile
-    # array below is the only large HBM intermediate, and building it in
-    # int32 used to cost as much as the scan kernel itself
+    # stay uint8 end-to-end (alphabet codes < 256): the padded row array
+    # below is the only large HBM intermediate (the halo of each text
+    # tile is read in-kernel from the NEXT row, so no overlapping-tile
+    # materialization — that gather-concat used to cost ~1/7 of the scan)
     codes = codes.astype(jnp.uint8)
     n = codes.shape[0]
     ntiles = max((n + T - 1) // T, 1)
@@ -198,17 +239,12 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
         plive = min(plive, LANE)
     else:
         plive = LANE
-    # overlapping tile rows [ntiles, T + HALO] — the only large HBM array
+    # zero-padded row array [ntiles + 1, 1, T]: one extra all-pad row so
+    # the last tile's next-row halo read stays in bounds (T >= HALO)
     padded = jnp.concatenate(
-        [codes, jnp.zeros(ntiles * T + HALO - n, jnp.uint8)]
+        [codes, jnp.zeros((ntiles + 1) * T - n, jnp.uint8)]
     )
-    base = padded[: ntiles * T].reshape(ntiles, T)
-    halo = jnp.concatenate(
-        [padded[T:], jnp.zeros(T, jnp.uint8)]
-    )[: ntiles * T].reshape(ntiles, T)[:, :HALO]
-    codes2d = jnp.concatenate([base, halo], axis=1).reshape(
-        ntiles, 1, T + HALO
-    )
+    codes3d = padded.reshape(ntiles + 1, 1, T)
 
     # chunk the K axis per pattern tile:
     # W4[pt, kc] = Wt[pt*LANE:(pt+1)*LANE, kc*LANE:(kc+1)*LANE]
@@ -219,13 +255,15 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
     out = pl.pallas_call(
         functools.partial(
             _scan_kernel, classes=classes, Lmax=Lmax, T=T, kchunks=kchunks,
-            plive=plive,
+            plive=plive, ptiles=ptiles,
         ),
         out_shape=jax.ShapeDtypeStruct((ntiles, ptiles, 1, T),
                                        jnp.bfloat16),
         grid=(ntiles, ptiles),
         in_specs=[
-            pl.BlockSpec((1, 1, T + HALO), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, T), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda i, j: (i + 1, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kchunks, LANE, LANE), lambda i, j: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -244,7 +282,11 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
             pltpu.VMEM((8 * len(classes), W2), jnp.int8),
         ],
         interpret=interpret,
-    )(codes2d, W4, thr3)
+    )(codes3d, codes3d, W4, thr3)
+    if occupancy:
+        # per-position counts are >= 0, so max works as "any" across both
+        # the pattern tiles and the MB lanes — exact in bf16
+        return out.max(axis=1).reshape(-1, MB).max(axis=1) > 0
     # per-position counts add across pattern tiles; microblock totals as
     # one XLA reshape-sum (fast HBM-bound reduce; microblock sums can
     # exceed bf16's exact-integer range, so widen first)
@@ -252,12 +294,12 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
 
 
 def _microhits_impl(codes, W, thr, *, classes, Lmax, T, MB, interpret,
-                    n_pat=None):
+                    n_pat=None, occupancy=False):
     """Non-jitted body of :func:`pallas_microhits` for fusion into larger
     jitted pipelines."""
     return pallas_microhits.__wrapped__(
         codes, W, thr, classes=classes, Lmax=Lmax, T=T, MB=MB,
-        interpret=interpret, n_pat=n_pat,
+        interpret=interpret, n_pat=n_pat, occupancy=occupancy,
     )
 
 
@@ -296,9 +338,10 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *,
     n = codes.shape[0]
     P = wconv.shape[2]
     mh = _microhits_impl(codes, W, thr, classes=classes, Lmax=Lmax, T=T,
-                         MB=MB, interpret=interpret, n_pat=P)
+                         MB=MB, interpret=interpret, n_pat=P,
+                         occupancy=True)
     nmb = mh.shape[0]
-    mb_count, mb_idx = compact_mask(mh != 0, cap_mb)
+    mb_count, mb_idx = compact_mask(mh, cap_mb)
 
     win_len = MB + Lmax - 1
     # pad with EOS (callers pass a real code >= 0) so windows crossing the
