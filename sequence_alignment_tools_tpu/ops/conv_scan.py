@@ -167,10 +167,11 @@ class ConvScanner:
             W, thr, classes = kernel_weights(t, self.k, self.poison_eos)
             self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr), classes)
         W, thr, classes = self._pallas_wt
-        # larger tiles measure ~7% faster (fewer grid steps), but the
-        # K-chunked im2col scratch must still fit the ~16 MB VMEM for
-        # wide alphabets: kchunks==1 keeps yt+acc+sh at ~13.5 MB
-        T = 16384 if W.shape[1] // 128 == 1 else 4096
+        # T=8192 measures fastest for the single-K-chunk kernel (sweep:
+        # 1024/2048/4096 pay per-grid-step overhead, 16384/32768 lose
+        # VMEM pipelining); K-chunked kernels keep smaller tiles so the
+        # im2col scratch fits the ~16 MB VMEM for wide alphabets
+        T = 8192 if W.shape[1] // 128 == 1 else 4096
         return pallas_scan_hits(
             codes_dev, W, thr, self.weights, self.thresholds,
             self.lengths_dev, classes=classes, alpha=t.alpha, Lmax=t.Lmax,

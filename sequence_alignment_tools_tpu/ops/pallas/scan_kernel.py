@@ -285,8 +285,14 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
     )(codes3d, codes3d, W4, thr3)
     if occupancy:
         # per-position counts are >= 0, so max works as "any" across both
-        # the pattern tiles and the MB lanes — exact in bf16
-        return out.max(axis=1).reshape(-1, MB).max(axis=1) > 0
+        # the pattern tiles and the MB lanes — exact in bf16.  Shape
+        # choreography matters on this backend: squeezing to [ntiles, T]
+        # FIRST and keeping the minor-dim reduce 3-D fuses into a clean
+        # pass (the flat [n/MB, MB] form lowered ~2x slower)
+        o = out.reshape(ntiles, ptiles * T)
+        if ptiles > 1:
+            o = o.reshape(ntiles, ptiles, T).max(axis=1)
+        return (o.reshape(ntiles, T // MB, MB).max(axis=2).reshape(-1) > 0)
     # per-position counts add across pattern tiles; microblock totals as
     # one XLA reshape-sum (fast HBM-bound reduce; microblock sums can
     # exceed bf16's exact-integer range, so widen first)
