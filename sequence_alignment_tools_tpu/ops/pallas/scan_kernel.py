@@ -73,6 +73,26 @@ def kernel_weights(tables, k: int, poison_eos: bool):
     classes = tuple(c for c in range(alpha) if np.any(w[:, c, :]))
     if not classes:
         classes = (0,)
+    # BASE-CLASS FOLD: subtract one nonnegative class column from every
+    # class and add its per-pattern total to the score via the threshold
+    # instead — the folded class needs no compare pass and no LJ/8 im2col
+    # copies in the kernel (one of four passes for DNA).  Exactness: for
+    # text code c with a plane, score is unchanged (adj + base = w); for
+    # the base code itself, exactly base = w(base); for codes with NO
+    # plane (EOS, N, dead classes), the filter scores w(base) >= 0
+    # instead of the true 0 — candidates can only be ADDED (the exact
+    # rescore in pallas_scan_hits rejects them), never lost.  Skipped
+    # when every class column has negatives (then no base is safe) or
+    # only one class is live.
+    base_cls = next(
+        (c for c in classes if np.all(w[:, c, :] >= 0)), None)
+    if base_cls is not None and len(classes) > 1:
+        base_col = w[:, base_cls, :].copy()  # [L, P]
+        w = w - base_col[:, None, :]
+        base_tot = base_col.sum(axis=0)  # [P]
+        classes = tuple(c for c in classes if c != base_cls)
+    else:
+        base_tot = np.zeros((P,), np.float32)
     LJ = _lj(Lmax)
     K = LJ * len(classes)
     KPAD = _round_up(max(K, 1), LANE)
@@ -90,7 +110,8 @@ def kernel_weights(tables, k: int, poison_eos: bool):
             if j < Lmax:
                 Wt[:P, ci * LJ + m0] = wT[:, j]
     thr = np.full((PPAD, 1), 1 << 30, dtype=np.int32)
-    thr[:P, 0] = tables.lengths.astype(np.int32) - int(k)
+    thr[:P, 0] = (tables.lengths.astype(np.int32) - int(k)
+                  - np.round(base_tot).astype(np.int32))
     return np.clip(Wt, -127, 127).astype(np.int8), thr, classes
 
 
