@@ -167,17 +167,28 @@ class ConvScanner:
             W, thr, classes = kernel_weights(t, self.k, self.poison_eos)
             self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr), classes)
         W, thr, classes = self._pallas_wt
-        # T=8192 measures fastest for the single-K-chunk kernel (sweep:
-        # 1024/2048/4096 pay per-grid-step overhead, 16384/32768 lose
-        # VMEM pipelining); K-chunked kernels keep smaller tiles so the
-        # im2col scratch fits the ~16 MB VMEM for wide alphabets
-        T = 8192 if W.shape[1] // 128 == 1 else 4096
+        # the phase-transposed kernel's VMEM footprint is tiny, so big
+        # tiles win (fewer grid steps); 64K measured at the plateau
+        T = 65536 if W.shape[1] // 128 == 1 else 16384
         return pallas_scan_hits(
             codes_dev, W, thr, self.weights, self.thresholds,
-            self.lengths_dev, classes=classes, alpha=t.alpha, Lmax=t.Lmax,
+            self.lengths_dev, self._t3_for(codes_dev, T),
+            classes=classes, alpha=t.alpha, Lmax=t.Lmax,
             eos_code=t.eos_code, T=T, MB=self._MB, cap_mb=cap_mb,
             hit_cap=hit_cap, interpret=interpret,
         )
+
+    def _t3_for(self, codes_dev, T: int):
+        """Phase-transposed device form of ``codes_dev`` (identity-cached:
+        the transpose is byte-shuffle-bound at ~3x the scan kernel's cost,
+        so repeated scans of a resident array must not re-pay it)."""
+        cached = getattr(self, "_t3_cache", None)
+        if cached is None or cached[0] is not codes_dev or cached[1] != T:
+            from .pallas.scan_kernel import _phase_transpose_jit
+
+            self._t3_cache = (
+                codes_dev, T, _phase_transpose_jit(codes_dev, T=T))
+        return self._t3_cache[2]
 
     def _pallas_decode(self, res, codes_dev, n: int, interpret: bool,
                        caps=None):

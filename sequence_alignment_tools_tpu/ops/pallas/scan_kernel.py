@@ -43,29 +43,39 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _lj(Lmax: int) -> int:
-    """j-stride of the K axis: Lmax rounded to a sublane multiple so the
-    shifted-codes block can be built and tiled with aligned row groups."""
-    return _round_up(max(Lmax, 1), 8)
-
-
 def kernel_weights(tables, k: int, poison_eos: bool):
-    """(Wt [PPAD, KPAD] int8, thresholds [PPAD, 1] int32, classes tuple).
+    """(W8 [8*PPAD, KPAD] int8, thr8 [8*PPAD, 1] int32, classes tuple).
 
-    K-lane m encodes (j = m % LJ, ci = m // LJ) with LJ = Lmax rounded up
-    to a sublane multiple and ci indexing ``classes`` — the LIVE alphabet
-    classes, i.e. those with any nonzero weight.  Dead classes (the EOS
-    class when poison is off — the k=0 common case) are dropped entirely:
-    each class costs a compare pass and LJ/8 block copies in the kernel.
-    The pad columns (j >= Lmax) and padded pattern rows carry zero weight
-    / an unreachable threshold.
+    PHASE-TRANSPOSED weight layout for :func:`pallas_microhits`: the text
+    is scanned as a [8, n/8] block (sublane r holds positions t with
+    t % 8 == r), so the one-hot of each text position is computed ONCE
+    (the previous sheared layout re-compared every position 8 times) and
+    the im2col assembles from lane-ALIGNED block copies.
+
+    M axis (score rows): m = p*8 + r — pattern-major so the reduce tree
+    halves over patterns while keeping the 8 phases as the final rows.
+    K axis: col = (ci*na + a)*8 + bp encodes "the text value at sublane
+    bp, lane u + a" where for score row (p, r) and pattern offset j
+    (j = 8*a0 + b0): bp = (r + b0) % 8 and a = a0 + (r + b0) // 8 — each
+    (r, bp, a) determines j uniquely, so W8[p*8 + r, (ci*na + a)*8 + bp]
+    = w[j, classes[ci], p].  na = (Lmax-1)//8 + 2 lane offsets suffice.
+
+    The LAST live K column (index K-1) is a BIAS lane: the kernel keeps a
+    constant ones-row there and the weight is -threshold[p] (pad pattern
+    rows get -1), so the matmul emits margin = score - threshold and the
+    hit test is a sign check — no per-pattern threshold broadcast, and
+    the occupancy reduce can run as an int32 max tree BEFORE any compare.
+    -threshold clips to int8 at -127: only reachable when threshold =
+    128 (a 128-long pattern with an empty base fold), where the filter
+    admits score-127 windows too — candidates are only ADDED.
+
+    Only LIVE classes (any nonzero weight) get one-hot planes; the EOS
+    poison clamps to -127, which still sinks any window margin below 0:
+    one poisoned position bounds the score by Lmax - 1 - 126 <= 0 <
+    threshold (Lmax <= HALO = 128).
 
     int8 (not bf16): the v5e MXU multiplies int8 natively with an int32
-    accumulator, and the one-hot im2col build — the VPU work that bounds
-    this kernel — writes half the bytes.  Weights are {0, 1, poison};
-    the EOS poison clamps to -127, which still sinks any window score
-    below every threshold: one poisoned position bounds the score by
-    Lmax - 1 - 127 <= 0 < 1 <= L_p - k (Lmax <= HALO = 128)."""
+    accumulator, and the one-hot build writes half the bytes."""
     from ..tables import conv_weights
 
     w = conv_weights(tables, k, poison_eos).astype(np.float32)  # [L, A, P]
@@ -75,7 +85,7 @@ def kernel_weights(tables, k: int, poison_eos: bool):
         classes = (0,)
     # BASE-CLASS FOLD: subtract one nonnegative class column from every
     # class and add its per-pattern total to the score via the threshold
-    # instead — the folded class needs no compare pass and no LJ/8 im2col
+    # instead — the folded class needs no compare pass and no im2col
     # copies in the kernel (one of four passes for DNA).  Exactness: for
     # text code c with a plane, score is unchanged (adj + base = w); for
     # the base code itself, exactly base = w(base); for codes with NO
@@ -93,103 +103,100 @@ def kernel_weights(tables, k: int, poison_eos: bool):
         classes = tuple(c for c in classes if c != base_cls)
     else:
         base_tot = np.zeros((P,), np.float32)
-    LJ = _lj(Lmax)
-    K = LJ * len(classes)
-    KPAD = _round_up(max(K, 1), LANE)
+    nc = len(classes)
+    na = _na(Lmax)
+    K = nc * 8 * na + 1  # + bias lane
+    KPAD = _round_up(K, LANE)
     PPAD = _round_up(max(P, 1), LANE)
-    Wt = np.zeros((PPAD, KPAD), dtype=np.float32)
-    # K-lane order within each 8-group is REVERSED (m = ci*LJ + 8q + s
-    # encodes j = 8q + 7 - s): the kernel's shear is built with a strided
-    # lane-roll whose per-sublane shift INCREASES, so sublane s of the
-    # sheared block holds text offset 7 - s; baking the flip into the
-    # weight columns keeps the im2col copies contiguous 8-row blocks.
-    for ci, c in enumerate(classes):
-        wT = w[:, c, :].T  # [P, Lmax]
-        for m0 in range(LJ):
-            j = (m0 // 8) * 8 + (7 - m0 % 8)
-            if j < Lmax:
-                Wt[:P, ci * LJ + m0] = wT[:, j]
-    thr = np.full((PPAD, 1), 1 << 30, dtype=np.int32)
-    thr[:P, 0] = (tables.lengths.astype(np.int32) - int(k)
-                  - np.round(base_tot).astype(np.int32))
-    return np.clip(Wt, -127, 127).astype(np.int8), thr, classes
+    W8 = np.zeros((8 * PPAD, KPAD), dtype=np.float32)
+    prow = np.arange(P) * 8
+    for ci in range(nc):
+        c = classes[ci]
+        for r in range(8):
+            for b0 in range(8):
+                bp = (r + b0) % 8
+                g = (r + b0) // 8
+                for a0 in range((Lmax - 1 - b0) // 8 + 1 if b0 < Lmax
+                                else 0):
+                    j = 8 * a0 + b0
+                    col = (ci * na + (a0 + g)) * 8 + bp
+                    W8[prow + r, col] = w[j, c, :]
+    thr = np.round(
+        tables.lengths.astype(np.float64) - int(k) - base_tot
+    ).astype(np.int64)
+    bias = np.full((8 * PPAD,), -1.0, dtype=np.float32)
+    for r in range(8):
+        bias[prow + r] = -thr
+    W8[:, K - 1] = bias
+    thr8 = np.full((8 * PPAD, 1), 1 << 30, dtype=np.int32)
+    for r in range(8):
+        thr8[prow + r, 0] = thr
+    return np.clip(W8, -127, 127).astype(np.int8), thr8, classes
 
 
-def _scan_kernel(codes_ref, next_ref, wt_ref, thr_ref, out_ref, yt_ref,
-                 acc_ref, rowsh_ref, oh_ref, *, classes: tuple, Lmax: int,
-                 T: int, kchunks: int, plive: int, ptiles: int):
-    # codes_ref/next_ref: [1, 1, T] uint8 (text rows i and i+1 of the SAME
-    # padded array — the halo is read in-kernel, so the caller only pads,
-    # never materializes overlapping tiles); wt_ref: [1, kchunks, LANE,
-    # LANE] (this grid step's pattern tile); thr_ref: [1, LANE, 1];
-    # out_ref: [1, 1, 1, T]
-    """One tile: text row + next-row halo -> per-position hit counts.
+def _na(Lmax: int) -> int:
+    """Lane offsets needed per class plane: with j = 8*a0 + b0 and the
+    phase carry g in {0, 1}, a = a0 + g <= (Lmax - 1) // 8 + 1."""
+    return (max(Lmax, 1) - 1) // 8 + 2
 
-    The one-hot im2col is built via an 8-row SHEAR so all VPU ops run on
-    full (8, 128) vector register blocks (a masked single-sublane row
-    write costs a full vreg op per 128 lanes regardless of the mask):
 
-      1. shear: ONE strided lane-roll of the sublane-broadcast code row
-         (pltpu.roll stride=1: sublane s rotates right by s, so
-         rowsh[s, t] = codes[t + 7 - s]; the weight columns bake in the
-         s-flip, see :func:`kernel_weights`);
-      2. one compare per LIVE class on the [8, W2] sheared block:
-         oh[ci*8 + s, t] = (rowsh[s, t] == classes[ci]);
-      3. im2col rows land as [8, T] BLOCK slices: with m = 8q + s,
-         Yt[ci*LJ + 8q + s, t] = oh[ci*8 + s, t + 8q], so each (ci, q)
-         pair is one full-block lane-offset copy.
+def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
+                 oh_ref, *, classes: tuple, U: int, na: int, kchunks: int,
+                 plive: int, ptiles: int, occupancy: bool):
+    # codes_ref/next_ref: [1, 8, U] uint8 (phase-transposed text tiles i
+    # and i+1 of the SAME padded array — sublane r, lane u is position
+    # t = 8*(i*U + u) + r; the lane halo is read in-kernel from the next
+    # tile); wt_ref: [1, kchunks, 8*LANE, LANE] (this grid step's pattern
+    # tile); out_ref: [1, 1, 8, U]
+    """One tile: phase-transposed text -> per-(phase, position) hits.
 
-    Pad rows (j >= Lmax) hold garbage shifts but carry zero weight.
+    Every text position's one-hot is computed ONCE (one compare per live
+    class on the [8, U + na - 1] block), and the im2col lands as na
+    lane-ALIGNED [8, U] block copies per class:
 
-    The pattern-axis reduction is a log-tree of aligned sublane adds on
-    the VPU (a sublane ``jnp.sum`` stalls the Mosaic compiler; a skinny
-    ``[1,128] @ hit`` matmul serialized behind the main matmul with M=1
-    occupancy).  The MB-lane microblock reduction happens OUTSIDE the
-    kernel as an XLA reshape-max/sum — in-kernel it needed a
-    ``[T, T//MB]`` indicator matmul that cost ~2x the main scan matmul
-    and 8 MB of VMEM.
+        Yt[(ci*na + a)*8 + bp, u] = oh[ci*8 + bp, u + a]
 
-    ``plive`` (a power of two >= 8) restricts the matmul M dimension,
-    the threshold compare and the reduce tree to the sublane rows that
-    hold real patterns — the pad rows of the 128-row pattern tile can
-    never fire (threshold 2^30), so with few patterns (the typical
-    primer set) this skips ~3/4 of that VPU work.
+    The matmul contracts the (class, lane-offset, phase) axis against
+    :func:`kernel_weights`' phase-expanded weights, emitting int32
+    MARGINS (score - threshold rides the bias lane) for all 8 phases of
+    plive patterns: [8*plive, U].  The reduce tree halves over patterns
+    (pattern-major row order keeps phases aligned), as int32 max when
+    only occupancy is needed — the sign check then runs on the final
+    [8, U] block — or as a bf16 count sum after a sign check otherwise.
+    A sublane ``jnp.sum`` stalls the Mosaic compiler; the microblock
+    lane-group reduce happens OUTSIDE the kernel as an XLA reshape.
 
     Scratch reuse across the grid (TPU grids run sequentially,
-    pattern-tile axis innermost): the K-pad rows of ``yt`` are zeroed
-    once at the first step, and with several pattern tiles the im2col
-    build itself runs only at pattern-tile 0 of each text tile."""
-    LJ = _lj(Lmax)
+    pattern-tile axis innermost): the bias ones-row and the K-pad zero
+    rows of ``yt`` are written once at the first step, and with several
+    pattern tiles the im2col build runs only at pattern-tile 0."""
     nc = len(classes)
-    K = LJ * nc
+    K = nc * 8 * na + 1
     KPAD = kchunks * LANE
-    W2 = rowsh_ref.shape[1]
-    W = T + HALO
+    mlive = 8 * plive
+    HU = na - 1
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0,
+                             pl.program_id(1) == 0))
+    def _():
+        # static yt content, never written again: bias ones + K-pad zeros
+        yt_ref[K - 1 : K, :] = jnp.ones((1, U), jnp.int8)
+        if K < KPAD:
+            yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, U), jnp.int8)
 
     def build():
-        # codes arrive as uint8 rows (4x less HBM traffic than int32) and
-        # widen once in VMEM; staged as int32 because bf16/int8 equality
-        # compares and uint8 lane-rolls are unsupported by this Mosaic
-        # target
-        bb = jnp.broadcast_to(codes_ref[0], (8, T))
-        nb = jnp.broadcast_to(next_ref[0], (8, T))[:, :HALO]
-        b = jnp.concatenate([bb, nb], axis=1).astype(jnp.int32)
-        rowsh_ref[:] = pltpu.roll(
-            b, shift=W - 7, axis=1, stride=1, stride_axis=0)[:, :W2]
-        rs = rowsh_ref[:]
+        # widen once: int8/uint8 equality compares are unsupported by
+        # this Mosaic target
+        blk = jnp.concatenate(
+            [codes_ref[0], next_ref[0][:, :HU]], axis=1
+        ).astype(jnp.int32)
         for ci, c in enumerate(classes):
-            oh_ref[ci * 8 : (ci + 1) * 8, :] = (rs == c).astype(jnp.int8)
+            oh_ref[ci * 8 : (ci + 1) * 8, :] = (blk == c).astype(jnp.int8)
         for ci in range(nc):
-            for q in range(LJ // 8):
-                yt_ref[ci * LJ + 8 * q : ci * LJ + 8 * q + 8, :] = \
-                    oh_ref[ci * 8 : (ci + 1) * 8, 8 * q : 8 * q + T]
-
-    if K < KPAD:
-        # the pad rows are never written again: zero them once
-        @pl.when(jnp.logical_and(pl.program_id(0) == 0,
-                                 pl.program_id(1) == 0))
-        def _():
-            yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, T), jnp.int8)
+            for a in range(na):
+                row = (ci * na + a) * 8
+                yt_ref[row : row + 8, :] = \
+                    oh_ref[ci * 8 : (ci + 1) * 8, a : a + U]
 
     if ptiles == 1:
         build()
@@ -200,29 +207,58 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, thr_ref, out_ref, yt_ref,
             build()
 
     if kchunks == 1:
-        # single K chunk: matmul feeds the compare directly — no
-        # accumulator scratch round-trip (acc_ref is a dummy here)
-        scores = jnp.dot(wt_ref[0, 0, :plive, :], yt_ref[:],
+        scores = jnp.dot(wt_ref[0, 0, :mlive, :], yt_ref[:],
                          preferred_element_type=jnp.int32)
     else:
-        acc_ref[:] = jnp.zeros((plive, T), jnp.int32)
+        acc_ref[:] = jnp.zeros((mlive, U), jnp.int32)
         for kc in range(kchunks):
             acc_ref[:] += jnp.dot(
-                wt_ref[0, kc, :plive, :],
+                wt_ref[0, kc, :mlive, :],
                 yt_ref[kc * LANE : (kc + 1) * LANE],
                 preferred_element_type=jnp.int32,
             )
         scores = acc_ref[:]
-    # per-position hit counts <= P <= 128: exact in bf16, halving the
-    # reduce-tree and output traffic (int8 adds are rejected by this
-    # Mosaic target: vector add supports only i16/i32)
-    hit = (scores >= thr_ref[0, :plive]).astype(jnp.bfloat16)
-    s = hit
-    r = plive
-    while r > 1:
-        r //= 2
-        s = s[:r, :] + s[r : 2 * r, :]
-    out_ref[0, 0, :, :] = s[0:1, :]
+    if occupancy:
+        # margins: max over patterns first (int32), sign check last
+        s = scores
+        r = mlive
+        while r > 8:
+            r //= 2
+            s = jnp.maximum(s[:r, :], s[r : 2 * r, :])
+        out_ref[0, 0] = (s >= 0).astype(jnp.bfloat16)
+    else:
+        # per-(phase, position) hit counts <= P <= 128: exact in bf16
+        hit = (scores >= 0).astype(jnp.bfloat16)
+        s = hit
+        r = mlive
+        while r > 8:
+            r //= 2
+            s = s[:r, :] + s[r : 2 * r, :]
+        out_ref[0, 0] = s
+
+
+def phase_transpose(codes, T: int = 8192):
+    """Phase-transposed device form of a flat code array: [ntiles + 1, 8,
+    T // 8] uint8 where tile i, sublane r, lane u holds position
+    t = T*i + 8*u + r (one extra all-pad tile for the kernel's lane-halo
+    read).  This is the scan-resident DB representation — the transpose
+    is byte-shuffle-bound (~10 GB/s on this backend however it is
+    spelled: XLA transpose, Mosaic relayout, and u32 byte extraction all
+    measure the same or worse), so it is computed ONCE per uploaded
+    array (compress_seq-style preprocessing) rather than per scan."""
+    if T % 8:
+        raise ValueError("T must be a multiple of 8")
+    U = T // 8
+    codes = codes.astype(jnp.uint8)
+    n = codes.shape[0]
+    ntiles = max((n + T - 1) // T, 1)
+    padded = jnp.concatenate(
+        [codes, jnp.zeros((ntiles + 1) * T - n, jnp.uint8)]
+    )
+    return padded.reshape(ntiles + 1, U, 8).transpose(0, 2, 1)
+
+
+_phase_transpose_jit = jax.jit(phase_transpose, static_argnames=("T",))
 
 
 @functools.partial(
@@ -231,102 +267,95 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, thr_ref, out_ref, yt_ref,
                      "occupancy"),
 )
 def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
-                     T: int = 4096, MB: int = 32, interpret: bool = False,
-                     n_pat: int | None = None, occupancy: bool = False):
+                     T: int = 8192, MB: int = 32, interpret: bool = False,
+                     n_pat: int | None = None, occupancy: bool = False,
+                     t3=None):
     """Microblock candidate counts over the whole code array.
 
-    codes: [n] int32 device array (EOS-padded is fine).
+    codes: [n] uint8/int device array (EOS-padded is fine).
+    W, thr: from :func:`kernel_weights` (thr is informational — the
+    thresholds ride W's bias lane).
     classes: live alphabet class codes (from :func:`kernel_weights`).
-    n_pat: number of REAL pattern rows in W (rest are pad); single-tile
+    T: positions per kernel tile (the phase-transposed tile is [8, T/8]).
+    n_pat: number of REAL patterns in W (rest are pad); single-tile
     kernels restrict their VPU work to the next power of two of this.
+    t3: optional precomputed :func:`phase_transpose`(codes, T) — the
+    transpose costs ~3x the kernel, so scan-many workloads pass the
+    cached form.
     Returns counts [ntiles * T // MB] f32 — number of (window-start, pattern)
     hits whose start position falls in each MB-position microblock — or,
     with ``occupancy=True``, a bool occupancy mask of the same shape
-    (cheaper: the microblock reduce stays an exact bf16 max instead of
-    widening every per-position count to f32)."""
+    (cheaper: the kernel reduces int32 margins by max and the microblock
+    reduce is a bf16 max).
+    """
+    del thr  # thresholds are baked into W's bias lane
     if Lmax > HALO:
         raise NotImplementedError(f"Lmax {Lmax} exceeds kernel halo {HALO}")
-    # stay uint8 end-to-end (alphabet codes < 256): the padded row array
-    # below is the only large HBM intermediate (the halo of each text
-    # tile is read in-kernel from the NEXT row, so no overlapping-tile
-    # materialization — that gather-concat used to cost ~1/7 of the scan)
-    codes = codes.astype(jnp.uint8)
+    if T % 8 or MB % 8:
+        raise ValueError("T and MB must be multiples of 8")
+    U = T // 8
+    G = MB // 8
+    na = _na(Lmax)
     n = codes.shape[0]
     ntiles = max((n + T - 1) // T, 1)
-    ptiles = W.shape[0] // LANE
+    Mrows = W.shape[0]
+    ptiles = Mrows // (8 * LANE)
     kchunks = W.shape[1] // LANE
     if ptiles == 1 and n_pat is not None:
-        plive = max(8, 1 << (max(n_pat, 1) - 1).bit_length())
+        plive = max(1, 1 << (max(n_pat, 1) - 1).bit_length())
         plive = min(plive, LANE)
     else:
         plive = LANE
-    # zero-padded row array [ntiles + 1, 1, T]: one extra all-pad row so
-    # the last tile's next-row halo read stays in bounds (T >= HALO)
-    padded = jnp.concatenate(
-        [codes, jnp.zeros((ntiles + 1) * T - n, jnp.uint8)]
-    )
-    codes3d = padded.reshape(ntiles + 1, 1, T)
+    if t3 is None:
+        t3 = phase_transpose(codes, T)
 
-    # chunk the K axis per pattern tile:
-    # W4[pt, kc] = Wt[pt*LANE:(pt+1)*LANE, kc*LANE:(kc+1)*LANE]
-    W4 = W.reshape(ptiles, LANE, kchunks, LANE).swapaxes(1, 2)
-    thr3 = thr.reshape(ptiles, LANE, 1)
+    W4 = W.reshape(ptiles, 8 * LANE, kchunks, LANE).swapaxes(1, 2)
 
-    W2 = T + HALO - 8  # sheared stage width (shear consumes 7 lanes)
     out = pl.pallas_call(
         functools.partial(
-            _scan_kernel, classes=classes, Lmax=Lmax, T=T, kchunks=kchunks,
-            plive=plive, ptiles=ptiles,
+            _scan_kernel, classes=classes, U=U, na=na, kchunks=kchunks,
+            plive=plive, ptiles=ptiles, occupancy=occupancy,
         ),
-        out_shape=jax.ShapeDtypeStruct((ntiles, ptiles, 1, T),
+        out_shape=jax.ShapeDtypeStruct((ntiles, ptiles, 8, U),
                                        jnp.bfloat16),
         grid=(ntiles, ptiles),
         in_specs=[
-            pl.BlockSpec((1, 1, T), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 8, U), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T), lambda i, j: (i + 1, 0, 0),
+            pl.BlockSpec((1, 8, U), lambda i, j: (i + 1, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kchunks, LANE, LANE), lambda i, j: (j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE, 1), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, kchunks, 8 * LANE, LANE),
+                         lambda i, j: (j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, T), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 8, U), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((kchunks * LANE, T), jnp.int8),
-            # single-chunk kernels feed the matmul straight into the
-            # compare; the accumulator scratch shrinks to a dummy tile
-            pltpu.VMEM((plive, T) if kchunks > 1 else (8, LANE),
+            pltpu.VMEM((kchunks * LANE, U), jnp.int8),
+            # single-chunk kernels feed the matmul output straight into
+            # the reduce; the accumulator scratch shrinks to a dummy tile
+            pltpu.VMEM((8 * plive, U) if kchunks > 1 else (8, LANE),
                        jnp.int32),
-            pltpu.VMEM((8, W2), jnp.int32),
-            pltpu.VMEM((8 * len(classes), W2), jnp.int8),
+            pltpu.VMEM((8 * len(classes), U + na - 1), jnp.int8),
         ],
         interpret=interpret,
-    )(codes3d, codes3d, W4, thr3)
+    )(t3, t3, W4)
+    # microblock m covers positions [MB*m, MB*(m+1)) = all 8 phases of G
+    # consecutive lanes; reduce pattern tiles + phases, then lane groups
     if occupancy:
-        # per-position counts are >= 0, so max works as "any" across both
-        # the pattern tiles and the MB lanes — exact in bf16.  Shape
-        # choreography matters on this backend: squeezing to [ntiles, T]
-        # FIRST and keeping the minor-dim reduce 3-D fuses into a clean
-        # pass (the flat [n/MB, MB] form lowered ~2x slower)
-        o = out.reshape(ntiles, ptiles * T)
-        if ptiles > 1:
-            o = o.reshape(ntiles, ptiles, T).max(axis=1)
-        return (o.reshape(ntiles, T // MB, MB).max(axis=2).reshape(-1) > 0)
-    # per-position counts add across pattern tiles; microblock totals as
-    # one XLA reshape-sum (fast HBM-bound reduce; microblock sums can
-    # exceed bf16's exact-integer range, so widen first)
-    return out.astype(jnp.float32).sum(axis=1).reshape(-1, MB).sum(axis=1)
+        o = out.reshape(ntiles, ptiles * 8, U).max(axis=1)
+        return (o.reshape(ntiles, U // G, G).max(axis=2).reshape(-1) > 0)
+    c = out.astype(jnp.float32).reshape(ntiles, ptiles * 8, U).sum(axis=1)
+    return c.reshape(ntiles, U // G, G).sum(axis=2).reshape(-1)
 
 
 def _microhits_impl(codes, W, thr, *, classes, Lmax, T, MB, interpret,
-                    n_pat=None, occupancy=False):
+                    n_pat=None, occupancy=False, t3=None):
     """Non-jitted body of :func:`pallas_microhits` for fusion into larger
     jitted pipelines."""
     return pallas_microhits.__wrapped__(
         codes, W, thr, classes=classes, Lmax=Lmax, T=T, MB=MB,
-        interpret=interpret, n_pat=n_pat, occupancy=occupancy,
+        interpret=interpret, n_pat=n_pat, occupancy=occupancy, t3=t3,
     )
 
 
@@ -337,7 +366,7 @@ def _microhits_impl(codes, W, thr, *, classes, Lmax, T, MB, interpret,
         "hit_cap", "interpret"
     ),
 )
-def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *,
+def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, t3=None, *,
                      classes: tuple, alpha: int,
                      Lmax: int, eos_code: int = -1, T: int = 4096, MB: int = 32,
                      cap_mb: int = 1024, hit_cap: int = 4096,
@@ -366,7 +395,7 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, *,
     P = wconv.shape[2]
     mh = _microhits_impl(codes, W, thr, classes=classes, Lmax=Lmax, T=T,
                          MB=MB, interpret=interpret, n_pat=P,
-                         occupancy=True)
+                         occupancy=True, t3=t3)
     nmb = mh.shape[0]
     mb_count, mb_idx = compact_mask(mh, cap_mb)
 
