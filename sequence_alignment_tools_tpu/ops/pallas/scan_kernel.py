@@ -175,14 +175,19 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
     KPAD = kchunks * LANE
     mlive = 8 * plive
     HU = na - 1
+    # int8 operands, int32 margins: tpu.matmul requires a 32-bit
+    # accumulator type on this target (bf16/int16 emission rejected), so
+    # the margin max tree runs at full int32 width
+    et = jnp.int8
+    pet = jnp.int32
 
     @pl.when(jnp.logical_and(pl.program_id(0) == 0,
                              pl.program_id(1) == 0))
     def _():
         # static yt content, never written again: bias ones + K-pad zeros
-        yt_ref[K - 1 : K, :] = jnp.ones((1, U), jnp.int8)
+        yt_ref[K - 1 : K, :] = jnp.ones((1, U), et)
         if K < KPAD:
-            yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, U), jnp.int8)
+            yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, U), et)
 
     def build():
         # widen once: int8/uint8 equality compares are unsupported by
@@ -191,7 +196,7 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
             [codes_ref[0], next_ref[0][:, :HU]], axis=1
         ).astype(jnp.int32)
         for ci, c in enumerate(classes):
-            oh_ref[ci * 8 : (ci + 1) * 8, :] = (blk == c).astype(jnp.int8)
+            oh_ref[ci * 8 : (ci + 1) * 8, :] = (blk == c).astype(et)
         for ci in range(nc):
             for a in range(na):
                 row = (ci * na + a) * 8
@@ -208,7 +213,7 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
 
     if kchunks == 1:
         scores = jnp.dot(wt_ref[0, 0, :mlive, :], yt_ref[:],
-                         preferred_element_type=jnp.int32)
+                         preferred_element_type=pet)
     else:
         acc_ref[:] = jnp.zeros((mlive, U), jnp.int32)
         for kc in range(kchunks):
@@ -219,7 +224,7 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
             )
         scores = acc_ref[:]
     if occupancy:
-        # margins: max over patterns first (int32), sign check last
+        # margins: max over patterns first, sign check last
         s = scores
         r = mlive
         while r > 8:
@@ -310,6 +315,7 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
         t3 = phase_transpose(codes, T)
 
     W4 = W.reshape(ptiles, 8 * LANE, kchunks, LANE).swapaxes(1, 2)
+    et = jnp.int8
 
     out = pl.pallas_call(
         functools.partial(
@@ -331,12 +337,12 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
         out_specs=pl.BlockSpec((1, 1, 8, U), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((kchunks * LANE, U), jnp.int8),
+            pltpu.VMEM((kchunks * LANE, U), et),
             # single-chunk kernels feed the matmul output straight into
             # the reduce; the accumulator scratch shrinks to a dummy tile
             pltpu.VMEM((8 * plive, U) if kchunks > 1 else (8, LANE),
                        jnp.int32),
-            pltpu.VMEM((8 * len(classes), U + na - 1), jnp.int8),
+            pltpu.VMEM((8 * len(classes), U + na - 1), et),
         ],
         interpret=interpret,
     )(t3, t3, W4)
