@@ -223,22 +223,31 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
                 preferred_element_type=jnp.int32,
             )
         scores = acc_ref[:]
+    def pattern_tree(s, op):
+        # reduce the (pattern, phase) rows to the 8 phase rows; plive is
+        # the EXACT live pattern count (not a power of two — pad rows
+        # would cost tree work), so odd counts peel one 8-row block into
+        # the head; every slice stays 8-row aligned
+        r = plive
+        while r > 1:
+            if r % 2:
+                s = jnp.concatenate(
+                    [op(s[:8, :], s[(r - 1) * 8 : r * 8, :]),
+                     s[8 : (r - 1) * 8, :]], axis=0)
+                r -= 1
+            else:
+                r //= 2
+                s = op(s[: r * 8, :], s[r * 8 : 2 * r * 8, :])
+        return s
+
     if occupancy:
         # margins: max over patterns first, sign check last
-        s = scores
-        r = mlive
-        while r > 8:
-            r //= 2
-            s = jnp.maximum(s[:r, :], s[r : 2 * r, :])
+        s = pattern_tree(scores, jnp.maximum)
         out_ref[0, 0] = (s >= 0).astype(jnp.bfloat16)
     else:
         # per-(phase, position) hit counts <= P <= 128: exact in bf16
         hit = (scores >= 0).astype(jnp.bfloat16)
-        s = hit
-        r = mlive
-        while r > 8:
-            r //= 2
-            s = s[:r, :] + s[r : 2 * r, :]
+        s = pattern_tree(hit, jnp.add)
         out_ref[0, 0] = s
 
 
@@ -307,8 +316,9 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
     ptiles = Mrows // (8 * LANE)
     kchunks = W.shape[1] // LANE
     if ptiles == 1 and n_pat is not None:
-        plive = max(1, 1 << (max(n_pat, 1) - 1).bit_length())
-        plive = min(plive, LANE)
+        # exact count (NOT a power of two): the matmul M axis and the
+        # pattern reduce tree pay for every row, pad or not
+        plive = min(max(n_pat, 1), LANE)
     else:
         plive = LANE
     if t3 is None:
