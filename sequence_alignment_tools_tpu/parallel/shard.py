@@ -144,3 +144,78 @@ def sharded_scan_hits(shards, weights, thresholds, lengths, alpha,
         check_vma=False,
     )(shards, weights, thresholds, lengths)
     return counts[0], starts[0], pids[0]
+
+
+def sharded_pallas_scan_hits(scanner, codes: np.ndarray, mesh: Mesh,
+                             axis: str = "data", interpret: bool = False):
+    """The FUSED pallas scan pipeline, data-parallel over a device mesh.
+
+    Each shard runs the full single-chip fast path
+    (:func:`..ops.pallas.scan_kernel.pallas_scan_hits`: Mosaic microblock
+    filter -> compaction -> exact rescore -> packed hit row) on its
+    position slice plus a static right halo of ``Lmax - 1 + k``; the
+    tiny packed rows ride ONE ``all_gather`` over ICI.  A window is owned
+    by the shard containing its start, so decoding each shard's row with
+    ``n = shard_len`` drops halo-started duplicates and concatenating in
+    shard order yields the position-major global hit list.
+
+    Host-side overflow handling matches the single-chip path: if any
+    shard's true counts exceed the caps, the caps grow (stickily, on the
+    scanner) and the sharded call reruns — correctness never depends on
+    capacity.
+
+    Yields (end, pid, mism) tuples in global coordinates.  ``interpret``
+    runs the Mosaic kernel in interpreter mode (the virtual CPU mesh used
+    by tests; real meshes compile)."""
+    from ..ops.pallas.scan_kernel import kernel_weights, pallas_scan_hits
+
+    t = scanner.tables
+    if scanner._pallas_wt is None:
+        W, thr, classes = kernel_weights(t, scanner.k, scanner.poison_eos)
+        scanner._pallas_wt = (jnp.asarray(W), jnp.asarray(thr), classes)
+    W, thr, classes = scanner._pallas_wt
+    T = 65536 if W.shape[1] // 128 == 1 else 16384
+    halo = t.Lmax - 1 + scanner.k
+    shards, shard_len = shard_codes(
+        np.asarray(codes), mesh, halo, t.eos_code, axis)
+    shards = jnp.asarray(shards, jnp.uint8)
+
+    while True:
+        cap_mb, hit_cap = scanner._cap_mb, scanner._hit_cap
+
+        def per_shard(codes_block, W, thr, wconv, thresholds, lengths):
+            row = pallas_scan_hits.__wrapped__(
+                codes_block[0], W, thr, wconv, thresholds, lengths,
+                classes=classes, alpha=t.alpha, Lmax=t.Lmax,
+                eos_code=t.eos_code, T=T, MB=scanner._MB, cap_mb=cap_mb,
+                hit_cap=hit_cap, interpret=interpret,
+            )
+            return jax.lax.all_gather(row, axis)[None]
+
+        rows = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+            out_specs=P(axis, None, None),
+            check_vma=False,
+        )(shards, W, thr, scanner.weights, scanner.thresholds,
+          scanner.lengths_dev)
+        rows = np.asarray(jax.device_get(rows[0]))  # [n_dev, rowlen]
+        if (rows[:, 0] <= cap_mb).all() and (rows[:, 1] <= hit_cap).all():
+            break
+        # a shard overflowed: grow the caps past the worst observed true
+        # counts and rerun (sticky, same policy as ConvScanner._redispatch)
+        mbt = max(int(rows[:, 0].max()), 1)
+        ht = max(int(rows[:, 1].max()), 1)
+        scanner._cap_mb = max(cap_mb, 1 << (mbt - 1).bit_length())
+        scanner._hit_cap = max(hit_cap, 1 << (ht - 1).bit_length())
+
+    def gen():
+        for i in range(rows.shape[0]):
+            base = i * shard_len
+            for end, pid, mism in scanner._decode_packed(
+                    rows[i], None, shard_len, interpret,
+                    (cap_mb, hit_cap)):
+                yield end + base, pid, mism
+
+    return gen()

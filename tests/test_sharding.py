@@ -132,3 +132,54 @@ def test_sharded_hit_gather(syn_fasta):
     assert sum(counts) == len(ref_set)
     # position-major deterministic order after dropping empty slots
     assert [g for g in got] == sorted(got)
+
+
+def test_sharded_pallas_pipeline(syn_fasta):
+    """sharded_pallas_scan_hits: the fused Mosaic pipeline run per shard
+    (interpret mode on the virtual mesh) reproduces the single-device
+    scanner's full (end, pid, mism) stream — including hits whose windows
+    straddle shard boundaries (covered by the static halo) and the
+    cross-shard overflow-retry path (tiny forced caps)."""
+    from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+    from sequence_alignment_tools_tpu.parallel.shard import (
+        sharded_pallas_scan_hits,
+    )
+
+    db = SeqDB.from_fasta(syn_fasta)
+    pats = [l.strip() for l in open("/root/reference/db/pat.txt")
+            if l.strip()]
+    # add patterns that straddle the 8-way shard boundaries: substrings
+    # of the text crossing each shard edge
+    codes = np.asarray(db.codes)
+    shard_len = -(-len(codes) // 8)
+    extra = []
+    for i in (1, 3, 5):
+        s = i * shard_len - 7
+        sub = codes[s : s + 14]
+        if (sub < 4).all():
+            extra.append("".join("ACGT"[c] for c in sub))
+    ps = build_pattern_set(pats + extra, rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+
+    sc = ConvScanner(tables, k=0, use_pallas=True)
+    sc.pallas_interpret = True
+    want = sorted(sc.scan(db.codes))
+    assert want  # non-degenerate
+    assert any(e - tables.lengths[p] < i * shard_len <= e
+               for e, p, _ in want for i in (1, 3, 5)), \
+        "no boundary-straddling hit planted"
+
+    mesh = make_mesh(jax.devices()[:8])
+    got = sorted(sharded_pallas_scan_hits(
+        sc, db.codes, mesh, interpret=True))
+    assert got == want
+
+    # cross-shard overflow retry: force caps below the true counts
+    sc2 = ConvScanner(tables, k=0, use_pallas=True)
+    sc2.pallas_interpret = True
+    sc2._cap_mb = 2
+    sc2._hit_cap = 2
+    got2 = sorted(sharded_pallas_scan_hits(
+        sc2, db.codes, mesh, interpret=True))
+    assert got2 == want
+    assert sc2._cap_mb > 2 or sc2._hit_cap > 2
