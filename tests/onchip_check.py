@@ -1,0 +1,88 @@
+"""On-chip kernel parity: the COMPILED Mosaic scan pipeline vs the XLA
+block path, on whatever accelerator backend is live (run as a subprocess
+by test_tpu_hardware.py with the conftest's forced-CPU env stripped).
+
+Covers the kernel configuration space that interpret-mode tests exercise
+only on CPU: the single-K-chunk DNA path, the multi-K-chunk wide-alphabet
+(peptide) path, and the pattern-tiled (P > 128) grid.
+"""
+
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _check(db, pats, rev_comp, ks, label):
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+    from sequence_alignment_tools_tpu.ops.tables import build_tables
+
+    ps = build_pattern_set(pats, rev_comp=rev_comp)
+    for k in ks:
+        tables = build_tables(ps, db, wc=False, textn=False)
+        got = sorted(ConvScanner(tables, k=k, use_pallas=True).scan(db.codes))
+        want = sorted(
+            ConvScanner(tables, k=k, use_pallas=False).scan(db.codes))
+        assert got == want, (label, k, len(got), len(want))
+        assert got, (label, k, "no hits planted?")
+        print(f"{label} k={k}: {len(got)} hits OK", flush=True)
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    assert backend != "cpu", f"on-chip check needs an accelerator, got {backend}"
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+
+    rng = np.random.default_rng(11)
+
+    # --- DNA, single K chunk, P <= 128 ---------------------------------
+    n = 1 << 21
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    table = b"ACGT\n"
+    db = SeqDB(codes=codes, table=table, entry_starts=np.array([0]),
+               entry_lengths=np.array([n]), headers=["e1"])
+    pats = [ln.strip() for ln in open("/root/reference/db/pat.txt")
+            if ln.strip()]
+    for i, p in enumerate(pats):
+        at = 4000 + 99991 * i
+        for j, ch in enumerate(p):
+            db.codes[at + j] = table.index(ch.encode())
+    _check(db, pats, True, (0, 1), "dna")
+
+    # --- DNA, pattern-tiled grid (P > 128) -----------------------------
+    def take(s, L):
+        return "".join("ACGT"[c] for c in codes[s : s + L])
+
+    many = [take(1000 + 9973 * i, 14 + i % 7) for i in range(80)]
+    _check(db, many, True, (0,), "dna-ptiled")  # 160 patterns, 2 tiles
+
+    # --- peptide, wide alphabet (multi K chunk) ------------------------
+    AA = "ACDEFGHIKLMNPQRSTVWY"
+    seqs = ["".join(rng.choice(list(AA), 120_000)) for _ in range(3)]
+    fd, path = tempfile.mkstemp(suffix=".fasta")
+    os.write(fd, "\n".join(f">p{e}\n{s}" for e, s in enumerate(seqs)).encode())
+    os.close(fd)
+    pdb = SeqDB.from_fasta(path)
+    pcodes = np.asarray(pdb.codes)
+    eos = pdb.eos_code
+
+    def ptake(s, L):
+        sub = pcodes[s : s + L]
+        return pdb.decode(s, s + L) if (sub != eos).all() else None
+
+    ppats = [p for p in (ptake(5000 + 9973 * i, 8 + i % 5) for i in range(8))
+             if p]
+    assert len(ppats) >= 6
+    _check(pdb, ppats, False, (0, 1), "peptide")
+
+    print("ONCHIP OK", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
