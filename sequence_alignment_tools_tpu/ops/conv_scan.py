@@ -151,6 +151,7 @@ class ConvScanner:
         self.use_pallas = use_pallas
         self.pallas_interpret = False  # tests: run the Mosaic kernel on CPU
         self._pallas_wt = None
+        self._dispatch_cache = {}
 
     # -- Pallas coarse filter + microblock rescan ---------------------------
 
@@ -159,24 +160,57 @@ class ConvScanner:
 
     def _pallas_dispatch(self, codes_dev, cap_mb: int, hit_cap: int,
                          interpret: bool):
-        """Launch the fused scan (no sync) — one device call."""
-        from .pallas.scan_kernel import kernel_weights, pallas_scan_hits
+        """Launch the fused scan (no sync) — one device call.
+
+        The jitted callable is PRE-BOUND per (caps, interpret): re-passing
+        the five table arrays plus eight static kwargs through the jit
+        cache costs ~0.14 ms per call on this backend — 17% of the whole
+        sustained per-block budget — so the hot path closes over them and
+        takes only (codes, t3)."""
+        fn = self._dispatch_cache.get((cap_mb, hit_cap, interpret))
+        if fn is None:
+            fn = self._bind_dispatch(cap_mb, hit_cap, interpret)
+        return fn(codes_dev, self._t3_for(codes_dev, self._pallas_T()))
+
+    _pallas_T_cached = None
+
+    def _pallas_T(self) -> int:
+        if self._pallas_T_cached is None:
+            W = self._pallas_weights()[0]
+            # the phase-transposed kernel's VMEM footprint is tiny, so big
+            # tiles win (fewer grid steps); 64K measured at the plateau
+            self._pallas_T_cached = 65536 if W.shape[1] // 128 == 1 else 16384
+        return self._pallas_T_cached
+
+    def _pallas_weights(self):
+        from .pallas.scan_kernel import kernel_weights
+
+        if self._pallas_wt is None:
+            W, thr, classes = kernel_weights(
+                self.tables, self.k, self.poison_eos)
+            self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr), classes)
+        return self._pallas_wt
+
+    def _bind_dispatch(self, cap_mb: int, hit_cap: int, interpret: bool):
+        from .pallas.scan_kernel import pallas_scan_hits
 
         t = self.tables
-        if self._pallas_wt is None:
-            W, thr, classes = kernel_weights(t, self.k, self.poison_eos)
-            self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr), classes)
-        W, thr, classes = self._pallas_wt
-        # the phase-transposed kernel's VMEM footprint is tiny, so big
-        # tiles win (fewer grid steps); 64K measured at the plateau
-        T = 65536 if W.shape[1] // 128 == 1 else 16384
-        return pallas_scan_hits(
-            codes_dev, W, thr, self.weights, self.thresholds,
-            self.lengths_dev, self._t3_for(codes_dev, T),
-            classes=classes, alpha=t.alpha, Lmax=t.Lmax,
-            eos_code=t.eos_code, T=T, MB=self._MB, cap_mb=cap_mb,
-            hit_cap=hit_cap, interpret=interpret,
-        )
+        W, thr, classes = self._pallas_weights()
+        T = self._pallas_T()
+        weights, thresholds, lengths = (
+            self.weights, self.thresholds, self.lengths_dev)
+
+        @jax.jit
+        def fn(codes_dev, t3):
+            return pallas_scan_hits(
+                codes_dev, W, thr, weights, thresholds, lengths, t3,
+                classes=classes, alpha=t.alpha, Lmax=t.Lmax,
+                eos_code=t.eos_code, T=T, MB=self._MB, cap_mb=cap_mb,
+                hit_cap=hit_cap, interpret=interpret,
+            )
+
+        self._dispatch_cache[(cap_mb, hit_cap, interpret)] = fn
+        return fn
 
     def _t3_for(self, codes_dev, T: int):
         """Phase-transposed device form of ``codes_dev`` (identity-cached:
