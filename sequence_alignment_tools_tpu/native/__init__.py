@@ -123,6 +123,28 @@ def load_fasta_lib():
     return lib
 
 
+def load_shift_and_lib():
+    """Native bit-parallel multi-pattern scanner; None if unavailable."""
+    lib = _load("satshiftand", "shift_and.cpp")
+    if lib is None or getattr(lib, "_sat_bound", False):
+        return lib
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_u64p = ctypes.POINTER(ctypes.c_uint64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.sat_shift_and_scan.restype = ctypes.c_int64
+    lib.sat_shift_and_scan.argtypes = [
+        c_u8p, ctypes.c_int64,                 # codes, n
+        c_u64p, ctypes.c_int32, ctypes.c_int32,  # u, alpha, nwords
+        c_u64p, c_u64p,                        # s, e
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # k, poison, eos
+        c_u64p,                                # rows scratch
+        c_i64p, c_i32p, c_i32p, ctypes.c_int64,  # out_end/bit/mism, cap
+    ]
+    lib._sat_bound = True
+    return lib
+
+
 def load_sais_lib():
     """Native SA-IS suffix array builder; None if unavailable."""
     lib = _load("satsais", "sais.cpp")

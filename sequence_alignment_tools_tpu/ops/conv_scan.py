@@ -76,6 +76,27 @@ def _pack_group(stacked, *, cap_mb: int, hit_cap: int, gcap: int,
     return jnp.concatenate(parts)
 
 
+@functools.lru_cache(maxsize=None)
+def _shared_scan_jit(classes, alpha, Lmax, eos_code, T, MB,
+                     cap_mb, hit_cap, interpret):
+    """One jitted fused-scan entry per static config, SHARED across
+    scanner instances: a per-instance ``jax.jit`` wrapper would re-trace
+    (and on a cold persistent cache, re-compile) for every scanner a CLI
+    run builds."""
+    from .pallas.scan_kernel import pallas_scan_hits
+
+    @jax.jit
+    def jfn(codes_dev, t3, W, thr, weights, thresholds, lengths):
+        return pallas_scan_hits(
+            codes_dev, W, thr, weights, thresholds, lengths, t3,
+            classes=classes, alpha=alpha, Lmax=Lmax, eos_code=eos_code,
+            T=T, MB=MB, cap_mb=cap_mb, hit_cap=hit_cap,
+            interpret=interpret,
+        )
+
+    return jfn
+
+
 @functools.partial(jax.jit, static_argnames=("alpha", "cap"))
 def _conv_scan_block(codes, weights, thresholds, lengths, alpha, cap):
     """One text block.
@@ -163,10 +184,13 @@ class ConvScanner:
         """Launch the fused scan (no sync) — one device call.
 
         The jitted callable is PRE-BOUND per (caps, interpret): re-passing
-        the five table arrays plus eight static kwargs through the jit
-        cache costs ~0.14 ms per call on this backend — 17% of the whole
-        sustained per-block budget — so the hot path closes over them and
-        takes only (codes, t3)."""
+        the eight static kwargs through the jit cache costs ~0.14 ms per
+        call on this backend — 17% of the whole sustained per-block
+        budget — so they are closed over once.  The five table arrays stay
+        ORDINARY ARGUMENTS: closing over concrete arrays bakes them into
+        the lowered module as MLIR constants, which fetches each one
+        device->host at lowering time (~4 s over the tunneled link on a
+        cold CLI run) and keys the compile cache on table *values*."""
         fn = self._dispatch_cache.get((cap_mb, hit_cap, interpret))
         if fn is None:
             fn = self._bind_dispatch(cap_mb, hit_cap, interpret)
@@ -192,22 +216,17 @@ class ConvScanner:
         return self._pallas_wt
 
     def _bind_dispatch(self, cap_mb: int, hit_cap: int, interpret: bool):
-        from .pallas.scan_kernel import pallas_scan_hits
-
         t = self.tables
         W, thr, classes = self._pallas_weights()
         T = self._pallas_T()
         weights, thresholds, lengths = (
             self.weights, self.thresholds, self.lengths_dev)
+        jfn = _shared_scan_jit(
+            classes, t.alpha, t.Lmax, t.eos_code, T, self._MB,
+            cap_mb, hit_cap, interpret)
 
-        @jax.jit
         def fn(codes_dev, t3):
-            return pallas_scan_hits(
-                codes_dev, W, thr, weights, thresholds, lengths, t3,
-                classes=classes, alpha=t.alpha, Lmax=t.Lmax,
-                eos_code=t.eos_code, T=T, MB=self._MB, cap_mb=cap_mb,
-                hit_cap=hit_cap, interpret=interpret,
-            )
+            return jfn(codes_dev, t3, W, thr, weights, thresholds, lengths)
 
         self._dispatch_cache[(cap_mb, hit_cap, interpret)] = fn
         return fn
@@ -566,6 +585,31 @@ class ConvScanner:
             if pending:
                 inflight = self._launch_group(pending, len(pending))
 
+    _host_scanner = None
+    # tri-state: None = auto (small scans), False = never (pin a device
+    # path), True = whenever the native machine can represent the patterns
+    use_host = None
+
+    def _host_eligible(self, n: int) -> bool:
+        """Route to the native shift-and machine when the scan is small
+        enough that fixed device costs (trace/lower, table upload, the
+        tunnel round-trip) dominate; never when a test explicitly asked
+        for the interpret-mode kernel."""
+        import os
+
+        if self.use_host is False or self.pallas_interpret:
+            return False
+        if self.use_host is None and (self.k > 4 or n > (1 << 26)):
+            return False
+        if os.environ.get("SAT_HOST_SCAN", "1") == "0":
+            return False
+        if self._host_scanner is None:
+            from .host_scan import HostShiftAnd
+
+            self._host_scanner = HostShiftAnd(
+                self.tables, self.k, self.poison_eos)
+        return self._host_scanner.available()
+
     def scan(self, codes: np.ndarray):
         """Iterate candidate tuples over the whole array (host generator)."""
         est = self._expected_hits(len(codes))
@@ -577,6 +621,12 @@ class ConvScanner:
             # two-level device filter — a host radix-code lookup beats
             # any device path here (no transfers, no compiles)
             yield from self._scan_radix(codes)
+            if self.progress:
+                self.progress(1.0)
+            return
+        if self._host_eligible(len(codes)):
+            yield from self._host_scanner.scan(
+                codes, cap_hint=int(est * 4) + 1024)
             if self.progress:
                 self.progress(1.0)
             return

@@ -26,10 +26,18 @@ def _check(db, pats, rev_comp, ks, label):
         tables = build_tables(ps, db, wc=False, textn=False)
         got = sorted(ConvScanner(tables, k=k, use_pallas=True).scan(db.codes))
         want = sorted(
-            ConvScanner(tables, k=k, use_pallas=False).scan(db.codes))
+            _xla_scanner(tables, k).scan(db.codes))
         assert got == want, (label, k, len(got), len(want))
         assert got, (label, k, "no hits planted?")
         print(f"{label} k={k}: {len(got)} hits OK", flush=True)
+
+
+def _xla_scanner(tables, k):
+    from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+
+    sc = ConvScanner(tables, k=k, use_pallas=False)
+    sc.use_host = False  # the check compares compiled Mosaic vs pure XLA
+    return sc
 
 
 def main():

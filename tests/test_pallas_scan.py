@@ -41,6 +41,7 @@ def test_pallas_matches_xla_path(planted_db, k):
     ps = build_pattern_set(pats, rev_comp=True)
     tables = build_tables(ps, db, wc=False, textn=False)
     ref = ConvScanner(tables, k=k, block=1 << 15, use_pallas=False)
+    ref.use_host = False  # pin the XLA block path
     want = list(ref.scan(db.codes))
     got_sc = ConvScanner(tables, k=k, use_pallas=True)
     got_sc.pallas_interpret = True
@@ -99,6 +100,7 @@ def test_radix_path_matches_xla(planted_db):
     ps = build_pattern_set(halves, rev_comp=False)
     tables = build_tables(ps, db, wc=False, textn=False)
     sc = ConvScanner(tables, k=0, use_pallas=False)
+    sc.use_host = False  # pin the XLA block path
     want = list(sc.scan(db.codes))
     assert sc._radix_eligible()
     got = list(sc._scan_radix(db.codes))
@@ -109,6 +111,7 @@ def test_radix_path_matches_xla(planted_db):
                             rev_comp=False)
     t2 = build_tables(ps2, db, wc=False, textn=False)
     sc2 = ConvScanner(t2, k=0, use_pallas=False)
+    sc2.use_host = False
     assert list(sc2._scan_radix(db.codes)) == list(sc2.scan(db.codes))
 
 
@@ -127,4 +130,5 @@ def test_pallas_pattern_tiling(planted_db):
     sc = ConvScanner(tables, k=0, use_pallas=True)
     sc.pallas_interpret = True
     want_sc = ConvScanner(tables, k=0, use_pallas=False)
+    want_sc.use_host = False
     assert list(sc.scan(db.codes)) == list(want_sc.scan(db.codes))
