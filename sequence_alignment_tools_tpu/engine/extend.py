@@ -244,3 +244,120 @@ class Extender:
             text, p1, -1, esb, eeb - len(p2)
         )
         return ok, end2, value
+
+
+class BatchSeedExtender:
+    """Batched lmatch/rmatch over candidate ARRAYS — one native call per
+    candidate array instead of one ctypes round-trip (plus a Python window
+    decode) per seed hit, the k>0 host hot loop of the pigeonhole engines
+    (exact_halves.cc:120-197 / exact_bases.cc:69-129 inner loops).
+
+    Per seed id the geometry is fixed: ``dirn`` (+1 lmatch / -1 rmatch), the
+    pattern part to extend, the residual constraint args, and for rmatch the
+    window geometry (geomA = |p1|+|p2|+k, geomB = |p2|).  Candidates are
+    (anchor end position, seed id) arrays; results are (ok, end, value)
+    arrays in candidate order — identical to per-candidate
+    :meth:`Extender.lmatch`/:meth:`Extender.rmatch` by construction (the
+    native batch loops the same DP; the Python fallback literally calls
+    them)."""
+
+    def __init__(self, ext: Extender, db, dirs, ext_pats, la, ra,
+                 geomA, geomB):
+        import numpy as np
+
+        self.ext = ext
+        self.db = db
+        self.dirs = np.ascontiguousarray(dirs, dtype=np.int32)
+        self.ext_pats = [p for p in ext_pats]
+        self.la = np.ascontiguousarray(la, dtype=np.int32)
+        self.ra = np.ascontiguousarray(ra, dtype=np.int32)
+        self.geomA = np.ascontiguousarray(geomA, dtype=np.int32)
+        self.geomB = np.ascontiguousarray(geomB, dtype=np.int32)
+        blob = "".join(ext_pats).encode("latin-1")
+        self._expats = np.frombuffer(blob, dtype=np.uint8).copy()
+        if len(self._expats) == 0:
+            self._expats = np.zeros(1, dtype=np.uint8)
+        lens = np.fromiter((len(p) for p in ext_pats), np.int32,
+                           len(ext_pats))
+        self.ext_len = lens
+        self.ext_off = np.zeros(len(ext_pats), np.int32)
+        if len(ext_pats):
+            self.ext_off[1:] = np.cumsum(lens[:-1])
+        # decode source: Mapped databases must extend against the ORIGINAL
+        # characters (db.decode semantics) — feed the raw chars with an
+        # identity table there
+        if db.decode_chars is not None:
+            self._codes = np.ascontiguousarray(db.decode_chars,
+                                               dtype=np.uint8)
+            self._ch_of = np.arange(256, dtype=np.uint8)
+        else:
+            self._codes = np.ascontiguousarray(db.codes, dtype=np.uint8)
+            tbl = np.frombuffer(db.table, dtype=np.uint8)
+            self._ch_of = np.zeros(256, np.uint8)
+            self._ch_of[: len(tbl)] = tbl
+
+    def __call__(self, anchors, sids):
+        """(anchors [C] int64, sids [C] int32) -> (ok [C] bool,
+        end [C] int64, value [C] int32)."""
+        import ctypes
+
+        import numpy as np
+
+        C = len(anchors)
+        anchors = np.ascontiguousarray(anchors, dtype=np.int64)
+        sids = np.ascontiguousarray(sids, dtype=np.int32)
+        ok = np.zeros(C, np.int32)
+        end = np.zeros(C, np.int64)
+        val = np.zeros(C, np.int32)
+        ext = self.ext
+        if ext._native is not None and C:
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+
+            def p32(a):
+                return a.ctypes.data_as(i32p)
+
+            r = ext._native.sat_extend_align_batch(
+                self._codes.ctypes.data_as(u8p), len(self._codes),
+                self._ch_of.ctypes.data_as(u8p),
+                self._expats.ctypes.data_as(u8p),
+                p32(self.ext_off), p32(self.ext_len), p32(self.dirs),
+                p32(self.la), p32(self.ra), p32(self.geomA),
+                p32(self.geomB),
+                anchors.ctypes.data_as(i64p), p32(sids), C,
+                ext.k, ord(ext.eos), int(ext.wc), int(ext.textn),
+                int(ext.indels), int(ext.dna_mut),
+                ext._c_compat_p, ext._c_aasub_p,
+                p32(ok), end.ctypes.data_as(i64p), p32(val),
+            )
+            if r != 1:
+                raise RuntimeError("sat_extend_align_batch failed")
+            return ok.astype(bool), end, val
+        # pure-Python fallback: per-candidate global_align with the same
+        # window construction
+        n = len(self._codes)
+        chars = self._ch_of
+        codes = self._codes
+        eos = ext.eos
+        k = ext.k
+        for i in range(C):
+            s = int(sids[i])
+            a = int(anchors[i])
+            if self.dirs[s] > 0:
+                start, buflen = a, int(self.ext_len[s]) + k
+            else:
+                start = a - int(self.geomA[s]) if a > self.geomA[s] else 0
+                buflen = max(a - int(self.geomB[s]) - start, 0)
+            s0 = max(0, start)
+            e0 = min(s0 + buflen, n)
+            w = chars[codes[s0:e0]].tobytes().decode("latin-1")
+            if len(w) < buflen:
+                w = w + eos * (buflen - len(w))
+            o, ml, v = ext.global_align(
+                w, self.ext_pats[s], int(self.dirs[s]),
+                int(self.la[s]), int(self.ra[s]))
+            ok[i] = o
+            end[i] = a + ml if self.dirs[s] > 0 else a
+            val[i] = v
+        return ok.astype(bool), end, val

@@ -538,3 +538,130 @@ def _align_native(self, pat, buffer, cids, end, posub, esb, eeb):
 
 
 EditDistAligner._align_native = _align_native
+
+
+class BatchVerifier:
+    """Batched yes/no editdist verify over candidate ARRAYS — one native
+    call per array instead of one ctypes round-trip (plus Python window
+    decode) per candidate (the hash_table.cc:144-226 / filter_bitvec.cc
+    cluster-verify host hot loop).
+
+    Patterns (with their esb/eeb constraints) register once as seed ids;
+    candidates are (sid, poslb, posub) arrays.  Returns (found, end, value)
+    arrays identical to per-candidate :meth:`EditDistAligner.align` with
+    ``yesno=True`` (the native batch loops the same DP; the Python fallback
+    literally calls it)."""
+
+    def __init__(self, aligner: EditDistAligner, db, pats, esb, eeb):
+        self.aligner = aligner
+        self.db = db
+        self.pats = list(pats)
+        blob = "".join(self.pats).encode("latin-1")
+        self._patblob = np.frombuffer(blob, dtype=np.uint8).copy()
+        if len(self._patblob) == 0:
+            self._patblob = np.zeros(1, dtype=np.uint8)
+        lens = np.fromiter((len(p) for p in self.pats), np.int32,
+                           len(self.pats))
+        self.pat_len = lens
+        self.pat_off = np.zeros(len(self.pats), np.int32)
+        if len(self.pats):
+            self.pat_off[1:] = np.cumsum(lens[:-1])
+        self.esb = np.ascontiguousarray(esb, dtype=np.int32)
+        self.eeb = np.ascontiguousarray(eeb, dtype=np.int32)
+        if db.decode_chars is not None:
+            self._codes = np.ascontiguousarray(db.decode_chars,
+                                               dtype=np.uint8)
+            self._ch_of = np.arange(256, dtype=np.uint8)
+        else:
+            self._codes = np.ascontiguousarray(db.codes, dtype=np.uint8)
+            tbl = np.frombuffer(db.table, dtype=np.uint8)
+            self._ch_of = np.zeros(256, np.uint8)
+            self._ch_of[: len(tbl)] = tbl
+
+    def __call__(self, sids, poslb, posub):
+        import ctypes
+
+        al = self.aligner
+        C = len(sids)
+        sids = np.ascontiguousarray(sids, dtype=np.int32)
+        poslb = np.ascontiguousarray(poslb, dtype=np.int64)
+        posub = np.ascontiguousarray(posub, dtype=np.int64)
+        found = np.zeros(C, np.int32)
+        start = np.zeros(C, np.int64)
+        end = np.zeros(C, np.int64)
+        val = np.zeros(C, np.int32)
+        if al._native is not None and not (al.dna_mut and al.trans) and C:
+            tables = _native_tables()
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+
+            def p32(a):
+                return a.ctypes.data_as(i32p)
+
+            def p64(a):
+                return a.ctypes.data_as(i64p)
+
+            r = al._native.sat_verify_align_batch(
+                self._codes.ctypes.data_as(u8p), len(self._codes),
+                self._ch_of.ctypes.data_as(u8p),
+                self._patblob.ctypes.data_as(u8p),
+                p32(self.pat_off), p32(self.pat_len),
+                p32(self.esb), p32(self.eeb),
+                p64(poslb), p64(posub), p32(sids), C,
+                al.k, ord(al.eos), int(al.wc), int(al.textn),
+                int(al.indels), int(al.dna_mut),
+                tables[3], tables[4],
+                p32(found), p64(start), p64(end), p32(val),
+            )
+            if r != 1:
+                raise RuntimeError("sat_verify_align_batch failed")
+            return found.astype(bool), end, val
+        # fallback: per-candidate align through a window text_at
+        n = len(self._codes)
+        chars = self._ch_of
+        codes = self._codes
+        eos = al.eos
+
+        def text_at(s, ln):
+            s0 = max(0, s)
+            e0 = min(s0 + ln, n)
+            w = chars[codes[s0:e0]].tobytes().decode("latin-1")
+            if len(w) < ln:
+                w = w + eos * (ln - len(w))
+            return w
+
+        for i in range(C):
+            s = int(sids[i])
+            a = al.align(text_at, self.pats[s], int(poslb[i]),
+                         int(posub[i]), esb=int(self.esb[s]),
+                         eeb=int(self.eeb[s]))
+            found[i] = a.found
+            end[i] = a.end
+            val[i] = a.value
+        return found.astype(bool), end, val
+
+
+def sort_pairs_stdsort(keys, vals):
+    """std::sort permutation on (key, payload) with a key-only comparator —
+    the reference's candidate-batch normalize order (an UNSTABLE introsort;
+    equal keys land in libstdc++'s specific order, pinned by parity tests).
+    Native when available; falls back to utils.introsort."""
+    from ..native import load_verify_lib
+
+    lib = load_verify_lib()
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    if lib is not None:
+        import ctypes
+
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.sat_sort_pairs(keys.ctypes.data_as(i64p),
+                           vals.ctypes.data_as(i64p), len(keys))
+        return keys, vals
+    from ..utils.introsort import introsort
+
+    items = [[int(k), int(v)] for k, v in zip(keys, vals)]
+    introsort(items, lambda a, b: a[0] < b[0])
+    return (np.fromiter((it[0] for it in items), np.int64, len(items)),
+            np.fromiter((it[1] for it in items), np.int64, len(items)))

@@ -366,7 +366,14 @@ class PrimerMatchModel:
             yield end, p0 + 1, 0
 
     def _halves_engine(self):
-        """exact_halves (exact_halves.cc:121-224)."""
+        """exact_halves (exact_halves.cc:121-224): exact half seeds from the
+        MXU scan, BATCHED native lmatch/rmatch extension (one C call per
+        candidate array — engine/extend.BatchSeedExtender), then the
+        sequential lasthit+2k dedup over the (rare) successful extensions.
+        Failed extensions never touch the dedup state (exact_halves.cc:163),
+        so batching them is output-identical."""
+        from ..engine.extend import BatchSeedExtender
+
         ps, k = self.ps, self.k
         halves: list[str] = [""]
         owner: list[int] = [0]
@@ -378,30 +385,51 @@ class PrimerMatchModel:
                              eeb=[0] * len(halves), n_forward=len(halves) - 1)
         tables = build_tables(half_ps, self.db, wc=self.wc, textn=self.textn)
         scanner = self._attach(ConvScanner(tables, k=0, block=self.block))
-        cands = []
+        # per-seed extension geometry (sid == hid)
+        S = len(halves)
+        dirs = np.zeros(S, np.int32)
+        la = np.zeros(S, np.int32)
+        ra = np.zeros(S, np.int32)
+        geomA = np.zeros(S, np.int32)
+        geomB = np.zeros(S, np.int32)
+        ext_pats = [""] * S
+        for hid in range(1, S):
+            pid = owner[hid]
+            h1 = halves[hid if hid % 2 == 1 else hid - 1]
+            h2 = halves[hid + 1 if hid % 2 == 1 else hid]
+            esb, eeb = ps.esb[pid], ps.eeb[pid]
+            if hid % 2 == 1:  # left half matched; extend right over h2
+                dirs[hid] = 1
+                ext_pats[hid] = h2
+                la[hid] = esb - len(h1)
+                ra[hid] = eeb
+            else:  # right half matched; extend left over h1
+                dirs[hid] = -1
+                ext_pats[hid] = h1
+                la[hid] = esb
+                ra[hid] = eeb - len(h2)
+                geomA[hid] = len(h1) + len(h2) + k
+                geomB[hid] = len(h2)
+        batch = BatchSeedExtender(self._extender, self.db, dirs, ext_pats,
+                                  la, ra, geomA, geomB)
+        ends_l: list[int] = []
+        hids_l: list[int] = []
         for end, h0, _ in scanner.scan(self.db.codes):
-            cands.append((end, -(h0 + 1)))
-        cands.sort()  # (pos asc, half-id desc) == hit_lessthan
+            ends_l.append(end)
+            hids_l.append(h0 + 1)
+        ends = np.asarray(ends_l, np.int64)
+        hids = np.asarray(hids_l, np.int64)
+        order = np.lexsort((-hids, ends))  # (pos asc, half-id desc)
+        ends, hids = ends[order], hids[order]
+        ok, hend, value = batch(ends, hids.astype(np.int32))
         lasthit = [0] * (ps.n_total + 1)
         dedup = 2 * k if self.indels else 0
-        for end, neg_hid in cands:
-            hid = -neg_hid
-            pid = owner[hid]
-            pat = ps.pattern(pid)
-            h1, h2 = halves[hid if hid % 2 == 1 else hid - 1], \
-                halves[hid + 1 if hid % 2 == 1 else hid]
-            esb, eeb = ps.esb[pid], ps.eeb[pid]
-            if hid % 2 == 1:  # left half matched; extend right
-                ok, hend, value = self._extender.lmatch(
-                    self._text_at, end, h1, h2, esb, eeb
-                )
-            else:  # right half matched; extend left
-                ok, hend, value = self._extender.rmatch(
-                    self._text_at, end, h1, h2, esb, eeb
-                )
-            if ok and hend > lasthit[pid] + dedup:
-                lasthit[pid] = hend
-                yield hend, pid, value
+        for i in np.flatnonzero(ok):
+            pid = owner[int(hids[i])]
+            he = int(hend[i])
+            if he > lasthit[pid] + dedup:
+                lasthit[pid] = he
+                yield he, pid, int(value[i])
 
     def _bases_engine(self):
         """exact_bases (exact_bases.cc:69-160): constrained-seed extension,
@@ -431,30 +459,50 @@ class PrimerMatchModel:
                              eeb=[0] * len(seeds), n_forward=len(seeds) - 1)
         tables = build_tables(seed_ps, self.db, wc=self.wc, textn=self.textn)
         scanner = self._attach(ConvScanner(tables, k=0, block=self.block))
-        cands = []
-        for end, s0, _ in scanner.scan(self.db.codes):
-            if self.node == 10:
-                # shift_and inner engine emits in registration (bit) order
-                cands.append((end, 0, s0))
-            else:
-                # keyword-tree order: end asc, longer seed first, duplicates
-                # in reverse registration order
-                cands.append((end, -len(seeds[s0 + 1]), -s0))
-        cands.sort()
-        for end, mid, key0 in cands:
-            sid = (key0 if self.node == 10 else -key0) + 1
+        from ..engine.extend import BatchSeedExtender
+
+        S = len(seeds)
+        dirs = np.zeros(S, np.int32)
+        la = np.zeros(S, np.int32)
+        ra = np.zeros(S, np.int32)
+        geomA = np.zeros(S, np.int32)
+        geomB = np.zeros(S, np.int32)
+        ext_pats = [""] * S
+        for sid in range(1, S):
             pid = owner[sid]
             esb, eeb = ps.esb[pid], ps.eeb[pid]
-            if prefix[sid]:
-                ok, hend, value = self._extender.lmatch(
-                    self._text_at, end, seeds[sid], rempat[sid], esb, eeb
-                )
-            else:
-                ok, hend, value = self._extender.rmatch(
-                    self._text_at, end, rempat[sid], seeds[sid], esb, eeb
-                )
-            if ok:
-                yield hend, pid, value
+            ext_pats[sid] = rempat[sid]
+            if prefix[sid]:  # lmatch(end, seed, rempat)
+                dirs[sid] = 1
+                la[sid] = esb - len(seeds[sid])
+                ra[sid] = eeb
+            else:  # rmatch(end, rempat, seed)
+                dirs[sid] = -1
+                la[sid] = esb
+                ra[sid] = eeb - len(seeds[sid])
+                geomA[sid] = len(rempat[sid]) + len(seeds[sid]) + k
+                geomB[sid] = len(seeds[sid])
+        batch = BatchSeedExtender(self._extender, self.db, dirs, ext_pats,
+                                  la, ra, geomA, geomB)
+        ends_l: list[int] = []
+        sids_l: list[int] = []
+        for end, s0, _ in scanner.scan(self.db.codes):
+            ends_l.append(end)
+            sids_l.append(s0 + 1)
+        ends = np.asarray(ends_l, np.int64)
+        sids = np.asarray(sids_l, np.int64)
+        if self.node == 10:
+            # shift_and inner engine emits in registration (bit) order
+            order = np.lexsort((sids, ends))
+        else:
+            # keyword-tree order: end asc, longer seed first, duplicates
+            # in reverse registration order
+            slen = np.fromiter((len(s) for s in seeds), np.int64, S)
+            order = np.lexsort((-sids, -slen[sids], ends))
+        ends, sids = ends[order], sids[order]
+        ok, hend, value = batch(ends, sids.astype(np.int32))
+        for i in np.flatnonzero(ok):
+            yield int(hend[i]), owner[int(sids[i])], int(value[i])
 
     def _hash_engine(self):
         """hash_table / rand_hash_table (hash_table.cc:66-226): every pattern
@@ -485,25 +533,49 @@ class PrimerMatchModel:
                 pid, _j = owner[-negs]
                 yield end, pid, 0
             return
+        pids = np.fromiter((owner[-negs][0] for _, negs in cands), np.int64,
+                           len(cands))
+        patends = np.fromiter(
+            (end + len(ps.pattern(owner[-negs][0])) - owner[-negs][1] - 1
+             for end, negs in cands), np.int64, len(cands))
+        yield from self._lastpos_verify(pids, patends)
+
+    def _lastpos_verify(self, pids, patends):
+        """The hash_table.cc:179-226 per-pattern ``lastpos`` gate +
+        yes/no verify, with the verifies BATCHED (one native call per
+        chunk).  Gated-out candidates' precomputed verifies are simply
+        unused — the align is pure, so outputs are identical to the
+        sequential reference loop."""
+        from ..engine.verify import BatchVerifier
+
+        ps, k = self.ps, self.k
+        verifier = BatchVerifier(
+            self._hash_aligner, self.db,
+            [ps.pattern(pid) for pid in range(1, ps.n_total + 1)],
+            [ps.esb[pid] for pid in range(1, ps.n_total + 1)],
+            [ps.eeb[pid] for pid in range(1, ps.n_total + 1)],
+        )
         band = k if self.indels else 0
         lastpos = [0] * (ps.n_total + 1)
-        for end, negs in cands:
-            pid, j = owner[-negs]
-            pat = ps.pattern(pid)
-            patend = end + len(pat) - j - 1
-            if lastpos[pid] + band < patend:
-                a = self._hash_aligner.align(
-                    self._text_at, pat, patend - band, patend + band,
-                    esb=ps.esb[pid], eeb=ps.eeb[pid],
-                )
-                if a.found:
-                    if lastpos[pid] + band < a.end:
-                        lastpos[pid] = a.end
-                        yield a.end, pid, a.value
+        CH = 1 << 15
+        for c0 in range(0, len(pids), CH):
+            pc = pids[c0 : c0 + CH]
+            pe = patends[c0 : c0 + CH]
+            found, aend, aval = verifier(
+                (pc - 1).astype(np.int32), pe - band, pe + band)
+            for i in range(len(pc)):
+                pid = int(pc[i])
+                patend = int(pe[i])
+                if lastpos[pid] + band < patend:
+                    if found[i]:
+                        e = int(aend[i])
+                        if lastpos[pid] + band < e:
+                            lastpos[pid] = e
+                            yield e, pid, int(aval[i])
+                        else:
+                            lastpos[pid] = patend
                     else:
                         lastpos[pid] = patend
-                else:
-                    lastpos[pid] = patend
 
     def _gs_engine(self):
         """gs_hash_table (gs_hash_table.cc:268-487): gapped-seed-set
@@ -567,29 +639,19 @@ class PrimerMatchModel:
             # (window end pos, template asc, pattern desc, offset desc)
             cands.append((win_start + tmax, t, -pid, -j))
         cands.sort()
-        band = k if self.indels else 0
-        lastpos = [0] * (ps.n_total + 1)
+        pids_l = []
+        patends_l = []
         for oldpos, t, negpid, negj in cands:
             pid, j = -negpid, -negj
-            pat = ps.pattern(pid)
-            patlen = len(pat)
+            patlen = len(ps.pattern(pid))
             if oldpos > patlen:
                 patend = oldpos + patlen - tmax - j
             else:
                 patend = patlen
-            if lastpos[pid] + band < patend:
-                a = self._hash_aligner.align(
-                    self._text_at, pat, patend - band, patend + band,
-                    esb=ps.esb[pid], eeb=ps.eeb[pid],
-                )
-                if a.found:
-                    if lastpos[pid] + band < a.end:
-                        lastpos[pid] = a.end
-                        yield a.end, pid, a.value
-                    else:
-                        lastpos[pid] = patend
-                else:
-                    lastpos[pid] = patend
+            pids_l.append(pid)
+            patends_l.append(patend)
+        yield from self._lastpos_verify(
+            np.asarray(pids_l, np.int64), np.asarray(patends_l, np.int64))
 
     def _filter_engine(self):
         """filter_bitvec (filter_bitvec.cc:73-183), including the reference's
@@ -599,7 +661,7 @@ class PrimerMatchModel:
         key-only unstable std::sort (replicated by introsort), clusters whose
         2k+1 window may extend past the batch's scan position are deferred,
         and unprocessed candidates carry over (filter_bitvec.cc:88-181)."""
-        from ..utils.introsort import introsort
+        from ..engine.verify import BatchVerifier, sort_pairs_stdsort
 
         ps, k = self.ps, self.k
         minka = self.report_interval
@@ -610,14 +672,28 @@ class PrimerMatchModel:
         else:
             scanner = self._attach(ConvScanner(tables, k=k, poison_eos=True,
                                                block=self.block))
-        stream = sorted(
-            (end, p0) for end, p0, _ in scanner.scan(self.db.codes)
+        ends_l: list[int] = []
+        pids_l: list[int] = []
+        for end, p0, _ in scanner.scan(self.db.codes):
+            ends_l.append(end)
+            pids_l.append(p0)
+        sends = np.asarray(ends_l, np.int64)
+        spids = np.asarray(pids_l, np.int64)
+        sorder = np.lexsort((spids, sends))
+        sends, spids = sends[sorder], spids[sorder]
+        verifier = BatchVerifier(
+            self._cluster_aligner, self.db,
+            [ps.pattern(pid) for pid in range(1, ps.n_total + 1)],
+            [ps.esb[pid] for pid in range(1, ps.n_total + 1)],
+            [ps.eeb[pid] for pid in range(1, ps.n_total + 1)],
         )
-        n_stream = len(stream)
+        n_stream = len(sends)
         si = 0  # stream cursor
         window = 2 * k + 1
         total_len = len(self.db)
-        l: list[list] = []  # elements [key, pid0]; key 0 == processed
+        # live candidate batch; key 0 == processed (filter_bitvec.cc:88-181)
+        keys: list[int] = []
+        pids: list[int] = []
         while True:
             # -- emulate pm_->find_patterns(cp, l, minka) ------------------
             new_count = 0
@@ -625,51 +701,64 @@ class PrimerMatchModel:
             more = False
             oldcharspos = total_len
             while si < n_stream:
-                end, p0 = stream[si]
+                end = int(sends[si])
                 if new_count >= minka and end > last_end + 2:
                     more = True
                     oldcharspos = last_end + 2
                     break
-                l.append([end, p0])
+                keys.append(end)
+                pids.append(int(spids[si]))
                 new_count += 1
                 last_end = end
                 si += 1
             else:
                 more = new_count > 0  # true at eof with fresh candidates
-            if not more and not l:
+            if not more and not keys:
                 return
-            # -- normalize + cluster loop ----------------------------------
-            introsort(l, lambda a, b: a[0] < b[0])
+            # -- normalize (std::sort tie order) + cluster loop ------------
+            skeys, spayload = sort_pairs_stdsort(
+                np.asarray(keys, np.int64), np.asarray(pids, np.int64))
+            keys = skeys.tolist()
+            pids = spayload.tolist()
+            clusters: list[tuple[int, int, int]] = []  # (firstpos, pos, p0)
             i = 0
-            n_l = len(l)
+            n_l = len(keys)
             while i < n_l:
-                firstpos = l[i][0]
+                firstpos = keys[i]
                 if firstpos > 0:
-                    p0 = l[i][1]
+                    p0 = pids[i]
                     pos = firstpos
                     adj = [i]
                     j = i + 1
-                    while j < n_l and l[j][0] <= pos + window:
-                        if l[j][1] == p0:
-                            pos = l[j][0]
+                    while j < n_l and keys[j] <= pos + window:
+                        if pids[j] == p0:
+                            pos = keys[j]
                             adj.append(j)
                         j += 1
                     if oldcharspos < pos + window and more:
                         break  # defer: window may grow in the next batch
-                    pid = p0 + 1
-                    pat = ps.pattern(pid)
-                    a = self._cluster_aligner.align(
-                        self._text_at, pat, firstpos, pos,
-                        esb=ps.esb[pid], eeb=ps.eeb[pid],
-                    )
-                    if a.found:
-                        yield a.end, pid, a.value
+                    clusters.append((firstpos, pos, p0))
                     for idx in adj:
-                        l[idx][0] = 0
+                        keys[idx] = 0
                 i += 1
-            l = [e for e in l if e[0] != 0]
+            # batched cluster verify (one native call per round); emission
+            # order == cluster discovery order, exactly the per-cluster
+            # interleaving of filter_bitvec.cc:140-170
+            if clusters:
+                csid = np.fromiter((c[2] for c in clusters), np.int32,
+                                   len(clusters))
+                clb = np.fromiter((c[0] for c in clusters), np.int64,
+                                  len(clusters))
+                cub = np.fromiter((c[1] for c in clusters), np.int64,
+                                  len(clusters))
+                found, aend, aval = verifier(csid, clb, cub)
+                for j in np.flatnonzero(found):
+                    yield int(aend[j]), int(csid[j]) + 1, int(aval[j])
+            live = [x for x in range(n_l) if keys[x] != 0]
+            keys = [keys[x] for x in live]
+            pids = [pids[x] for x in live]
             if not more and si >= n_stream:
-                if not l:
+                if not keys:
                     return
                 # leftovers exist but scan is over: next pass has more=False
                 # and processes them without deferral (loop continues)

@@ -97,6 +97,33 @@ def load_verify_lib():
         c_u8p, c_i8p,                          # compat, aasub
         c_i32p, c_i32p, c_i32p,                # ok, matchlen, value
     ]
+    lib.sat_extend_align_batch.restype = ctypes.c_int
+    lib.sat_extend_align_batch.argtypes = [
+        c_u8p, ctypes.c_int64, c_u8p,          # codes, n, ch_of
+        c_u8p, c_i32p, c_i32p,                 # expats, ext_off, ext_len
+        c_i32p, c_i32p, c_i32p,                # dirs, la, ra
+        c_i32p, c_i32p,                        # geomA, geomB
+        c_i64p, c_i32p, ctypes.c_int64,        # anchors, sids, ncand
+        ctypes.c_int32, ctypes.c_uint8,        # k, eos
+        ctypes.c_int32, ctypes.c_int32,        # wc, textn
+        ctypes.c_int32, ctypes.c_int32,        # indels, dna_mut
+        c_u8p, c_i8p,                          # compat, aasub
+        c_i32p, c_i64p, c_i32p,                # ok, end, value
+    ]
+    lib.sat_verify_align_batch.restype = ctypes.c_int
+    lib.sat_verify_align_batch.argtypes = [
+        c_u8p, ctypes.c_int64, c_u8p,          # codes, n, ch_of
+        c_u8p, c_i32p, c_i32p,                 # pats, pat_off, pat_len
+        c_i32p, c_i32p,                        # esb, eeb
+        c_i64p, c_i64p, c_i32p, ctypes.c_int64,  # poslb, posub, sids, n
+        ctypes.c_int32, ctypes.c_uint8,        # k, eos
+        ctypes.c_int32, ctypes.c_int32,        # wc, textn
+        ctypes.c_int32, ctypes.c_int32,        # indels, dna_mut
+        c_u8p, c_i8p,                          # compat, aasub
+        c_i32p, c_i64p, c_i64p, c_i32p,        # found, start, end, value
+    ]
+    lib.sat_sort_pairs.restype = None
+    lib.sat_sort_pairs.argtypes = [c_i64p, c_i64p, ctypes.c_int64]
     lib._sat_bound = True
     return lib
 

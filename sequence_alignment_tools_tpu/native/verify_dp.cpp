@@ -477,3 +477,158 @@ int sat_extend_align(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched entry points: one C call per CANDIDATE ARRAY instead of one ctypes
+// round-trip per candidate.  The per-candidate DPs above stay the single
+// source of truth; the batch wrappers add only window materialization from
+// the flat code array (the text_at() logic of models/primer_match.py:310-317:
+// clamp to [0, n), decode alphabet codes to chars, pad with EOS) and the
+// per-seed-id geometry of Extender.lmatch/rmatch (primer_alignment.cc:568-728)
+// and EditDistAligner.align (pattern_alignment.cc:117-198).
+
+namespace {
+
+thread_local std::vector<unsigned char> g_winbuf;
+
+// text_at(start, length) over the code array: clamped, decoded, EOS-padded.
+inline const unsigned char* make_window(const uint8_t* codes, int64_t n,
+                                        const uint8_t* ch_of, uint8_t eos,
+                                        int64_t start, int64_t length) {
+  if (g_winbuf.size() < (size_t)length) g_winbuf.resize((size_t)length);
+  unsigned char* w = g_winbuf.data();
+  int64_t s0 = start < 0 ? 0 : start;
+  int64_t e0 = s0 + length < n ? s0 + length : n;
+  int64_t m = e0 > s0 ? e0 - s0 : 0;
+  for (int64_t i = 0; i < m; i++) w[i] = ch_of[codes[s0 + i]];
+  for (int64_t i = m; i < length; i++) w[i] = eos;
+  return w;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched seed extension (Extender.lmatch/rmatch, yesno path).  Per seed id
+// s: expats[ext_off[s] .. +ext_len[s]) is the pattern part to extend,
+// dirs[s] > 0 means lmatch (window = [anchor, anchor + ext_len + k), extend
+// right) and dirs[s] < 0 means rmatch (textstart = max(anchor - geomA, 0),
+// buflen = anchor - geomB - textstart, extend left); la/ra are the residual
+// constraint args passed straight to the extension DP.  Per candidate i:
+// anchors[i] is the seed-hit end position, sids[i] the seed id.  Outputs:
+// ok, hit end (anchor + matchlen for lmatch, anchor for rmatch), value.
+int sat_extend_align_batch(
+    const uint8_t* codes, int64_t n, const uint8_t* ch_of,
+    const uint8_t* expats, const int32_t* ext_off, const int32_t* ext_len,
+    const int32_t* dirs, const int32_t* la, const int32_t* ra,
+    const int32_t* geomA, const int32_t* geomB,
+    const int64_t* anchors, const int32_t* sids, int64_t ncand,
+    int32_t k, uint8_t eos, int32_t wc, int32_t textn, int32_t indels,
+    int32_t dna_mut, const uint8_t* compat, const int8_t* aasub,
+    int32_t* ok_out, int64_t* end_out, int32_t* val_out) {
+  for (int64_t i = 0; i < ncand; i++) {
+    const int32_t s = sids[i];
+    const int64_t anchor = anchors[i];
+    int64_t start, buflen;
+    if (dirs[s] > 0) {
+      start = anchor;
+      buflen = (int64_t)ext_len[s] + k;
+    } else {
+      start = anchor > geomA[s] ? anchor - geomA[s] : 0;
+      buflen = anchor - geomB[s] - start;
+      if (buflen < 0) buflen = 0;
+    }
+    const unsigned char* w =
+        make_window(codes, n, ch_of, eos, start, buflen);
+    int32_t ok = 0, matchlen = 0, value = 0;
+    const int r = sat_extend_align(
+        w, (int32_t)buflen, expats + ext_off[s], ext_len[s], dirs[s],
+        la[s], ra[s], k, eos, wc, textn, indels, dna_mut, compat, aasub,
+        &ok, &matchlen, &value);
+    if (r != 1) return 0;
+    ok_out[i] = ok;
+    end_out[i] = dirs[s] > 0 ? anchor + matchlen : anchor;
+    val_out[i] = value;
+  }
+  return 1;
+}
+
+// Batched yes/no verify (EditDistAligner.align semantics: right-anchored
+// window [textstart, posub) with free trailing columns posub - poslb).  Per
+// candidate: sids[i] picks the pattern (+ its esb/eeb), poslb/posub the end
+// range.  Outputs: found, alignment start/end (start = posub - beststart,
+// end = start + (beststart - endt)), value.
+int sat_verify_align_batch(
+    const uint8_t* codes, int64_t n, const uint8_t* ch_of,
+    const uint8_t* pats, const int32_t* pat_off, const int32_t* pat_len,
+    const int32_t* esb, const int32_t* eeb,
+    const int64_t* poslb, const int64_t* posub, const int32_t* sids,
+    int64_t ncand,
+    int32_t k, uint8_t eos, int32_t wc, int32_t textn, int32_t indels,
+    int32_t dna_mut, const uint8_t* compat, const int8_t* aasub,
+    int32_t* found_out, int64_t* start_out, int64_t* end_out,
+    int32_t* val_out) {
+  for (int64_t i = 0; i < ncand; i++) {
+    const int32_t s = sids[i];
+    const int64_t end = poslb[i];
+    const int32_t patlen = pat_len[s];
+    const int64_t textstart =
+        end > (int64_t)patlen + k ? end - patlen - k : 0;
+    const int64_t buflen = posub[i] - textstart;
+    const unsigned char* w =
+        make_window(codes, n, ch_of, eos, textstart, buflen);
+    int32_t found = 0, bestval = 0, beststart = 0, endt = 0, ncodes = 0;
+    int64_t stats[N_CODES];
+    const int r = sat_verify_align(
+        pats + pat_off[s], patlen, w, (int32_t)buflen, nullptr, k, eos,
+        wc, textn, indels, dna_mut, /*trans=*/0, /*yesno=*/1,
+        esb[s], eeb[s], posub[i] - end, compat, aasub, nullptr,
+        &found, &bestval, &beststart, &endt,
+        nullptr, 0, &ncodes, stats);
+    if (r != 1) return 0;
+    if (beststart < 0) {  // early exit / out-of-band: not found
+      found_out[i] = 0;
+      start_out[i] = end;
+      end_out[i] = end;
+      val_out[i] = 0;
+      continue;
+    }
+    found_out[i] = found;
+    start_out[i] = posub[i] - beststart;
+    end_out[i] = start_out[i] + (beststart - endt);
+    val_out[i] = bestval;
+  }
+  return 1;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// std::sort on (key, payload) int64 pairs with a KEY-ONLY comparator — the
+// reference normalizes candidate batches with std::sort over
+// pattern_hit_vector elements comparing keys only (sortedvector.t normalize,
+// used by filter_bitvec.cc:142); libstdc++'s introsort permutation depends
+// only on the comparator outcomes, so sorting (key, original_payload) pairs
+// here reproduces the reference's exact tie order.
+
+#include <algorithm>
+#include <utility>
+
+extern "C" {
+
+void sat_sort_pairs(int64_t* keys, int64_t* vals, int64_t n) {
+  thread_local std::vector<std::pair<int64_t, int64_t>> buf;
+  buf.resize((size_t)n);
+  for (int64_t i = 0; i < n; i++) buf[i] = {keys[i], vals[i]};
+  std::sort(buf.begin(), buf.end(),
+            [](const std::pair<int64_t, int64_t>& a,
+               const std::pair<int64_t, int64_t>& b) {
+              return a.first < b.first;
+            });
+  for (int64_t i = 0; i < n; i++) {
+    keys[i] = buf[i].first;
+    vals[i] = buf[i].second;
+  }
+}
+
+}  // extern "C"

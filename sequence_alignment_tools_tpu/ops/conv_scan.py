@@ -365,15 +365,22 @@ class ConvScanner:
             for j in range(L):
                 c = c * alpha + int(t.pat_codes[pi, j])
             by_len.setdefault(L, []).append((c, pi))
-        c64 = codes.astype(np.int64)
+        # int32 rolling codes when they fit (alpha^Lmax < 2^31) — halves the
+        # memory traffic of the dominant update loop; in-place ops avoid
+        # reallocating the 4n-byte id array per pattern position
+        small = max(by_len) * np.log2(max(alpha, 2)) < 31 if by_len else True
+        dt = np.int32 if small else np.int64
+        cN = codes.astype(dt)
         all_starts = []
         all_pids = []
         for L, entries in by_len.items():
             if n < L:
                 continue
-            ids = np.zeros(n - L + 1, dtype=np.int64)
-            for j in range(L):
-                ids = ids * alpha + c64[j : j + n - L + 1]
+            ids = cN[: n - L + 1].copy()
+            for j in range(1, L):
+                ids *= dt(alpha)
+                ids += cN[j : j + n - L + 1]
+            ids = ids.astype(np.int64, copy=False)
             entries.sort()
             scodes = np.fromiter((c for c, _ in entries), np.int64,
                                  len(entries))

@@ -462,3 +462,89 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, t3=None, *,
         mb_count[None], hit_count[None], mb_idx,
         hit_idx.astype(jnp.int32), mism,
     ])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "classes", "alpha", "Lmax", "eos_code", "T", "MB", "cap_mb",
+        "hit_cap", "surv_cap", "Lg", "kk", "band", "indels", "interpret",
+    ),
+)
+def pallas_scan_gated(codes, W, thr, wconv, thresholds, lengths,
+                      gaccept, gglen, ggdir, t3=None, *,
+                      classes: tuple, alpha: int, Lmax: int,
+                      eos_code: int = -1, T: int = 4096, MB: int = 32,
+                      cap_mb: int = 1024, hit_cap: int = 4096,
+                      surv_cap: int = 512, Lg: int = 16, kk: int = 1,
+                      band: int = 1, indels: bool = True,
+                      interpret: bool = False):
+    """The k>0 pigeonhole pipeline in ONE device call: Mosaic microblock
+    seed filter -> compaction -> exact seed rescore -> SEED-EXTENSION GATE
+    (:func:`..gate._gate_ok`, a vectorized banded DP superset of the true
+    extension) -> survivor compaction.  The host fetches only the (rare)
+    gate survivors and re-extends them with the exact native DP — the
+    find/verify alternation of exact_halves.cc:120-197 with the seed scan
+    AND the almost-always-failing extensions kept on device.
+
+    Returns ONE packed int32 row:
+        [mb_count, hit_count, surv_count,
+         surv_anchor x surv_cap, surv_sid x surv_cap]
+    (anchor = seed-hit end position; sid = 0-based seed index).  Overflow
+    when any count exceeds its cap — caller retries with bigger caps;
+    correctness never depends on capacity."""
+    from ..compact import compact_mask
+    from ..gate import _gate_ok
+
+    codes = codes.astype(jnp.uint8)
+    n = codes.shape[0]
+    P = wconv.shape[2]
+    mh = _microhits_impl(codes, W, thr, classes=classes, Lmax=Lmax, T=T,
+                         MB=MB, interpret=interpret, n_pat=P,
+                         occupancy=True, t3=t3)
+    nmb = mh.shape[0]
+    mb_count, mb_idx = compact_mask(mh, cap_mb)
+
+    win_len = MB + Lmax - 1
+    eos_fill = jnp.full(nmb * MB + win_len - n, max(eos_code, 0), jnp.uint8)
+    padded = jnp.concatenate([codes, eos_fill])
+    starts = jnp.minimum(mb_idx, nmb - 1).astype(jnp.int32) * MB
+    wins = padded[
+        starts[:, None]
+        + jax.lax.broadcasted_iota(jnp.int32, (1, win_len), 1)
+    ]
+    sub_idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (MB, Lmax), 0)
+        + jax.lax.broadcasted_iota(jnp.int32, (MB, Lmax), 1)
+    )
+    sub = wins[:, sub_idx]
+    im2col = jax.nn.one_hot(sub, alpha, dtype=jnp.bfloat16).reshape(
+        cap_mb * MB, Lmax * alpha)
+    w2 = wconv.reshape(Lmax * alpha, P)
+    scores = jnp.dot(im2col, w2, preferred_element_type=jnp.bfloat16)
+    valid = jnp.repeat(mb_idx < nmb, MB)[:, None]
+    hit = (scores >= thresholds[None, :].astype(jnp.bfloat16)) & valid
+    hit_count, hit_idx = compact_mask(hit.reshape(-1), hit_cap)
+
+    # seed-hit coordinates (same decode as ConvScanner._emit, on device)
+    hvalid = hit_idx < cap_mb * MB * P
+    hidx = jnp.minimum(hit_idx, cap_mb * MB * P - 1)
+    slot = hidx // (MB * P)
+    win = (hidx // P) % MB
+    pid = (hidx % P).astype(jnp.int32)
+    hstart = mb_idx[slot].astype(jnp.int32) * MB + win
+    hvalid = hvalid & (hstart < n)
+    anchors = hstart + lengths[pid].astype(jnp.int32)
+    ok = _gate_ok.__wrapped__(
+        codes, anchors, pid, gaccept, gglen, ggdir,
+        Lg=Lg, k=kk, band=band, indels=indels, n=int(n),
+    )
+    surv_count, ssel = compact_mask(ok & hvalid, surv_cap)
+    svalid = ssel < hit_cap
+    sidx = jnp.minimum(ssel, hit_cap - 1)
+    surv_anchor = jnp.where(svalid, anchors[sidx], -1)
+    surv_sid = jnp.where(svalid, pid[sidx], -1)
+    return jnp.concatenate([
+        mb_count[None], hit_count[None], surv_count[None],
+        surv_anchor.astype(jnp.int32), surv_sid.astype(jnp.int32),
+    ])
