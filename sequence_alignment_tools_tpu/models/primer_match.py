@@ -301,8 +301,20 @@ class PrimerMatchModel:
             )
 
 
+    # tests: route engine-internal scanners through the interpret-mode
+    # Mosaic kernel (CPU) instead of the host machines
+    pallas_interpret = False
+    # None = per-size auto; False pins engine scanners to the device paths
+    # (sustained/throughput callers with resident databases)
+    use_host = None
+
     def _attach(self, scanner):
         scanner.progress = self.progress
+        if self.pallas_interpret:
+            scanner.pallas_interpret = True
+            scanner.use_pallas = True
+        if self.use_host is not None:
+            scanner.use_host = self.use_host
         return scanner
 
     # -- text access for the verify DPs ------------------------------------
@@ -372,6 +384,32 @@ class PrimerMatchModel:
         sequential lasthit+2k dedup over the (rare) successful extensions.
         Failed extensions never touch the dedup state (exact_halves.cc:163),
         so batching them is output-identical."""
+        ps, k = self.ps, self.k
+        owner, scanner, batch, dirs, ext_pats, geomB = self._halves_ctx()
+        ends, hids = self._seed_candidates(
+            scanner, dirs, ext_pats, geomB, lambda h0: h0 + 1)
+        order = np.lexsort((-hids, ends))  # (pos asc, half-id desc)
+        ends, hids = ends[order], hids[order]
+        ok, hend, value = batch(ends, hids.astype(np.int32))
+        lasthit = [0] * (ps.n_total + 1)
+        dedup = 2 * k if self.indels else 0
+        for i in np.flatnonzero(ok):
+            pid = owner[int(hids[i])]
+            he = int(hend[i])
+            if he > lasthit[pid] + dedup:
+                lasthit[pid] = he
+                yield he, pid, int(value[i])
+
+    _halves_ctx_c = None
+
+    def _halves_ctx(self):
+        """Engine context (seed tables, scanner, extension geometry, batch
+        extender), built ONCE per model: throughput callers invoke
+        engine_hits() repeatedly over a resident database and must not
+        re-pay table builds, device uploads, or the scanner's converged
+        candidate caps."""
+        if self._halves_ctx_c is not None:
+            return self._halves_ctx_c
         from ..engine.extend import BatchSeedExtender
 
         ps, k = self.ps, self.k
@@ -412,28 +450,87 @@ class PrimerMatchModel:
                 geomB[hid] = len(h2)
         batch = BatchSeedExtender(self._extender, self.db, dirs, ext_pats,
                                   la, ra, geomA, geomB)
-        ends_l: list[int] = []
-        hids_l: list[int] = []
-        for end, h0, _ in scanner.scan(self.db.codes):
-            ends_l.append(end)
-            hids_l.append(h0 + 1)
-        ends = np.asarray(ends_l, np.int64)
-        hids = np.asarray(hids_l, np.int64)
-        order = np.lexsort((-hids, ends))  # (pos asc, half-id desc)
-        ends, hids = ends[order], hids[order]
-        ok, hend, value = batch(ends, hids.astype(np.int32))
-        lasthit = [0] * (ps.n_total + 1)
-        dedup = 2 * k if self.indels else 0
-        for i in np.flatnonzero(ok):
-            pid = owner[int(hids[i])]
-            he = int(hend[i])
-            if he > lasthit[pid] + dedup:
-                lasthit[pid] = he
-                yield he, pid, int(value[i])
+        self._halves_ctx_c = (owner, scanner, batch, dirs, ext_pats, geomB)
+        return self._halves_ctx_c
 
-    def _bases_engine(self):
-        """exact_bases (exact_bases.cc:69-160): constrained-seed extension,
-        no dedup; candidates in inner keyword-tree order."""
+    _gate_cache = None
+
+    def _seed_candidates(self, scanner, dirs, ext_pats, geomB, hid_of):
+        """(ends [C] int64, sids [C] int64) seed-hit candidates for a
+        pigeonhole engine, by whichever path the scanner routes:
+
+        - gated device pipeline (large resident DBs): the Mosaic seed scan
+          plus the banded-DP extension GATE run fused on device
+          (ops/pallas/scan_kernel.pallas_scan_gated) and only gate
+          survivors — a SUPERSET of the extension-passing candidates —
+          are fetched.  Multi-seed positions come back on an escape list
+          and are rescanned exactly on host (the device gated only the
+          top seed there); survivors at those starts are dropped in
+          favor of the rescan's complete set.  Candidates the gate
+          rejects would fail the exact extension anyway, so the
+          downstream extend+dedup stream is identical.
+        - host scan generator otherwise (CLI latency path).
+
+        ``dirs``/``ext_pats``/``geomB`` are indexed by engine seed id;
+        ``hid_of`` maps the scanner's 0-based pattern index to that id."""
+        codes = self.db.codes
+        if scanner.gated_available(len(codes)):
+            from ..ops.gate import GateTables
+
+            k = self.k
+            S = len(ext_pats)
+            if self._gate_cache is not None \
+                    and self._gate_cache[0] is scanner:
+                gate = self._gate_cache[1]
+            else:
+                gate = GateTables.from_seed_meta(
+                    self.db, [ext_pats[hid_of(p0)] for p0 in range(S - 1)],
+                    np.asarray([dirs[hid_of(p0)] for p0 in range(S - 1)]),
+                    np.asarray([geomB[hid_of(p0)] for p0 in range(S - 1)]),
+                    k, k if self.indels else 0, self.wc, self.textn)
+                self._gate_cache = (scanner, gate)
+            anchors, sids0, multi = scanner.scan_gated(
+                codes, gate, self.indels, k)
+            lengths = scanner.tables.lengths
+            keep = np.ones(len(anchors), bool)
+            ends_l: list[int] = []
+            hids_l: list[int] = []
+            if len(multi):
+                mset = set(int(m) for m in multi)
+                starts = anchors - lengths[sids0]
+                keep = np.fromiter(
+                    (int(s) not in mset for s in starts), bool,
+                    len(starts)) if len(starts) else keep
+                for s, p0 in scanner.rescan_starts(codes, multi):
+                    ends_l.append(s + int(lengths[p0]))
+                    hids_l.append(hid_of(p0))
+            ends = np.concatenate([
+                anchors[keep],
+                np.asarray(ends_l, np.int64)]) if ends_l else anchors[keep]
+            hids = np.concatenate([
+                np.fromiter((hid_of(int(p)) for p in sids0[keep]), np.int64,
+                            int(keep.sum())),
+                np.asarray(hids_l, np.int64)]) if ends_l else np.fromiter(
+                (hid_of(int(p)) for p in sids0[keep]), np.int64,
+                int(keep.sum()))
+            return ends, hids
+        ends_l = []
+        hids_l = []
+        for end, p0, _ in scanner.scan(codes):
+            ends_l.append(end)
+            hids_l.append(hid_of(p0))
+        return (np.asarray(ends_l, np.int64),
+                np.asarray(hids_l, np.int64))
+
+    _bases_ctx_c = None
+
+    def _bases_ctx(self):
+        """Engine context for exact_bases, built once per model (see
+        :meth:`_halves_ctx`)."""
+        if self._bases_ctx_c is not None:
+            return self._bases_ctx_c
+        from ..engine.extend import BatchSeedExtender
+
         ps, k = self.ps, self.k
         seeds: list[str] = [""]
         owner: list[int] = [0]
@@ -459,8 +556,6 @@ class PrimerMatchModel:
                              eeb=[0] * len(seeds), n_forward=len(seeds) - 1)
         tables = build_tables(seed_ps, self.db, wc=self.wc, textn=self.textn)
         scanner = self._attach(ConvScanner(tables, k=0, block=self.block))
-        from ..engine.extend import BatchSeedExtender
-
         S = len(seeds)
         dirs = np.zeros(S, np.int32)
         la = np.zeros(S, np.int32)
@@ -484,13 +579,18 @@ class PrimerMatchModel:
                 geomB[sid] = len(seeds[sid])
         batch = BatchSeedExtender(self._extender, self.db, dirs, ext_pats,
                                   la, ra, geomA, geomB)
-        ends_l: list[int] = []
-        sids_l: list[int] = []
-        for end, s0, _ in scanner.scan(self.db.codes):
-            ends_l.append(end)
-            sids_l.append(s0 + 1)
-        ends = np.asarray(ends_l, np.int64)
-        sids = np.asarray(sids_l, np.int64)
+        self._bases_ctx_c = (
+            owner, seeds, scanner, batch, dirs, ext_pats, geomB)
+        return self._bases_ctx_c
+
+    def _bases_engine(self):
+        """exact_bases (exact_bases.cc:69-160): constrained-seed extension,
+        no dedup; candidates in inner keyword-tree order."""
+        owner, seeds, scanner, batch, dirs, ext_pats, geomB = \
+            self._bases_ctx()
+        S = len(seeds)
+        ends, sids = self._seed_candidates(
+            scanner, dirs, ext_pats, geomB, lambda s0: s0 + 1)
         if self.node == 10:
             # shift_and inner engine emits in registration (bit) order
             order = np.lexsort((sids, ends))

@@ -53,6 +53,14 @@ def compact_mask(mask, cap: int, chunk: int | None = None):
     n = mask.shape[0]
     if chunk is None:
         chunk = 128 if n < (1 << 25) else 512
+    if cap * 16 >= n > (1 << 16):
+        # dense caps: top_k cost grows with k (measured 17.9 ms for a
+        # 32K-cap top_k over 500K vs 5.4 ms for the cumsum+scatter
+        # lowering of nonzero); the cumsum path wins when cap is a
+        # sizable fraction of the mask
+        return (jnp.sum(mask, dtype=jnp.int32),
+                jnp.nonzero(mask, size=cap, fill_value=n)[0]
+                .astype(jnp.int32))
     if n <= (1 << 16) or cap * chunk * 2 >= n:
         return jnp.sum(mask, dtype=jnp.int32), _topk_idx(mask, cap)
 

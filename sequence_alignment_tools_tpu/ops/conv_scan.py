@@ -97,6 +97,71 @@ def _shared_scan_jit(classes, alpha, Lmax, eos_code, T, MB,
     return jfn
 
 
+_DEV_CACHE: dict = {}
+_T3_CACHE: dict = {}
+
+
+def _device_form(codes):
+    """uint8 device copy of a host code array, cached ACROSS scanner
+    instances by host-array identity: engines rebuild scanners per run,
+    and a resident database must not re-pay the host->device transfer
+    (~0.3 s per 16 MB on the tunneled transport).  uint8 because codes <
+    alpha <= 255 and int32 would quadruple the upload; kernels widen on
+    device.  Entries drop with the host array (weakref finalizer)."""
+    import weakref
+
+    ent = _DEV_CACHE.get(id(codes))
+    if ent is not None and ent[0]() is codes:
+        return ent[1]
+    dev = jnp.asarray(np.asarray(codes, np.uint8))
+    ref = weakref.ref(codes)
+    weakref.finalize(codes, _DEV_CACHE.pop, id(codes), None)
+    _DEV_CACHE[id(codes)] = (ref, dev)
+    return dev
+
+
+def _t3_form(codes_dev, T: int):
+    """Phase-transposed device form, cached across scanner instances by
+    device-array identity (the transpose is byte-shuffle-bound at ~3x the
+    scan kernel's cost)."""
+    import weakref
+
+    key = (id(codes_dev), T)
+    ent = _T3_CACHE.get(key)
+    if ent is not None and ent[0]() is codes_dev:
+        return ent[1]
+    from .pallas.scan_kernel import _phase_transpose_jit
+
+    t3 = _phase_transpose_jit(codes_dev, T=T)
+    ref = weakref.ref(codes_dev)
+    weakref.finalize(codes_dev, _T3_CACHE.pop, key, None)
+    _T3_CACHE[key] = (ref, t3)
+    return t3
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_gated_jit(classes, alpha, Lmax, eos_code, T, MB, cap_mb,
+                      hit_cap, multi_cap, surv_cap, Lg, kk, band, indels,
+                      interpret):
+    """One jitted gated-scan entry per static config, shared across
+    scanner instances (see :func:`_shared_scan_jit`)."""
+    from .pallas.scan_kernel import pallas_scan_gated
+
+    @jax.jit
+    def jfn(codes_dev, t3, W, thr, weights, thresholds, lengths,
+            gaccept, gglen, ggdir):
+        return pallas_scan_gated(
+            codes_dev, W, thr, weights, thresholds, lengths,
+            gaccept, gglen, ggdir, t3,
+            classes=classes, alpha=alpha, Lmax=Lmax, eos_code=eos_code,
+            T=T, MB=MB, cap_mb=cap_mb, hit_cap=hit_cap,
+            multi_cap=multi_cap, surv_cap=surv_cap, Lg=Lg, kk=kk,
+            band=band, indels=indels, interpret=interpret,
+        )
+
+    return jfn
+
+
 @functools.partial(jax.jit, static_argnames=("alpha", "cap"))
 def _conv_scan_block(codes, weights, thresholds, lengths, alpha, cap):
     """One text block.
@@ -231,17 +296,111 @@ class ConvScanner:
         self._dispatch_cache[(cap_mb, hit_cap, interpret)] = fn
         return fn
 
-    def _t3_for(self, codes_dev, T: int):
-        """Phase-transposed device form of ``codes_dev`` (identity-cached:
-        the transpose is byte-shuffle-bound at ~3x the scan kernel's cost,
-        so repeated scans of a resident array must not re-pay it)."""
-        cached = getattr(self, "_t3_cache", None)
-        if cached is None or cached[0] is not codes_dev or cached[1] != T:
-            from .pallas.scan_kernel import _phase_transpose_jit
+    # -- fused gated pipeline (pigeonhole k>0 engines) -----------------------
 
-            self._t3_cache = (
-                codes_dev, T, _phase_transpose_jit(codes_dev, T=T))
-        return self._t3_cache[2]
+    def gated_available(self, n: int) -> bool:
+        """The fused seed-scan + extension-gate pipeline runs when the
+        Mosaic kernel would (device scan) — the k>0 engines use it to keep
+        the dense seed hits AND the almost-always-failing extensions on
+        device, fetching only gate survivors."""
+        return bool(self.use_pallas
+                    and (self.pallas_interpret or n >= (1 << 20))
+                    and not self._host_eligible(n))
+
+    def scan_gated(self, codes: np.ndarray, gate, indels: bool, k: int):
+        """One gated scan: returns (anchors [C] int64, sids [C] int32,
+        multi_starts [M] int64) where (anchor, sid) are gate-surviving
+        seed candidates (sid 0-based, anchor = seed end position) and
+        multi_starts are window start positions where MORE THAN ONE seed
+        hit — the caller rescans those exactly and must ignore survivor
+        entries at those starts (the device gated only the top seed
+        there)."""
+        codes_dev = _device_form(codes)
+        # NO _expected_hits presizing here: the pigeonhole estimate is off
+        # by ~10x for mixed-length seed sets (it assumes every seed is
+        # Lmin long), and oversized caps cost a giant rescore im2col every
+        # scan; the first dispatch reports true counts and the sticky
+        # retry converges in one step
+        while True:
+            caps = (self._gcap_mb, self._ghit_cap, self._gmulti_cap,
+                    self._gsurv_cap)
+            res = self._gated_dispatch(codes_dev, gate, indels, k, caps)
+            packed = np.asarray(jax.device_get(res))
+            mb_count, hit_count, multi_count, surv_count = (
+                int(packed[0]), int(packed[1]), int(packed[2]),
+                int(packed[3]))
+            if (mb_count <= caps[0] and hit_count <= caps[1]
+                    and multi_count <= caps[2] and surv_count <= caps[3]):
+                break
+            # sticky at CLASS level: engines rebuild scanners per run and
+            # re-converging caps from the defaults would re-dispatch (and
+            # on a cold cache re-compile) the undersized config every time
+            cls = type(self)
+            cls._gcap_mb = max(self._gcap_mb,
+                               1 << (max(mb_count, 1) - 1).bit_length())
+            cls._ghit_cap = max(self._ghit_cap,
+                                1 << (max(hit_count, 1) - 1).bit_length())
+            cls._gmulti_cap = max(
+                self._gmulti_cap,
+                1 << (max(multi_count, 1) - 1).bit_length())
+            cls._gsurv_cap = max(
+                self._gsurv_cap,
+                1 << (max(surv_count, 1) - 1).bit_length())
+        surv_cap = caps[3]
+        anchors = packed[4 : 4 + surv_count].astype(np.int64)
+        sids = packed[4 + surv_cap : 4 + surv_cap + surv_count].astype(
+            np.int32)
+        multi = packed[
+            4 + 2 * surv_cap : 4 + 2 * surv_cap + multi_count
+        ].astype(np.int64)
+        return anchors, sids, multi
+
+    _gcap_mb = 1 << 14
+    _ghit_cap = 1 << 15
+    _gmulti_cap = 256
+    _gsurv_cap = 1 << 12
+
+    def rescan_starts(self, codes: np.ndarray, starts):
+        """Exact host rescan of window start positions against the full
+        accept table (the gated pipeline's multi-seed escape), vectorized
+        over the whole start array: yields (start, pid_0based) for every
+        pattern hitting there, in (start, pid) order."""
+        t = self.tables
+        n = len(codes)
+        starts = np.sort(np.asarray(list(starts), dtype=np.int64))
+        if not len(starts):
+            return
+        # same end-of-array fill as the device rescore (eos, or code 0
+        # when the table has no EOS class)
+        pad = np.full(t.Lmax, max(t.eos_code, 0), dtype=codes.dtype)
+        padded = np.concatenate([codes, pad])
+        wins = padded[
+            np.minimum(starts[:, None] + np.arange(t.Lmax), n + t.Lmax - 1)
+        ]  # [M, Lmax]
+        # scores[m, p] = sum_j match[p, j, wins[m, j]]
+        m3 = t.match.transpose(1, 2, 0)  # [Lmax, alpha, P]
+        sc = np.zeros((len(starts), t.P), dtype=np.int32)
+        for j in range(t.Lmax):
+            sc += m3[j, wins[:, j], :]
+        mi, pi = np.nonzero(sc >= (t.lengths - self.k)[None, :])
+        for i in range(len(mi)):
+            yield int(starts[mi[i]]), int(pi[i])
+
+    def _gated_dispatch(self, codes_dev, gate, indels: bool, k: int, caps):
+        t = self.tables
+        W, thr, classes = self._pallas_weights()
+        T = self._pallas_T()
+        gt = gate.t if hasattr(gate, "t") else gate
+        jfn = _shared_gated_jit(
+            classes, t.alpha, t.Lmax, t.eos_code, T, self._MB,
+            caps[0], caps[1], caps[2], caps[3],
+            gt.Lg, k, gt.band, indels, self.pallas_interpret)
+        return jfn(codes_dev, self._t3_for(codes_dev, T), W, thr,
+                   self.weights, self.thresholds, self.lengths_dev,
+                   gt.bits, gt.glen, gt.gdir)
+
+    def _t3_for(self, codes_dev, T: int):
+        return _t3_form(codes_dev, T)
 
     def _pallas_decode(self, res, codes_dev, n: int, interpret: bool,
                        caps=None):
@@ -417,14 +576,7 @@ class ConvScanner:
         """Fused single-round-trip scan: the Mosaic MXU microblock filter,
         candidate compaction, window rescore and hit extraction all run in one
         device call (:func:`..pallas.scan_kernel.pallas_scan_hits`)."""
-        # cache the device copy across scans of the same array (repeated
-        # scans shouldn't re-pay the host->device transfer)
-        cached = getattr(self, "_dev_codes", None)
-        if cached is None or cached[0] is not codes:
-            # ship uint8 (codes < alpha <= 255): the tunneled transport runs
-            # ~56 MB/s, so int32 would quadruple the upload time; kernels
-            # widen on device
-            self._dev_codes = (codes, jnp.asarray(np.asarray(codes, np.uint8)))
+        codes_dev = _device_form(codes)
         # pre-size the candidate buffers from the expected density so the
         # overflow-retry (a fresh Mosaic compile) stays rare
         est = int(self._expected_hits(len(codes)) * 4) + 1
@@ -434,10 +586,9 @@ class ConvScanner:
             nmb = max(len(codes) // self._MB, 1)
             self._cap_mb = 1 << (min(est, nmb) - 1).bit_length()
         caps = (self._cap_mb, self._hit_cap)
-        res = self._pallas_dispatch(
-            self._dev_codes[1], caps[0], caps[1], interpret)
+        res = self._pallas_dispatch(codes_dev, caps[0], caps[1], interpret)
         yield from self._pallas_decode(
-            res, self._dev_codes[1], len(codes), interpret, caps)
+            res, codes_dev, len(codes), interpret, caps)
 
     _stack_jit = None
 
@@ -572,12 +723,7 @@ class ConvScanner:
         inflight = None
         for i, codes in enumerate(blocks):
             # reuse the device copy when the same host array repeats
-            cached = getattr(self, "_dev_codes", None)
-            if cached is not None and cached[0] is codes:
-                dev = cached[1]
-            else:
-                dev = jnp.asarray(np.asarray(codes, np.uint8))
-                self._dev_codes = (codes, dev)
+            dev = _device_form(codes)
             caps = (self._cap_mb, self._hit_cap)
             res = self._pallas_dispatch(dev, caps[0], caps[1], interpret)
             pending.append((i, res, dev, len(codes), caps))
@@ -621,19 +767,25 @@ class ConvScanner:
         """Iterate candidate tuples over the whole array (host generator)."""
         est = self._expected_hits(len(codes))
         nmb = max(len(codes) // self._MB, 1)
+        # the shift-and machine beats the radix census whenever its state
+        # fits (measured 15x on the dense 80-seed halves scan: the census
+        # pays L passes over the whole code array per distinct length plus
+        # a searchsorted, the bit machine one table step per char), so it
+        # goes first; radix remains the huge-pattern-set dense-seed path
+        # (hash/xmers seeds overflow the 4096-bit shift-and state)
+        if self._host_eligible(len(codes)):
+            yield from self._host_scanner.scan(
+                codes, cap_hint=int(est * 4) + 1024)
+            if self.progress:
+                self.progress(1.0)
+            return
         if (self.k == 0 and est * 4 >= nmb and len(codes) >= (1 << 18)
                 and self._radix_eligible()):
             # dense exact seeds (pigeonhole halves/bases/hash engines):
             # nearly every microblock fires, which degenerates the
             # two-level device filter — a host radix-code lookup beats
-            # any device path here (no transfers, no compiles)
+            # the device paths here (no transfers, no compiles)
             yield from self._scan_radix(codes)
-            if self.progress:
-                self.progress(1.0)
-            return
-        if self._host_eligible(len(codes)):
-            yield from self._host_scanner.scan(
-                codes, cap_hint=int(est * 4) + 1024)
             if self.progress:
                 self.progress(1.0)
             return

@@ -40,30 +40,46 @@ class GateTables:
     ``accept[s, j, c]`` — extension-pattern position j of seed id s accepts
     text code c (for rmatch seeds the extension pattern is REVERSED so the
     DP walks the backward text window forward).  ``glen[s]`` — extension
-    length; ``gdir[s]`` — +1 lmatch (window reads forward from the anchor)
-    / -1 rmatch (window reads backward from anchor-1).
+    length; ``gdir[s]`` — +1 lmatch (window reads forward from the anchor
+    = seed END) / -1 rmatch (window reads backward from
+    ``anchor - goff - 1``, i.e. just left of the seed, where
+    ``goff[s]`` = the matched seed's length — Extender.rmatch's geomB).
+    ``goff`` is folded into ``gdir``'s magnitude (one fewer device
+    array): gdir = +1 or -(1 + goff).
     """
 
     def __init__(self, accept: np.ndarray, glen: np.ndarray,
-                 gdir: np.ndarray, k: int, band: int):
+                 gdir: np.ndarray, goff: np.ndarray, k: int, band: int):
         S, Lg, alpha = accept.shape
-        # pad a never-accepted code column for out-of-range window slots
-        acc = np.zeros((S, Lg, alpha + 1), dtype=bool)
-        acc[:, :, :alpha] = accept
-        self.accept = jnp.asarray(acc)
+        # BIT-PACKED accept: bits[s, p] bit c == position p accepts code c.
+        # The DP lookup is then a broadcast shift+and over the window codes
+        # (pure VPU) instead of a per-candidate table gather or batched
+        # one-hot matmul.  Code ``alpha`` (= bit position alpha, never set)
+        # is the sentinel for out-of-range window slots.
+        if alpha >= 30:
+            raise NotImplementedError(
+                f"gate accept alphabet {alpha} exceeds the int32 bit pack")
+        bits = np.zeros((S, Lg), np.int32)
+        for c in range(alpha):
+            bits |= accept[:, :, c].astype(np.int32) << c
+        self.bits = jnp.asarray(bits)
         self.glen = jnp.asarray(glen.astype(np.int32))
-        self.gdir = jnp.asarray(gdir.astype(np.int32))
+        gd = np.where(np.asarray(gdir) > 0, 1,
+                      -(1 + np.asarray(goff))).astype(np.int32)
+        self.gdir = jnp.asarray(gd)
         self.Lg = Lg
         self.alpha = alpha
         self.k = k
         self.band = band
 
     @classmethod
-    def from_seed_meta(cls, db, ext_pats, dirs, k: int, band: int,
+    def from_seed_meta(cls, db, ext_pats, dirs, offs, k: int, band: int,
                        wc: bool, textn: bool):
         """Build accept tables from extension pattern STRINGS, matching
         the true DP's accept test (equal, or IUPAC-compatible in wc mode
-        with the text-N rule) over the database alphabet."""
+        with the text-N rule) over the database alphabet.  ``offs[s]`` is
+        the matched seed's length for rmatch seeds (0 for lmatch): the
+        backward window starts that many positions left of the anchor."""
         from ..utils.iupac import compat_matrix
 
         alpha = db.alphabet_size
@@ -82,30 +98,31 @@ class GateTables:
                           and (textn or tc != "N")):
                         accept[s, j, c] = True
         glen = np.fromiter((len(p) for p in ext_pats), np.int32, S)
-        return cls(accept, glen, np.asarray(dirs, np.int32), k, band)
+        return cls(accept, glen, np.asarray(dirs, np.int32),
+                   np.asarray(offs, np.int32), k, band)
 
 
 @functools.partial(
     jax.jit, static_argnames=("Lg", "k", "band", "indels", "n"))
-def _gate_ok(codes, anchors, sids, accept, glen, gdir, *,
+def _gate_ok(codes, anchors, sids, bits, glen, gdir, *,
              Lg: int, k: int, band: int, indels: bool, n: int):
     """ok [C] bool — the banded anchored edit distance of each candidate's
     extension pattern is <= k (superset of the true extension's ok)."""
     C = anchors.shape[0]
-    alpha1 = accept.shape[2]
     Wg = Lg + band
     j = jax.lax.broadcasted_iota(jnp.int32, (1, Wg), 1)
     anchors = anchors.astype(jnp.int32)
-    dirc = gdir[sids][:, None]  # [C, 1]
-    idx = anchors[:, None] + jnp.where(dirc > 0, j, -1 - j)
+    dirc = gdir[sids][:, None]  # [C, 1]; <0 encodes -(1 + seed offset)
+    idx = anchors[:, None] + jnp.where(dirc > 0, j, dirc - j)
     inrange = (idx >= 0) & (idx < n)
     w = codes[jnp.clip(idx, 0, n - 1)].astype(jnp.int32)
-    w = jnp.where(inrange, w, alpha1 - 1)  # never-accept sentinel column
-    # ACC[c, p, t] = accept[sid, p, w[c, t]] via a batched one-hot matmul
-    oh = jax.nn.one_hot(w, alpha1, dtype=jnp.bfloat16)  # [C, Wg, alpha1]
-    tab = accept[sids].astype(jnp.bfloat16)  # [C, Lg, alpha1]
-    ACC = jnp.einsum("cpa,cta->cpt", tab, oh,
-                     preferred_element_type=jnp.float32) > 0.5  # [C, Lg, Wg]
+    # out-of-range slots read the never-set sentinel bit (bit 30)
+    w = jnp.where(inrange, w, 30)
+    # ACC[c, p, t] = bit w[c, t] of bits[sid, p]: a broadcast shift+and
+    # (pure VPU elementwise; no per-candidate gather or batched matmul)
+    bits_c = bits[sids]  # [C, Lg] int32
+    ACC = ((jax.lax.shift_right_logical(
+        bits_c[:, :, None], w[:, None, :])) & 1) > 0  # [C, Lg, Wg]
     INF = np.int32(k + 1)
     glen_c = glen[sids]
     res = jnp.where(glen_c == 0, 0, INF).astype(jnp.int32)
@@ -124,7 +141,10 @@ def _gate_ok(codes, anchors, sids, accept, glen, gdir, *,
         prev_col = None
         for d in range(2 * band + 1):
             tpos = p + d - band
-            if tpos < 1 or tpos > Wg:
+            if tpos == 0 and indels and d + 1 <= 2 * band:
+                # leading-deletion column: dp[p][0] = p (text untouched)
+                v = jnp.minimum(D[:, d + 1] + 1, INF)
+            elif tpos < 1 or tpos > Wg:
                 v = jnp.full((C,), INF, jnp.int32)
             else:
                 sub = jnp.where(ACC[:, p - 1, tpos - 1], 0, 1)
@@ -156,7 +176,7 @@ class ExtendGate:
         t = self.t
         return _gate_ok(
             codes_dev, jnp.asarray(anchors), jnp.asarray(sids),
-            t.accept, t.glen, t.gdir,
+            t.bits, t.glen, t.gdir,
             Lg=t.Lg, k=t.k, band=t.band, indels=self.indels,
             n=int(codes_dev.shape[0]),
         )

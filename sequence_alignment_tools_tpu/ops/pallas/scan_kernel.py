@@ -468,7 +468,8 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, t3=None, *,
     jax.jit,
     static_argnames=(
         "classes", "alpha", "Lmax", "eos_code", "T", "MB", "cap_mb",
-        "hit_cap", "surv_cap", "Lg", "kk", "band", "indels", "interpret",
+        "hit_cap", "multi_cap", "surv_cap", "Lg", "kk", "band", "indels",
+        "interpret",
     ),
 )
 def pallas_scan_gated(codes, W, thr, wconv, thresholds, lengths,
@@ -476,23 +477,35 @@ def pallas_scan_gated(codes, W, thr, wconv, thresholds, lengths,
                       classes: tuple, alpha: int, Lmax: int,
                       eos_code: int = -1, T: int = 4096, MB: int = 32,
                       cap_mb: int = 1024, hit_cap: int = 4096,
-                      surv_cap: int = 512, Lg: int = 16, kk: int = 1,
-                      band: int = 1, indels: bool = True,
-                      interpret: bool = False):
+                      multi_cap: int = 256, surv_cap: int = 512,
+                      Lg: int = 16, kk: int = 1, band: int = 1,
+                      indels: bool = True, interpret: bool = False):
     """The k>0 pigeonhole pipeline in ONE device call: Mosaic microblock
-    seed filter -> compaction -> exact seed rescore -> SEED-EXTENSION GATE
-    (:func:`..gate._gate_ok`, a vectorized banded DP superset of the true
-    extension) -> survivor compaction.  The host fetches only the (rare)
-    gate survivors and re-extends them with the exact native DP — the
-    find/verify alternation of exact_halves.cc:120-197 with the seed scan
-    AND the almost-always-failing extensions kept on device.
+    seed filter -> compaction -> exact seed rescore -> per-position top
+    seed -> SEED-EXTENSION GATE (:func:`..gate._gate_ok`, a vectorized
+    banded DP superset of the true extension) -> survivor compaction.
+    The host fetches only the (rare) gate survivors and re-extends them
+    with the exact native DP — the find/verify alternation of
+    exact_halves.cc:120-197 with the seed scan AND the almost-always-
+    failing extensions kept on device.
+
+    Dense-seed scaling: with short pigeonhole seeds the candidate count
+    is ~1000x the exact path's, so the hit extraction NEVER materializes
+    a ``[positions, P]`` mask compaction (a ``top_k`` over that costs
+    more than the whole scan).  Instead the rescore reduces per POSITION
+    — hit count and the top hitting seed id — and compacts the (~0.2%
+    dense) position mask; positions where SEVERAL seeds hit (rare:
+    prefix-nested or duplicate seeds) are emitted to a tiny escape list
+    for the host to rescan exactly.
 
     Returns ONE packed int32 row:
-        [mb_count, hit_count, surv_count,
-         surv_anchor x surv_cap, surv_sid x surv_cap]
-    (anchor = seed-hit end position; sid = 0-based seed index).  Overflow
-    when any count exceeds its cap — caller retries with bigger caps;
-    correctness never depends on capacity."""
+        [mb_count, hit_count, multi_count, surv_count,
+         surv_anchor x surv_cap, surv_sid x surv_cap,
+         multi_start x multi_cap]
+    (anchor = seed-hit end position; sid = 0-based seed index; the
+    escape list holds window START positions).  Overflow when any count
+    exceeds its cap — caller retries with bigger caps; correctness never
+    depends on capacity."""
     from ..compact import compact_mask
     from ..gate import _gate_ok
 
@@ -522,29 +535,43 @@ def pallas_scan_gated(codes, W, thr, wconv, thresholds, lengths,
         cap_mb * MB, Lmax * alpha)
     w2 = wconv.reshape(Lmax * alpha, P)
     scores = jnp.dot(im2col, w2, preferred_element_type=jnp.bfloat16)
-    valid = jnp.repeat(mb_idx < nmb, MB)[:, None]
-    hit = (scores >= thresholds[None, :].astype(jnp.bfloat16)) & valid
-    hit_count, hit_idx = compact_mask(hit.reshape(-1), hit_cap)
+    hitm = scores >= thresholds[None, :].astype(jnp.bfloat16)
+    # per-position reduction: hit count + top (max-id) hitting seed
+    cnt = jnp.sum(hitm, axis=1, dtype=jnp.int32)  # [cap_mb*MB]
+    piota = jax.lax.broadcasted_iota(jnp.int32, hitm.shape, 1)
+    top_pid = jnp.max(jnp.where(hitm, piota, -1), axis=1)
+    pstart = (starts[:, None]
+              + jax.lax.broadcasted_iota(jnp.int32, (1, MB), 1)
+              ).reshape(-1)
+    pvalid = (jnp.repeat(mb_idx < nmb, MB)) & (pstart < n)
+    cnt = jnp.where(pvalid, cnt, 0)
 
-    # seed-hit coordinates (same decode as ConvScanner._emit, on device)
-    hvalid = hit_idx < cap_mb * MB * P
-    hidx = jnp.minimum(hit_idx, cap_mb * MB * P - 1)
-    slot = hidx // (MB * P)
-    win = (hidx // P) % MB
-    pid = (hidx % P).astype(jnp.int32)
-    hstart = mb_idx[slot].astype(jnp.int32) * MB + win
-    hvalid = hvalid & (hstart < n)
-    anchors = hstart + lengths[pid].astype(jnp.int32)
+    hit_count, sel = compact_mask(cnt > 0, hit_cap)
+    svalid = sel < cap_mb * MB
+    sidx = jnp.minimum(sel, cap_mb * MB - 1)
+    cstart = pstart[sidx]
+    cpid = top_pid[sidx]
+    anchors = cstart + lengths[cpid].astype(jnp.int32)
+
+    # escape list: positions with >1 hitting seed (host rescans those
+    # windows exactly and resolves ALL their seeds itself)
+    multi_count, msel = compact_mask(cnt > 1, multi_cap)
+    mvalid = msel < cap_mb * MB
+    multi_start = jnp.where(
+        mvalid, pstart[jnp.minimum(msel, cap_mb * MB - 1)], -1)
+
     ok = _gate_ok.__wrapped__(
-        codes, anchors, pid, gaccept, gglen, ggdir,
+        codes, anchors, cpid, gaccept, gglen, ggdir,
         Lg=Lg, k=kk, band=band, indels=indels, n=int(n),
     )
-    surv_count, ssel = compact_mask(ok & hvalid, surv_cap)
-    svalid = ssel < hit_cap
-    sidx = jnp.minimum(ssel, hit_cap - 1)
-    surv_anchor = jnp.where(svalid, anchors[sidx], -1)
-    surv_sid = jnp.where(svalid, pid[sidx], -1)
+    surv_count, ssel = compact_mask(ok & svalid, surv_cap)
+    qvalid = ssel < hit_cap
+    qidx = jnp.minimum(ssel, hit_cap - 1)
+    surv_anchor = jnp.where(qvalid, anchors[qidx], -1)
+    surv_sid = jnp.where(qvalid, cpid[qidx], -1)
     return jnp.concatenate([
-        mb_count[None], hit_count[None], surv_count[None],
+        mb_count[None], hit_count[None], multi_count[None],
+        surv_count[None],
         surv_anchor.astype(jnp.int32), surv_sid.astype(jnp.int32),
+        multi_start.astype(jnp.int32),
     ])

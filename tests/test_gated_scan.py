@@ -1,0 +1,134 @@
+"""Fused gated k>0 pipeline (seed scan + extension gate on device) vs the
+host engine path — output must be IDENTICAL: the gate is a superset filter
+(ops/gate.py docstring proof) and the exact native extension decides, so the
+engines' hit streams cannot differ.  Interpret mode on CPU; the compiled
+kernel is exercised on hardware by bench.py."""
+
+import numpy as np
+import pytest
+
+from sequence_alignment_tools_tpu.io.database import SeqDB
+from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+from sequence_alignment_tools_tpu.models.primer_match import PrimerMatchModel
+
+
+def _mutate(rng, pat: str, nmut: int, indels: bool) -> str:
+    s = list(pat)
+    for _ in range(nmut):
+        op = rng.integers(0, 3) if indels else 0
+        i = int(rng.integers(0, len(s)))
+        if op == 0:
+            s[i] = "ACGT"[int(rng.integers(0, 4))]
+        elif op == 1 and len(s) > 4:
+            del s[i]
+        else:
+            s.insert(i, "ACGT"[int(rng.integers(0, 4))])
+    return "".join(s)
+
+
+@pytest.fixture(scope="module")
+def planted_db():
+    rng = np.random.default_rng(23)
+    n = 60000
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    table = b"ACGT\n"
+    pats = [ln.strip() for ln in open("/root/reference/db/pat.txt")
+            if ln.strip()]
+    db = SeqDB(
+        codes=codes, table=table,
+        entry_starts=np.array([0]), entry_lengths=np.array([n]),
+        headers=["e1"],
+    )
+
+    def plant(at, s):
+        for j, ch in enumerate(s):
+            if at + j < n:
+                db.codes[at + j] = table.index(ch.encode())
+
+    slot = 300
+    for i, p in enumerate(pats):
+        plant(slot, p)
+        slot += 700
+        plant(slot, _mutate(rng, p, 1, True))
+        slot += 700
+        plant(slot, _mutate(rng, p, 2, True))
+        slot += 700
+        plant(slot, _mutate(rng, p, 1, False))
+        slot += 700
+    # adjacent duplicates (the 2k dedup window) and an end-straddler
+    plant(41000, pats[0])
+    plant(41000 + len(pats[0]) + 1, pats[0])
+    plant(n - len(pats[0]) + 3, pats[0])
+    return db, pats
+
+
+@pytest.mark.parametrize("engine,k,indels", [
+    ("halves", 1, True),
+    ("halves", 2, True),
+    ("halves", 1, False),
+    ("halves", 2, False),
+    ("bases", 1, True),
+    ("bases", 2, True),
+])
+def test_gated_matches_host_engine(planted_db, engine, k, indels):
+    db, pats = planted_db
+    ps = build_pattern_set(pats, rev_comp=True)
+    if engine == "bases":
+        # exact_bases needs esb/eeb constraints to pick its seeds
+        for pid in range(1, ps.n_total + 1):
+            if pid % 2:
+                ps.esb[pid] = max(len(ps.pattern(pid)) - k - 3, 1)
+            else:
+                ps.eeb[pid] = max(len(ps.pattern(pid)) - k - 3, 1)
+    node = {"halves": 11, "bases": 8}[engine]
+    host = PrimerMatchModel(db, ps, k=k, node=node, indels=indels)
+    want = list(host.engine_hits())
+    gated = PrimerMatchModel(db, ps, k=k, node=node, indels=indels)
+    gated.pallas_interpret = True
+    got = list(gated.engine_hits())
+    assert got == want
+    assert len(want) >= 10
+
+
+def test_gate_superset_fuzz(planted_db):
+    """Direct superset check: wherever the exact batched extension says
+    ok, the device gate must say ok too (the converse may differ — the
+    gate ignores constraints and charges every edit cost 1)."""
+    from sequence_alignment_tools_tpu.engine.extend import (
+        BatchSeedExtender, Extender)
+    from sequence_alignment_tools_tpu.ops.gate import ExtendGate, GateTables
+
+    import jax.numpy as jnp
+
+    db, pats = planted_db
+    rng = np.random.default_rng(7)
+    for k, indels in [(1, True), (2, True), (1, False)]:
+        seeds = [p[: len(p) // 2] for p in pats[:6]]
+        exts = [p[len(p) // 2 :] for p in pats[:6]]
+        S = len(seeds)
+        # half lmatch, half rmatch geometry
+        dirs = np.where(np.arange(S) % 2 == 0, 1, -1).astype(np.int32)
+        geomB = np.where(dirs < 0,
+                         [len(s) for s in seeds], 0).astype(np.int32)
+        geomA = np.asarray(
+            [len(seeds[i]) + len(exts[i]) + k for i in range(S)],
+            np.int32) * (dirs < 0)
+        la = np.zeros(S, np.int32)
+        ra = np.zeros(S, np.int32)
+        ext = Extender(k, "\n", False, False, indels, False)
+        batch = BatchSeedExtender(ext, db, dirs, exts, la, ra, geomA,
+                                  geomB)
+        gate = ExtendGate(
+            GateTables.from_seed_meta(db, exts, dirs, geomB, k,
+                                      k if indels else 0, False, False),
+            indels)
+        C = 500
+        anchors = rng.integers(20, len(db.codes) - 20, C).astype(np.int64)
+        sids = rng.integers(0, S, C).astype(np.int32)
+        ok_true, _, _ = batch(anchors, sids)
+        ok_gate = np.asarray(
+            gate(jnp.asarray(db.codes), anchors, sids))
+        missed = ok_true & ~ok_gate
+        assert not missed.any(), (
+            f"k={k} indels={indels}: gate lost "
+            f"{missed.sum()} true-ok candidates")
