@@ -269,7 +269,13 @@ class PrimerMatchModel:
         node: int = 0,
         report_interval: int = 1000,
         block: int = 1 << 19,
+        mesh="auto",
     ):
+        if mesh == "auto":
+            from ..parallel.shard import auto_mesh
+
+            mesh = auto_mesh()
+        self.mesh = mesh
         self.db = db
         self.ps = ps
         self.k = k
@@ -315,6 +321,8 @@ class PrimerMatchModel:
             scanner.use_pallas = True
         if self.use_host is not None:
             scanner.use_host = self.use_host
+        if self.mesh is not None:
+            scanner.mesh = self.mesh
         return scanner
 
     # -- text access for the verify DPs ------------------------------------
@@ -367,8 +375,8 @@ class PrimerMatchModel:
         (end asc, pattern registration asc), vs the keyword tree's
         chain-order ties.  The persisted .st only gates engine selection;
         the MXU exact scan serves the lookups (NOTE: the reference's own
-        .st query path is bit-rotted and reports spurious hits at every
-        position in current builds)."""
+        .st query path is bit-rotted — it misses planted exact hits in
+        current builds; pinned by tests/test_st_bitrot.py)."""
         tables = build_tables(self.ps, self.db, self.wc, self.textn)
         scanner = self._attach(ConvScanner(tables, k=0, block=self.block))
         cands = sorted(

@@ -239,6 +239,25 @@ class ConvScanner:
         self._pallas_wt = None
         self._dispatch_cache = {}
 
+    # -- multi-chip routing ---------------------------------------------------
+
+    # a jax.sharding.Mesh attached by the model layer (parallel.shard.
+    # auto_mesh: real multi-chip slices auto-shard, tests opt in with
+    # SAT_MESH=N on the virtual CPU mesh); scans route through the
+    # sharded fused pipeline when the Mosaic kernel could serve them
+    mesh = None
+
+    def _sharded_capable(self) -> bool:
+        return (self.mesh is not None
+                and self.mesh.devices.size > 1
+                and self.tables.P <= 2048
+                and self.tables.Lmax <= 128)
+
+    def _mesh_interpret(self) -> bool:
+        # on the virtual CPU mesh the Mosaic kernel runs in interpreter
+        # mode; real device meshes compile it
+        return self.pallas_interpret or jax.default_backend() == "cpu"
+
     # -- Pallas coarse filter + microblock rescan ---------------------------
 
     _MB = 32
@@ -302,8 +321,11 @@ class ConvScanner:
         """The fused seed-scan + extension-gate pipeline runs when the
         Mosaic kernel would (device scan) — the k>0 engines use it to keep
         the dense seed hits AND the almost-always-failing extensions on
-        device, fetching only gate survivors."""
+        device, fetching only gate survivors.  Under a mesh the engines
+        fall back to the (sharded) plain scan — the gate has no
+        multi-chip variant yet."""
         return bool(self.use_pallas
+                    and self.mesh is None
                     and (self.pallas_interpret or n >= (1 << 20))
                     and not self._host_eligible(n))
 
@@ -714,6 +736,13 @@ class ConvScanner:
         Yields (block_index, hits_list) in order."""
         from collections import deque
 
+        if self._sharded_capable():
+            from ..parallel.shard import sharded_scan_stream
+
+            yield from sharded_scan_stream(
+                self, blocks, self.mesh,
+                interpret=self._mesh_interpret(), depth=depth)
+            return
         if not self.use_pallas:
             for i, codes in enumerate(blocks):
                 yield i, list(self.scan(codes))
@@ -765,6 +794,17 @@ class ConvScanner:
 
     def scan(self, codes: np.ndarray):
         """Iterate candidate tuples over the whole array (host generator)."""
+        if self._sharded_capable():
+            # explicit multi-chip intent wins over the single-host
+            # latency heuristics: every chip scans its position shard
+            # through the fused pipeline, hit rows ride one all_gather
+            from ..parallel.shard import sharded_pallas_scan_hits
+
+            yield from sharded_pallas_scan_hits(
+                self, codes, self.mesh, interpret=self._mesh_interpret())
+            if self.progress:
+                self.progress(1.0)
+            return
         est = self._expected_hits(len(codes))
         nmb = max(len(codes) // self._MB, 1)
         # the shift-and machine beats the radix census whenever its state

@@ -157,6 +157,10 @@ class SellersScanner:
         # optional per-block progress callback (pattern_match.h:144-155)
         self.progress = None
 
+    # a jax.sharding.Mesh attached by the model layer (parallel.shard.
+    # auto_mesh); scans route through the sharded per-shard DP when set
+    mesh = None
+
     def _block_inputs(self, codes, start, halo, W, n):
         t = self.tables
         lo = start - halo
@@ -172,6 +176,13 @@ class SellersScanner:
         compute."""
         from collections import deque
 
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from ..parallel.shard import sharded_sellers_scan
+
+            yield from sharded_sellers_scan(self, codes, self.mesh)
+            if self.progress:
+                self.progress(1.0)
+            return
         t = self.tables
         halo = t.Lmax + self.k
         n = len(codes)

@@ -32,6 +32,36 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def auto_mesh(axis: str = "data") -> Mesh | None:
+    """The data-parallel mesh the CLI tools scan over, or ``None`` for the
+    single-device path.
+
+    - ``SAT_MESH=N`` (N > 1): the first N devices — any backend, including
+      the virtual CPU mesh tests force (the 1≡N CLI parity tests).
+    - ``SAT_MESH`` unset / ``auto``: all devices when more than one
+      accelerator is attached (a real TPU slice auto-shards; a CPU host
+      with forced virtual devices does NOT silently change the CLI path).
+    - ``SAT_MESH=0`` or ``1``: disabled.
+    """
+    import os
+
+    spec = os.environ.get("SAT_MESH", "auto").strip().lower()
+    if spec in ("0", "1", "off", "none"):
+        return None
+    devices = jax.devices()
+    if spec not in ("", "auto"):
+        n = int(spec)
+        if n <= 1:
+            return None
+        if len(devices) < n:
+            raise SystemExit(
+                f"SAT_MESH={n} but only {len(devices)} devices visible")
+        return make_mesh(devices[:n], axis)
+    if len(devices) > 1 and devices[0].platform != "cpu":
+        return make_mesh(devices, axis)
+    return None
+
+
 def shard_codes(codes: np.ndarray, mesh: Mesh, halo: int,
                 eos_code: int, axis: str = "data"):
     """Pad codes to a multiple of the mesh size and build the per-shard
@@ -219,3 +249,188 @@ def sharded_pallas_scan_hits(scanner, codes: np.ndarray, mesh: Mesh,
                 yield end + base, pid, mism
 
     return gen()
+
+
+def sharded_sellers_scan(scanner, codes: np.ndarray, mesh: Mesh,
+                         axis: str = "data"):
+    """The k-edit Sellers candidate scan (ops.sellers), data-parallel over
+    the mesh: each shard runs the row DP over its position slice plus a
+    static LEFT halo of ``Lmax + k`` (a candidate boundary belongs to the
+    shard containing it; the halo supplies every window that can reach
+    it), and the packed candidate rows ride one ``all_gather``.
+
+    Yields (end, pid, mindist) per shard in (end, pattern) order — the
+    same blockwise-sorted contract as ``SellersScanner.scan`` (the filter
+    engine, its only consumer, re-sorts globally either way)."""
+    from ..ops.sellers import _sellers_block
+
+    t = scanner.tables
+    k, indels = scanner.k, scanner.indels
+    halo = t.Lmax + k
+    n_dev = mesh.devices.size
+    n = len(codes)
+    shard = -(-n // n_dev)
+    W = shard + halo
+    lay = np.full((n_dev, W), t.eos_code, dtype=np.uint8)
+    padded = np.full(n_dev * shard + halo, t.eos_code, dtype=np.uint8)
+    padded[halo : halo + n] = codes
+    for i in range(n_dev):
+        lay[i] = padded[i * shard : i * shard + W]
+    shards = jax.device_put(lay, NamedSharding(mesh, P(axis, None)))
+
+    while True:
+        cap = scanner.cap
+
+        def per_shard(codes_block, match, lengths):
+            row = _sellers_block.__wrapped__(
+                codes_block[0], match, lengths, t.eos_code, k, indels, cap)
+            return jax.lax.all_gather(row, axis)[None]
+
+        rows = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(), P()),
+            out_specs=P(axis, None, None),
+            check_vma=False,
+        )(shards, scanner.match, scanner.lengths_dev)
+        rows = np.asarray(jax.device_get(rows[0]))  # [n_dev, 1 + 2*cap]
+        if (rows[:, 0] <= cap).all():
+            break
+        scanner.cap = 1 << (int(rows[:, 0].max()) - 1).bit_length()
+
+    for d in range(n_dev):
+        count = int(rows[d, 0])
+        if count == 0:
+            continue
+        idx = rows[d, 1 : 1 + count].astype(np.int64)
+        dist = rows[d, 1 + cap : 1 + cap + count]
+        pos = idx % W
+        pid = idx // W
+        keep = (pos >= halo) & (d * shard + (pos - halo) < n)
+        pos, pid, dist = pos[keep], pid[keep], dist[keep]
+        ends = d * shard + (pos - halo) + 1
+        order = np.lexsort((pid, ends))
+        for e, p, dd in zip(ends[order], pid[order], dist[order]):
+            yield int(e), int(p), int(dd)
+
+
+def _bind_sharded_dispatch(scanner, mesh, axis, caps, interpret):
+    """One jitted shard_map'd fused-scan dispatch for a (mesh, caps)
+    config.  Each shard's packed result row STAYS on its own device
+    (``out_specs=P(axis, None)``) — unlike the one-shot
+    :func:`sharded_pallas_scan_hits` there is no all_gather, because the
+    stream's consumer is the host fetch, not the other chips."""
+    from ..ops.pallas.scan_kernel import kernel_weights, pallas_scan_hits
+
+    t = scanner.tables
+    if scanner._pallas_wt is None:
+        W, thr, classes = kernel_weights(t, scanner.k, scanner.poison_eos)
+        scanner._pallas_wt = (jnp.asarray(W), jnp.asarray(thr), classes)
+    W, thr, classes = scanner._pallas_wt
+    T = 65536 if W.shape[1] // 128 == 1 else 16384
+    cap_mb, hit_cap = caps
+
+    def per_shard(codes_block, W, thr, wconv, thresholds, lengths):
+        return pallas_scan_hits.__wrapped__(
+            codes_block[0], W, thr, wconv, thresholds, lengths,
+            classes=classes, alpha=t.alpha, Lmax=t.Lmax,
+            eos_code=t.eos_code, T=T, MB=scanner._MB, cap_mb=cap_mb,
+            hit_cap=hit_cap, interpret=interpret,
+        )[None]
+
+    jfn = jax.jit(jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    ))
+
+    def fn(shards_dev):
+        return jfn(shards_dev, W, thr, scanner.weights,
+                   scanner.thresholds, scanner.lengths_dev)
+
+    return fn
+
+
+def sharded_scan_stream(scanner, blocks, mesh, axis: str = "data",
+                        interpret: bool = False, depth: int = 32):
+    """Multi-chip PIPELINED scan over an iterator of flat code arrays —
+    the sharded analog of ``ConvScanner.scan_stream`` (SURVEY §2f
+    "pipelined scan" row).
+
+    Every block is position-sharded over the mesh (static halo of
+    ``Lmax - 1 + k``; a window is owned by the shard containing its
+    start) and dispatched WITHOUT sync, so all chips scan concurrently
+    while later blocks upload; per-shard packed result rows are fetched
+    on a background thread, overlapping the round-trip with the next
+    dispatches.  Overflowed blocks rerun whole with stickily grown caps
+    (same convergence policy as the single-chip paths) — correctness
+    never depends on capacity.
+
+    Yields ``(block_index, hits_list)`` in block order; hits are
+    (end, pid, mism) in block-local coordinates, in the single-chip
+    stream's (window-start, pattern) order.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = scanner.tables
+    halo = t.Lmax - 1 + scanner.k
+    pool = ThreadPoolExecutor(max_workers=1)
+    cache: dict = {}
+
+    def dispatch(codes):
+        caps = (scanner._cap_mb, scanner._hit_cap)
+        fn = cache.get(caps)
+        if fn is None:
+            fn = cache[caps] = _bind_sharded_dispatch(
+                scanner, mesh, axis, caps, interpret)
+        shards, shard_len = shard_codes(
+            np.asarray(codes), mesh, halo, t.eos_code, axis)
+        rows = fn(jnp.asarray(shards, jnp.uint8))
+        return rows, shard_len, caps
+
+    def decode(codes, shard_len, caps, fetched):
+        while (fetched[:, 0] > caps[0]).any() \
+                or (fetched[:, 1] > caps[1]).any():
+            scanner._cap_mb = max(
+                scanner._cap_mb,
+                1 << (max(int(fetched[:, 0].max()), 1) - 1).bit_length())
+            scanner._hit_cap = max(
+                scanner._hit_cap,
+                1 << (max(int(fetched[:, 1].max()), 1) - 1).bit_length())
+            rows, shard_len, caps = dispatch(codes)
+            fetched = np.asarray(jax.device_get(rows))
+        out = []
+        for d in range(fetched.shape[0]):
+            base = d * shard_len
+            for end, pid, mism in scanner._decode_packed(
+                    fetched[d], None, shard_len, interpret, caps):
+                out.append((end + base, pid, mism))
+        return out
+
+    def start_fetch(item):
+        i, codes, rows, shard_len, caps = item
+        fut = pool.submit(lambda r=rows: np.asarray(jax.device_get(r)))
+        return (i, codes, shard_len, caps, fut)
+
+    pending: deque = deque()
+    inflight = None
+    try:
+        for i, codes in enumerate(blocks):
+            pending.append((i, codes) + dispatch(codes))
+            if len(pending) >= depth:
+                if inflight is not None:
+                    i0, c0, s0, caps0, fut = inflight
+                    yield i0, decode(c0, s0, caps0, fut.result())
+                inflight = start_fetch(pending.popleft())
+        while inflight is not None or pending:
+            if inflight is not None:
+                i0, c0, s0, caps0, fut = inflight
+                yield i0, decode(c0, s0, caps0, fut.result())
+                inflight = None
+            if pending:
+                inflight = start_fetch(pending.popleft())
+    finally:
+        pool.shutdown(wait=False)

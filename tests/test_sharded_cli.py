@@ -1,0 +1,253 @@
+"""Multi-chip CLI wiring: the flagship tools must produce byte-identical
+output on 1 vs N devices (the patcount/hit-merge semantics of
+primer_match.cc:1236-1247 are device-count invariant), and the sharded
+pipelined scan stream must match the single-chip stream block for block.
+
+The mesh is opted into with SAT_MESH=8 on the virtual CPU mesh the
+conftest forces (parallel.shard.auto_mesh); real TPU slices auto-shard.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sequence_alignment_tools_tpu.apps import pcr_match, primer_match
+from tests.conftest import make_synthetic_fasta
+
+PATS = None
+
+
+def _pats():
+    global PATS
+    if PATS is None:
+        PATS = [l.strip() for l in open("/root/reference/db/pat.txt")
+                if l.strip()]
+    return PATS
+
+
+def _run_cli(app, argv, tmp_path, name, mesh=None):
+    out = str(tmp_path / name)
+    old = os.environ.pop("SAT_MESH", None)
+    try:
+        if mesh is not None:
+            os.environ["SAT_MESH"] = str(mesh)
+        app.main(argv + ["-o", out])
+    finally:
+        if mesh is not None:
+            del os.environ["SAT_MESH"]
+        if old is not None:
+            os.environ["SAT_MESH"] = old
+    with open(out, "rb") as f:
+        return f.read()
+
+
+@pytest.mark.parametrize("extra", [
+    [],                      # k=0 exact (keyword-tree engine)
+    ["-k", "1"],             # k=1 edits (exact_halves engine)
+    ["-K", "1"],             # substitutions only (filter engine, conv scan)
+    ["-k", "1", "-c", "-a"],  # counts path
+])
+def test_primer_match_cli_mesh_parity(tmp_path, syn_fasta, extra):
+    argv = ["-i", syn_fasta, "-P", "/root/reference/db/pat.txt", "-r"] + extra
+    one = _run_cli(primer_match, argv, tmp_path, "one.txt", mesh=None)
+    eight = _run_cli(primer_match, argv, tmp_path, "eight.txt", mesh=8)
+    assert one and one == eight
+
+
+def test_pcr_match_cli_mesh_parity_straddle(tmp_path):
+    """pcr_match 1 ≡ N with amplicons STRADDLING every shard boundary:
+    forward primer in shard d, reverse-complement partner up to
+    maxdist=2000 later in shard d+1 (pcr_match.cc:1034-1059 join window).
+    The host-side pathitmap join consumes the globally merged sharded hit
+    stream, so pairs must survive every boundary."""
+    from sequence_alignment_tools_tpu.utils.iupac import reverse_comp
+
+    fwd = "ACGTTGCAACGTAGG"
+    rev = "TTGACCGGTTACAGT"  # as it appears on the forward strand: rc(rev)
+    n = 8 * 6000
+    shard_len = n // 8
+    planted = []
+    for d in range(1, 8):
+        b = d * shard_len
+        planted.append((b - 800, fwd))
+        planted.append((b + 700, reverse_comp(rev)))
+    path = str(tmp_path / "straddle.fasta")
+    make_synthetic_fasta(path, n_entries=1, total=n, planted=planted, seed=3)
+    argv = ["-i", path, "-p", f"{fwd} {rev}", "-M", "2000", "-r"]
+    one = _run_cli(pcr_match, argv, tmp_path, "one.txt", mesh=None)
+    eight = _run_cli(pcr_match, argv, tmp_path, "eight.txt", mesh=8)
+    assert one.count(b"\n") >= 7, one  # every boundary pair found
+    assert one == eight
+
+
+def test_sharded_scan_stream_matches_single(syn_fasta):
+    """parallel.shard.sharded_scan_stream ≡ single-chip scan per block,
+    including the overflow-retry path (tiny forced caps)."""
+    import jax
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+    from sequence_alignment_tools_tpu.ops.tables import build_tables
+    from sequence_alignment_tools_tpu.parallel.shard import (
+        make_mesh,
+        sharded_scan_stream,
+    )
+
+    db = SeqDB.from_fasta(syn_fasta)
+    ps = build_pattern_set(_pats(), rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+
+    codes = np.asarray(db.codes)
+    # third block: one pattern tiled densely so every shard overflows
+    # tiny caps (the overflow-retry leg below)
+    pat_codes = np.asarray(
+        [b"ACGT".index(c.encode()) for c in _pats()[0]], dtype=codes.dtype)
+    dense = np.tile(pat_codes, 400)
+    blocks = [codes[: len(codes) // 2], codes[len(codes) // 2 :], dense]
+
+    sc = ConvScanner(tables, k=0, use_pallas=True)
+    sc.pallas_interpret = True
+    want = {i: sorted(sc.scan(b)) for i, b in enumerate(blocks)}
+    assert any(want.values())
+
+    mesh = make_mesh(jax.devices()[:8])
+    sc2 = ConvScanner(tables, k=0, use_pallas=True)
+    sc2.pallas_interpret = True
+    got = {i: sorted(h) for i, h in
+           sharded_scan_stream(sc2, iter(blocks), mesh, interpret=True)}
+    assert got == want
+
+    # overflow retry: force caps below the true counts
+    sc3 = ConvScanner(tables, k=0, use_pallas=True)
+    sc3.pallas_interpret = True
+    sc3._cap_mb = 2
+    sc3._hit_cap = 2
+    got3 = {i: sorted(h) for i, h in
+            sharded_scan_stream(sc3, iter(blocks), mesh, interpret=True)}
+    assert got3 == want
+    assert sc3._cap_mb > 2 or sc3._hit_cap > 2
+
+
+def test_scanner_mesh_attr_routes_stream(syn_fasta):
+    """ConvScanner.scan_stream with a mesh attached routes through the
+    sharded pipeline and yields the single-chip stream."""
+    import jax
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+    from sequence_alignment_tools_tpu.ops.tables import build_tables
+    from sequence_alignment_tools_tpu.parallel.shard import make_mesh
+
+    db = SeqDB.from_fasta(syn_fasta)
+    ps = build_pattern_set(_pats(), rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    codes = np.asarray(db.codes)
+    blocks = [codes[:20000], codes[20000:]]
+
+    sc = ConvScanner(tables, k=0, use_pallas=True)
+    sc.pallas_interpret = True
+    want = {i: sorted(h) for i, h in sc.scan_stream(iter(blocks))}
+
+    sc2 = ConvScanner(tables, k=0, use_pallas=True)
+    sc2.pallas_interpret = True
+    sc2.mesh = make_mesh(jax.devices()[:8])
+    got = {i: sorted(h) for i, h in sc2.scan_stream(iter(blocks))}
+    assert got == want and any(want.values())
+
+
+def test_primer_match_cli_mesh_parity_sellers(tmp_path, syn_fasta):
+    """-N 5 (filter engine) with indels routes the Sellers scanner through
+    the sharded per-shard DP; CLI output must be 1 ≡ N."""
+    argv = ["-i", syn_fasta, "-P", "/root/reference/db/pat.txt", "-r",
+            "-k", "1", "-N", "5"]
+    one = _run_cli(primer_match, argv, tmp_path, "one.txt", mesh=None)
+    eight = _run_cli(primer_match, argv, tmp_path, "eight.txt", mesh=8)
+    assert one and one == eight
+
+
+def test_sharded_sellers_scan_matches_single(syn_fasta):
+    """sharded_sellers_scan candidate SET equals the single-chip
+    SellersScanner's (the global emission order differs blockwise; the
+    filter engine sorts globally)."""
+    import jax
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.ops.sellers import SellersScanner
+    from sequence_alignment_tools_tpu.ops.tables import build_tables
+    from sequence_alignment_tools_tpu.parallel.shard import (
+        make_mesh,
+        sharded_sellers_scan,
+    )
+
+    db = SeqDB.from_fasta(syn_fasta)
+    ps = build_pattern_set(_pats()[:6], rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    sc = SellersScanner(tables, k=1, indels=True)
+    want = sorted(sc.scan(np.asarray(db.codes)))
+    assert want
+
+    mesh = make_mesh(None)
+    sc2 = SellersScanner(tables, k=1, indels=True)
+    sc2.cap = 4  # force the overflow-retry leg
+    got = sorted(sharded_sellers_scan(sc2, np.asarray(db.codes), mesh))
+    assert got == want
+    assert sc2.cap > 4
+
+
+def test_host_chip_mesh_2d(syn_fasta):
+    """The multihost skeleton: 2x4 ('host','chip') mesh counts psum and
+    the fused-pipeline hit gather equal the 1-D / single-chip results."""
+    import jax
+    import jax.numpy as jnp
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+    from sequence_alignment_tools_tpu.ops.tables import (
+        build_tables,
+        conv_weights,
+    )
+    from sequence_alignment_tools_tpu.parallel.multihost import (
+        init_distributed,
+        make_host_chip_mesh,
+        shard_codes_2d,
+        sharded_pallas_scan_hits_2d,
+        sharded_scan_counts_2d,
+    )
+
+    assert init_distributed() == (0, 1)  # single-process no-op
+
+    db = SeqDB.from_fasta(syn_fasta)
+    ps = build_pattern_set(_pats(), rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+
+    mesh = make_host_chip_mesh(n_hosts=2)
+    assert mesh.devices.shape == (2, 4)
+
+    w = conv_weights(tables, 0, poison_eos=False)
+    codes = np.asarray(db.codes).astype(np.int32)
+    shards, _ = shard_codes_2d(codes, mesh, tables.Lmax - 1, tables.eos_code)
+    counts = np.asarray(sharded_scan_counts_2d(
+        shards, jnp.asarray(w),
+        jnp.asarray(tables.lengths.astype(np.float32)),
+        jnp.asarray(tables.lengths), tables.alpha, mesh))
+    assert counts.shape == (2, 4, tables.P)
+    # replicated across the whole grid
+    flat = counts.reshape(8, tables.P)
+    for d in range(1, 8):
+        np.testing.assert_array_equal(flat[d], flat[0])
+
+    sc = ConvScanner(tables, k=0, use_pallas=True)
+    sc.pallas_interpret = True
+    want = sorted(sc.scan(db.codes))
+    assert sum(flat[0]) == len(want)
+
+    sc2 = ConvScanner(tables, k=0, use_pallas=True)
+    sc2.pallas_interpret = True
+    got = sorted(sharded_pallas_scan_hits_2d(
+        sc2, db.codes, mesh, interpret=True))
+    assert got == want
