@@ -1,14 +1,24 @@
-"""Benchmark: multi-pattern exact scan throughput on the flat database.
+"""Benchmark matrix: scan throughput across the reference's headline
+regimes, each against a measured reference-C++ anchor on this host.
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "matrix": {...}}
 
-- value: sustained scan throughput in Mbases/s on the real device for the
-  BASELINE.json headline config (pat.txt-style primer set, both strands,
-  ~16 MB DNA corpus — the pri_non_hum_nt geometry).
-- vs_baseline: speedup over the reference C++ primer_match (-O3) on the same
-  corpus/patterns, measured on this host if the oracle binary is available,
-  else against the last recorded reference throughput in bench_baseline.json.
+- The top-level metric stays the round-1 headline (exact scan, 20-pattern
+  primer set, both strands, 16 MB corpus) for cross-round comparability.
+- "matrix" adds one row per regime (VERDICT r1 item 1): k=1 / k=2 edit,
+  -K 1 substitution-only, peptide 6-frame, pcr_match pair join, a
+  50,000-pattern xmers-phase-1-style exact batch, and a 15-symbol
+  wide-alphabet wildcard scan.  Each row reports Mbases/s and
+  vs_baseline = ours / reference-C++ measured on the same corpus and
+  pattern set (anchors cached in bench_baseline.json; delete it to
+  re-measure).
+
+Methodology: ours = best-rep marginal scan cost with a RESIDENT database
+(the production serving model — tables/uploads built once, every rep
+re-runs the full engine including host verify/extend and hit
+consumption); reference = binary wall time on its own preprocessed
+artifacts (its production model), best of `BEST_OF` runs.
 """
 
 import json
@@ -21,6 +31,8 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(HERE, "bench_baseline.json")
 CORPUS = "/tmp/sat_bench_corpus.fasta"
+WIDE_CORPUS = "/tmp/sat_bench_wide.fasta"
+REF = "/tmp/ref"
 PATS = [
     "AGAAGCGAGTTCT", "CGCCAGCAGAGTT", "TTTTCTGAGAATCAAG",
     "CTATTGATAAGGGAGTGC", "ATGGCGGTTTTGTCGAA", "AAGAAAAGGGGGAAA",
@@ -28,6 +40,7 @@ PATS = [
     "CTATTGATAAGGGAGTG",
 ]
 CORPUS_BASES = 16_000_000
+BEST_OF = 3
 
 
 def make_corpus():
@@ -45,10 +58,94 @@ def make_corpus():
                 f.write(s[i : i + 70] + "\n")
 
 
+def make_wide_corpus():
+    """15-symbol corpus: ACGT + 10 IUPAC ambiguity codes at ~2% + EOS —
+    exercises the .sqz 4-bit packing regime and the kernel's wide-alphabet
+    class planes at bench scale."""
+    if os.path.exists(WIDE_CORPUS) and \
+            os.path.getsize(WIDE_CORPUS) > CORPUS_BASES // 4:
+        return
+    rng = np.random.default_rng(43)
+    table = np.frombuffer(b"ACGTRYSWKMBDHVN", dtype=np.uint8)
+    with open(WIDE_CORPUS, "w") as f:
+        per_entry = 1_000_000
+        for e in range(4):
+            f.write(f">wide{e} wide-alphabet benchmark entry {e}\n")
+            base = rng.integers(0, 4, size=per_entry)
+            amb = rng.random(per_entry) < 0.02
+            base[amb] = rng.integers(4, 15, size=int(amb.sum()))
+            s = table[base].tobytes().decode()
+            for i in range(0, per_entry, 70):
+                f.write(s[i : i + 70] + "\n")
+
+
+def _corpus_seq():
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+
+    db = SeqDB.from_fasta(CORPUS)
+    codes = np.asarray(db.codes)
+    return db, codes
+
+
+def _best_rep(fn, min_total=6.0, max_reps=24):
+    """Best single-rep seconds: fn() once to warm (compiles, caches,
+    converged caps), then repeat until min_total seconds or max_reps."""
+    fn()
+    best = float("inf")
+    total = 0.0
+    reps = 0
+    while (total < min_total and reps < max_reps) or reps < 2:
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        total += dt
+        reps += 1
+    return best
+
+
+def _ref_seconds(args, min_total=4.0):
+    """Best-of wall time of a reference binary run (retried on the known
+    nondeterministic exit-time abort)."""
+    best = float("inf")
+    runs = 0
+    total = 0.0
+    while (total < min_total and runs < BEST_OF) or runs < 1:
+        t0 = time.perf_counter()
+        r = subprocess.run(args, capture_output=True)
+        dt = time.perf_counter() - t0
+        if r.returncode != 0 and not r.stdout:
+            runs += 1
+            continue  # startup failure; the abort-at-exit case has output
+        best = min(best, dt)
+        total += dt
+        runs += 1
+    return best if best < float("inf") else None
+
+
+def _have_ref(prog="primer_match"):
+    path = os.path.join(REF, prog)
+    if not os.access(path, os.X_OK):
+        script = os.path.join(HERE, "tests", "oracle", "build_reference.sh")
+        subprocess.run(["sh", script], capture_output=True)
+    return os.access(path, os.X_OK)
+
+
+def _patfile(pats, name):
+    path = f"/tmp/sat_bench_{name}.txt"
+    with open(path, "w") as f:
+        f.write("\n".join(pats) + "\n")
+    return path
+
+
+# ---------------------------------------------------------------------------
+# ours
+
+
 def bench_tpu() -> float:
-    """Sustained scan+extract throughput (bases/s), exact scan, both strands,
-    through the production path: the Pallas MXU microblock filter kernel plus
-    exact rescan of candidate regions (ops/pallas/scan_kernel.py)."""
+    """Headline: sustained exact-scan throughput (bases/s) through the
+    production path (Mosaic microblock filter kernel + fused rescan,
+    ops/pallas/scan_kernel.py), overlapped via scan_stream."""
     from sequence_alignment_tools_tpu.io.database import SeqDB
     from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
     from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
@@ -59,19 +156,12 @@ def bench_tpu() -> float:
     tables = build_tables(ps, db, wc=False, textn=False)
     sc = ConvScanner(tables, k=0)
     n = len(db.codes)
-    # warmup (compiles the kernel + rescan block, primes the allocator on
-    # the exact dispatch pattern the timed loop uses)
     nhits = sum(1 for _ in sc.scan(db.codes))
     for _ in sc.scan_stream(db.codes for _ in range(1)):
         pass
-    # sustained throughput: the grouped-fetch scan_stream pipeline keeps
-    # the device busy across scans (dispatch ahead, compact results on
-    # device, fetch groups on a background thread), so transport latency
-    # amortizes as it would in production streaming; reps must exceed the
-    # pipeline depth (256) to measure the overlapped steady state
     reps = 768
     best = float("inf")
-    for _pass in range(3):  # best-of-3: the chip is shared, draws vary ±6%
+    for _pass in range(3):
         t0 = time.perf_counter()
         for _i, hits in sc.scan_stream(db.codes for _ in range(reps)):
             nhits = len(hits)
@@ -80,40 +170,277 @@ def bench_tpu() -> float:
     return n / best
 
 
-def bench_reference() -> float | None:
-    """Reference primer_match -c throughput (bases/s) on the same corpus."""
-    ref = "/tmp/ref/primer_match"
-    if not os.access(ref, os.X_OK):
-        script = os.path.join(HERE, "tests", "oracle", "build_reference.sh")
-        subprocess.run(["sh", script], capture_output=True)
-    if not os.access(ref, os.X_OK):
-        return None
-    patfile = "/tmp/sat_bench_pats.txt"
-    with open(patfile, "w") as f:
-        f.write("\n".join(PATS) + "\n")
-    t0 = time.perf_counter()
-    subprocess.run(
-        [ref, "-i", CORPUS, "-P", patfile, "-r", "-c"],
-        check=True, capture_output=True,
+def _model_bps(db, pats, **kw):
+    """bases/s of a full PrimerMatchModel engine run (resident DB)."""
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.models.primer_match import (
+        PrimerMatchModel,
     )
-    dt = time.perf_counter() - t0
-    return CORPUS_BASES / dt
+
+    ps = build_pattern_set(pats, rev_comp=True)
+    model = PrimerMatchModel(db, ps, **kw)
+    model.use_host = False  # resident-DB serving: pin the device paths
+
+    def run():
+        for _ in model.engine_hits():
+            pass
+
+    return len(db.codes) / _best_rep(run)
+
+
+def bench_k_edit(db, k, indels=True):
+    return _model_bps(db, PATS, k=k, indels=indels)
+
+
+def bench_xmers_p50k(db, codes):
+    """50,000-pattern exact batch (xmers.cc:821 phase-1 geometry): every
+    pattern drawn from the corpus, scanned via the pattern-blocked fused
+    Mosaic pipeline."""
+    from sequence_alignment_tools_tpu.io.patterns import PatternSet
+    from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+    from sequence_alignment_tools_tpu.ops.tables import build_tables
+
+    P, L = 50_000, 20
+    step = (len(codes) - L) // P
+    text = db.decode(0, min(P * step + L, len(codes)))
+    pats = []
+    i = 0
+    while len(pats) < P:
+        p = text[i * step : i * step + L]
+        if len(p) == L and p.isalpha():
+            pats.append(p)
+        else:  # entry-boundary EOS in the window: shift into the entry
+            pats.append(text[i * step + L : i * step + 2 * L])
+        i += 1
+    ps = PatternSet()
+    ps.patterns = [""] + pats
+    ps.esb = [0] * (P + 1)
+    ps.eeb = [0] * (P + 1)
+    ps.n_forward = P
+    tables = build_tables(ps, db, wc=False, textn=False)
+    sc = ConvScanner(tables, k=0)
+    sc.use_host = False
+    assert tables.P > sc._PBLOCK  # really the pattern-blocked path
+
+    def run():
+        for _ in sc.scan(codes):
+            pass
+
+    return len(codes) / _best_rep(run), pats
+
+
+def bench_pcr(db, codes):
+    """pcr_match pair join: 10 STS-style pairs drawn from the corpus
+    (every pair has a real amplicon), full model incl. the host join."""
+    from sequence_alignment_tools_tpu.apps.pcr_match import (
+        build_pair_pattern_set,
+    )
+    from sequence_alignment_tools_tpu.models.pcr_match import PcrMatchModel
+    from sequence_alignment_tools_tpu.utils.iupac import reverse_comp
+
+    text = db.decode(0, 2_000_000)
+    pairs = []
+    for i in range(10):
+        x = 100_000 + 170_000 * i
+        fwd = text[x : x + 15]
+        rev = reverse_comp(text[x + 800 : x + 815])
+        pairs += [fwd, rev]
+    opts = {"ucdict": False, "rev_comp": True, "fplen": 0, "tplen": 0,
+            "stlen": 0, "edlen": 0}
+    ps = build_pair_pattern_set(pairs, opts, [], [])
+    model = PcrMatchModel(db, ps, k=0, maxdist=2000, rev_comp=True)
+    model.inner.use_host = False
+
+    def run():
+        n = 0
+        for _ in model.pairs():
+            n += 1
+        assert n >= 10
+
+    return len(db.codes) / _best_rep(run), pairs
+
+
+def bench_peptide(db, codes):
+    """peptide_scan 6-frame: 10 length-9 peptides read out of the forward
+    translation (so real hits exist), scanned over all 6 frames."""
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.io.translate import translate_db
+    from sequence_alignment_tools_tpu.models.primer_match import (
+        PrimerMatchModel,
+    )
+
+    tdb = translate_db(db, all_frames=True)
+    aa = tdb.aa_db.decode(0, 4_000_000)
+    peps = []
+    i = 0
+    while len(peps) < 10 and i + 9 < len(aa):
+        p = aa[i : i + 9]
+        if p.isalpha() and "*" not in p and "X" not in p:
+            peps.append(p)
+        i += 300_000
+    ps = build_pattern_set(peps)
+    model = PrimerMatchModel(tdb.aa_db, ps, k=0)
+    model.use_host = False
+
+    def run():
+        for _ in model.engine_hits():
+            pass
+
+    # report in DNA bases/s (6 frames cover the corpus twice per strand)
+    return len(db.codes) / _best_rep(run), peps
+
+
+def bench_wide_wc():
+    """15-symbol alphabet + IUPAC wildcard patterns (-w): the kernel's
+    wide-alphabet class-plane regime at bench scale."""
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.models.primer_match import (
+        PrimerMatchModel,
+    )
+
+    db = SeqDB.from_fasta(WIDE_CORPUS)
+    codes = np.asarray(db.codes)
+    text = db.decode(0, 200_000)
+    pats = []
+    i = 100
+    while len(pats) < 10:
+        p = text[i : i + 14]
+        if len(p) == 14 and "\n" not in p:
+            pats.append(p)
+        i += 17_000
+    ps = build_pattern_set(pats, rev_comp=True)
+    model = PrimerMatchModel(db, ps, k=0, wc=True)
+    model.use_host = False
+
+    def run():
+        for _ in model.engine_hits():
+            pass
+
+    return len(codes) / _best_rep(run), pats
+
+
+# ---------------------------------------------------------------------------
+# reference anchors
+
+
+def ref_primer_match(pats, name, extra, corpus=CORPUS):
+    if not _have_ref():
+        return None
+    patfile = _patfile(pats, name)
+    dt = _ref_seconds(
+        [os.path.join(REF, "primer_match"), "-i", corpus, "-P", patfile,
+         "-r", "-c"] + extra)
+    return (CORPUS_BASES / dt) if dt else None
+
+
+def ref_anchor(name, ours_builder):
+    """Measure (or recall) a reference anchor in bases/s."""
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        cache = json.load(open(BASELINE_CACHE))
+    anchors = cache.setdefault("anchors", {})
+    if name in anchors:
+        return anchors[name]
+    val = ours_builder()
+    anchors[name] = val
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f)
+    return val
 
 
 def main():
     make_corpus()
-    tpu_bps = bench_tpu()
+    make_wide_corpus()
+    db, codes = _corpus_seq()
 
-    # the reference's CPU throughput is a constant of this host (~4.5 min
-    # to measure) — reuse the recorded value once established
-    ref_bps = None
-    if os.path.exists(BASELINE_CACHE):
-        ref_bps = json.load(open(BASELINE_CACHE))["reference_bases_per_sec"]
+    tpu_bps = bench_tpu()
+    cache = json.load(open(BASELINE_CACHE)) if os.path.exists(
+        BASELINE_CACHE) else {}
+    ref_bps = cache.get("reference_bases_per_sec")
     if ref_bps is None:
-        ref_bps = bench_reference()
+        if _have_ref():
+            dt = _ref_seconds([os.path.join(REF, "primer_match"), "-i",
+                               CORPUS, "-P", _patfile(PATS, "pats"), "-r",
+                               "-c"])
+            ref_bps = (CORPUS_BASES / dt) if dt else None
         if ref_bps is not None:
+            cache["reference_bases_per_sec"] = ref_bps
             with open(BASELINE_CACHE, "w") as f:
-                json.dump({"reference_bases_per_sec": ref_bps}, f)
+                json.dump(cache, f)
+
+    matrix = {}
+
+    def row(name, ours_bps, ref):
+        matrix[name] = {
+            "value": round(ours_bps / 1e6, 2),
+            "unit": "Mbases/s",
+            "ref": round(ref / 1e6, 2) if ref else None,
+            "vs_baseline": round(ours_bps / ref, 2) if ref else 0.0,
+        }
+
+    v = bench_k_edit(db, 1, True)
+    row("k1_edit", v, ref_anchor(
+        "k1_edit", lambda: ref_primer_match(PATS, "pats", ["-k", "1"])))
+
+    v = bench_k_edit(db, 2, True)
+    row("k2_edit", v, ref_anchor(
+        "k2_edit", lambda: ref_primer_match(PATS, "pats", ["-k", "2"])))
+
+    v = bench_k_edit(db, 1, False)
+    row("K1_mismatch", v, ref_anchor(
+        "K1_mismatch", lambda: ref_primer_match(PATS, "pats", ["-K", "1"])))
+
+    v, xp = bench_xmers_p50k(db, codes)
+    row("xmers_p50k", v, ref_anchor(
+        "xmers_p50k",
+        lambda: ref_primer_match(xp, "p50k", [])))
+
+    v, pairs = bench_pcr(db, codes)
+
+    def _ref_pcr():
+        if not _have_ref("pcr_match"):
+            return None
+        dt = _ref_seconds(
+            [os.path.join(REF, "pcr_match"), "-i", CORPUS, "-P",
+             _patfile(pairs, "pcr"), "-r", "-M", "2000"])
+        return (CORPUS_BASES / dt) if dt else None
+
+    row("pcr", v, ref_anchor("pcr", _ref_pcr))
+
+    v, peps = bench_peptide(db, codes)
+
+    def _ref_pep():
+        if not _have_ref("peptide_scan"):
+            return None
+        dt = _ref_seconds(
+            [os.path.join(REF, "peptide_scan"), "-i", CORPUS, "-T", "A",
+             "-P", _patfile(peps, "peps")])
+        return (CORPUS_BASES / dt) if dt else None
+
+    row("peptide_6frame", v, ref_anchor("peptide_6frame", _ref_pep))
+
+    v, wpats = bench_wide_wc()
+
+    def _ref_wide():
+        if not _have_ref():
+            return None
+        patfile = _patfile(wpats, "wide")
+        dt = _ref_seconds(
+            [os.path.join(REF, "primer_match"), "-i", WIDE_CORPUS, "-P",
+             patfile, "-r", "-w", "-c"])
+        return (4_000_000 / dt) if dt else None
+
+    def _row_wide():
+        ref = ref_anchor("wide_alpha_wc", _ref_wide)
+        matrix["wide_alpha_wc"] = {
+            "value": round(v / 1e6, 2),
+            "unit": "Mbases/s",
+            "ref": round(ref / 1e6, 2) if ref else None,
+            "vs_baseline": round(v / ref, 2) if ref else 0.0,
+        }
+
+    _row_wide()
 
     vs = (tpu_bps / ref_bps) if ref_bps else 0.0
     print(json.dumps({
@@ -121,6 +448,7 @@ def main():
         "value": round(tpu_bps / 1e6, 2),
         "unit": "Mbases/s",
         "vs_baseline": round(vs, 2),
+        "matrix": matrix,
     }))
 
 

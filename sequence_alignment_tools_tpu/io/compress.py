@@ -336,6 +336,21 @@ def read_suffix_array(path: str) -> np.ndarray:
 # loading preprocessed databases
 
 
+def _stream_codes(path: str) -> bool:
+    """Memory-map (rather than load) a code file: forced by
+    ``SAT_STREAM_DB=1``, disabled by ``SAT_STREAM_DB=0``, else automatic
+    past 256 MB — the reference's mmap streaming model (mapFile.h:6-55):
+    O(patterns) host memory however big the database is.  Downstream,
+    ``ConvScanner.scan`` detects the memmap and streams halo'd blocks
+    through the pipelined scan instead of uploading the whole array."""
+    spec = os.environ.get("SAT_STREAM_DB", "auto")
+    if spec == "1":
+        return True
+    if spec == "0":
+        return False
+    return os.path.getsize(path) > (1 << 28)
+
+
 def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
     """Load a SeqDB preferring preprocessed artifacts like pick_fasta_file's
     auto mode (.sqn > .sqz > .seq > raw FASTA — select.t:22-188).  A
@@ -344,7 +359,10 @@ def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
     base = fasta_path
     if os.path.exists(base + ".sqn") and os.path.exists(base + ".tbl"):
         table = open(base + ".tbl", "rb").read()
-        codes = np.fromfile(base + ".sqn", dtype=np.uint8)
+        if _stream_codes(base + ".sqn"):
+            codes = np.memmap(base + ".sqn", dtype=np.uint8, mode="r")
+        else:
+            codes = np.fromfile(base + ".sqn", dtype=np.uint8)
         keys, vals = read_idb(base + ".idb")
         headers = _read_headers(base + ".hdr", vals)
         db = _mk_db(codes, table, keys[:-1], headers, eos_char,

@@ -237,6 +237,16 @@ def select_report(db: SeqDB, ps: PatternSet, k: int, wc: bool, textn: bool,
         if sch is not None:
             lines.append("Using gapped seed set, scheme %s(n%d)"
                          % (sch.name, sch.n))
+    # TPU scan-path capability notice (this framework's analog of the
+    # reference's engine announcements): patterns longer than the Mosaic
+    # kernel halo fall back to the XLA conv path — a real perf cliff the
+    # operator should see, not a silent rerouting.  Reference configs
+    # never exceed 128, so stderr parity is unaffected.
+    if N1 and max(patlens) > 128:
+        lines.append(
+            "Long patterns (max length %d > 128): Mosaic scan kernel "
+            "unavailable, using the slower XLA conv scan path..."
+            % max(patlens))
     return lines
 
 

@@ -227,11 +227,11 @@ class ConvScanner:
         self.block = block
         self.cap = cap
         if use_pallas is None:
-            # the Mosaic kernel needs a real TPU; P/Lmax limits of the
-            # current kernel
+            # the Mosaic kernel needs a real TPU; Lmax limit of the
+            # current kernel (pattern count is unlimited: sets past
+            # _PBLOCK scan as a pattern-blocked outer loop)
             use_pallas = (
                 jax.default_backend() not in ("cpu",)
-                and tables.P <= 2048  # pattern-tiled kernel grid
                 and tables.Lmax <= 128
             )
         self.use_pallas = use_pallas
@@ -323,9 +323,12 @@ class ConvScanner:
         the dense seed hits AND the almost-always-failing extensions on
         device, fetching only gate survivors.  Under a mesh the engines
         fall back to the (sharded) plain scan — the gate has no
-        multi-chip variant yet."""
+        multi-chip variant yet; huge pattern sets (> _PBLOCK) take the
+        pattern-blocked plain pipeline."""
         return bool(self.use_pallas
                     and self.mesh is None
+                    and self.tables.P <= self._PBLOCK
+                    and n <= self._RESIDENT_MAX
                     and (self.pallas_interpret or n >= (1 << 20))
                     and not self._host_eligible(n))
 
@@ -594,6 +597,72 @@ class ConvScanner:
             s0, p0 = int(starts[i]), int(pids[i])
             yield s0 + int(lengths[p0]), p0, 0
 
+    # -- pattern-blocked outer loop (P > _PBLOCK) ----------------------------
+
+    # one fused-pipeline pass handles at most this many patterns: the
+    # kernel's per-text-tile output planes and the rescore's
+    # [candidates, P] score tensor both scale with P, so huge sets
+    # (xmers -b 50000 phase-1 batches, xmers.cc:821; nrdb's one seed per
+    # database sequence, nrdb.cc:196-220) run as ceil(P / _PBLOCK)
+    # passes over the SAME resident text (codes upload and phase
+    # transpose are cached by array identity — each extra pass costs
+    # only its own weights and kernel time)
+    _PBLOCK = 2048
+    _pblock_subs_c = None
+
+    def _pblock_subs(self):
+        """Sub-scanners over <= _PBLOCK-pattern table slices, built once
+        per scanner (their converged candidate caps persist across
+        scans)."""
+        if self._pblock_subs_c is None:
+            from .tables import PatternTables
+
+            t = self.tables
+            subs = []
+            for off in range(0, t.P, self._PBLOCK):
+                sl = slice(off, min(off + self._PBLOCK, t.P))
+                st = PatternTables(
+                    match=t.match[sl], lengths=t.lengths[sl],
+                    pat_codes=t.pat_codes[sl], Lmax=t.Lmax,
+                    alpha=t.alpha, eos_code=t.eos_code,
+                )
+                sub = ConvScanner(st, k=self.k, poison_eos=self.poison_eos,
+                                  block=self.block, use_pallas=True)
+                sub.pallas_interpret = self.pallas_interpret
+                sub.use_host = False
+                subs.append((off, sub))
+            self._pblock_subs_c = subs
+        return self._pblock_subs_c
+
+    def _scan_pblocked(self, codes: np.ndarray, interpret: bool = False):
+        """Pattern-blocked fused scan: ALL passes dispatch before any
+        result is fetched (the device queues them back to back; the
+        transport round-trips overlap the later passes' compute), then
+        hits merge to the global (window-start, pattern) order."""
+        codes_dev = _device_form(codes)
+        n = len(codes)
+        pending = []
+        for off, sub in self._pblock_subs():
+            est = int(sub._expected_hits(n) * 4) + 1
+            if est > sub._hit_cap:
+                sub._hit_cap = 1 << (est - 1).bit_length()
+            if est > sub._cap_mb:
+                nmb = max(n // sub._MB, 1)
+                sub._cap_mb = 1 << (min(est, nmb) - 1).bit_length()
+            caps = (sub._cap_mb, sub._hit_cap)
+            res = sub._pallas_dispatch(codes_dev, caps[0], caps[1],
+                                       interpret)
+            pending.append((off, sub, res, caps))
+        out = []
+        for off, sub, res, caps in pending:
+            lens = sub.tables.lengths
+            for end, p0, m in sub._pallas_decode(
+                    res, codes_dev, n, interpret, caps):
+                out.append((end - int(lens[p0]), off + p0, end, m))
+        out.sort()
+        for _start, pid, end, m in out:
+            yield end, pid, m
+
     def _scan_pallas(self, codes: np.ndarray, interpret: bool = False):
         """Fused single-round-trip scan: the Mosaic MXU microblock filter,
         candidate compaction, window rescore and hit extraction all run in one
@@ -743,7 +812,10 @@ class ConvScanner:
                 self, blocks, self.mesh,
                 interpret=self._mesh_interpret(), depth=depth)
             return
-        if not self.use_pallas:
+        if not self.use_pallas or self.tables.P > self._PBLOCK:
+            # huge pattern sets stream block-by-block through the
+            # pattern-blocked scan (each block is itself pipelined
+            # across its ceil(P/_PBLOCK) passes)
             for i, codes in enumerate(blocks):
                 yield i, list(self.scan(codes))
             return
@@ -792,8 +864,67 @@ class ConvScanner:
                 self.tables, self.k, self.poison_eos)
         return self._host_scanner.available()
 
+    # streaming memory model (DB >> RAM / HBM): whole-array scans over a
+    # np.memmap (or any array past the device-residency bound) run as
+    # halo'd blocks through the pipelined scan_stream — bounded host AND
+    # device memory, the reference's mmap streaming model (mapFile.h:6-55)
+    _STREAM_BLOCK = 1 << 24   # positions per streamed block
+    _RESIDENT_MAX = 1 << 28   # largest array kept device-resident whole
+
+    def _stream_whole(self, codes) -> bool:
+        n = len(codes)
+        if n > self._RESIDENT_MAX:
+            return True
+        return isinstance(codes, np.memmap) and n > self._STREAM_BLOCK
+
+    def _scan_flat_stream(self, codes):
+        """Whole-array scan in streamed halo'd blocks: a window is owned
+        by the block containing its start, so concatenating the rebased
+        per-block streams IS the global (window-start, pattern) order.
+        Each block is materialized (paging in only its window of the
+        memmap), scanned via scan_stream's pipelined dispatch, and
+        released; in-flight device blocks are bounded by ``depth``."""
+        t = self.tables
+        halo = t.Lmax - 1 + self.k
+        B = self._STREAM_BLOCK
+        n = len(codes)
+        lengths = t.lengths
+        # release consumed pages of a memory-mapped source as we go:
+        # without this the kernel keeps every touched page resident and
+        # RSS grows to the file size (breaking cgroup/container limits
+        # long before actual memory pressure would)
+        mm = getattr(codes, "_mmap", None) \
+            if getattr(codes, "offset", 1) == 0 else None
+
+        def blocks():
+            import mmap as _mmap
+
+            drop = mm if hasattr(_mmap, "MADV_DONTNEED") else None
+            pg = _mmap.PAGESIZE
+            for s in range(0, n, B):
+                yield np.ascontiguousarray(codes[s : s + B + halo])
+                if drop is not None:
+                    try:
+                        lo = s // pg * pg
+                        drop.madvise(_mmap.MADV_DONTNEED, lo,
+                                     min(s + B + halo, n) - lo)
+                    except (ValueError, OSError):
+                        drop = None
+
+        nblocks = -(-n // B)
+        for i, hits in self.scan_stream(blocks(), depth=4):
+            base = i * B
+            for end, pid, m in hits:
+                if end - int(lengths[pid]) < B:  # halo-started: next block's
+                    yield end + base, pid, m
+            if self.progress:
+                self.progress((i + 1) / nblocks)
+
     def scan(self, codes: np.ndarray):
         """Iterate candidate tuples over the whole array (host generator)."""
+        if self._stream_whole(codes) and self.mesh is None:
+            yield from self._scan_flat_stream(codes)
+            return
         if self._sharded_capable():
             # explicit multi-chip intent wins over the single-host
             # latency heuristics: every chip scans its position shard
@@ -819,12 +950,18 @@ class ConvScanner:
             if self.progress:
                 self.progress(1.0)
             return
-        if (self.k == 0 and est * 4 >= nmb and len(codes) >= (1 << 18)
+        dev_ok = self.use_pallas and (
+            self.pallas_interpret or len(codes) >= (1 << 20))
+        if (self.k == 0 and len(codes) >= (1 << 18)
+                and (est * 4 >= nmb
+                     or (self.tables.P > self._PBLOCK and not dev_ok))
                 and self._radix_eligible()):
             # dense exact seeds (pigeonhole halves/bases/hash engines):
             # nearly every microblock fires, which degenerates the
             # two-level device filter — a host radix-code lookup beats
-            # the device paths here (no transfers, no compiles)
+            # the device paths here (no transfers, no compiles).  Huge
+            # pattern sets with no device path also land here: the XLA
+            # block fallback pays O(B * P) dense scores
             yield from self._scan_radix(codes)
             if self.progress:
                 self.progress(1.0)
@@ -834,7 +971,10 @@ class ConvScanner:
         ):
             # small inputs aren't worth the Mosaic compile; the XLA block
             # path below is already instant there
-            yield from self._scan_pallas(codes, self.pallas_interpret)
+            if self.tables.P > self._PBLOCK:
+                yield from self._scan_pblocked(codes, self.pallas_interpret)
+            else:
+                yield from self._scan_pallas(codes, self.pallas_interpret)
             if self.progress:
                 self.progress(1.0)
             return
@@ -843,7 +983,9 @@ class ConvScanner:
         n = len(codes)
         eos = self.tables.eos_code
         lengths = self.tables.lengths
-        block = self.block
+        # the [B, P] hit grid is flat-indexed in int32 by the compaction;
+        # huge pattern sets shrink the block to keep B * P < 2^31
+        block = max(min(self.block, ((1 << 31) - 1) // max(P, 1) - Lmax), 8)
         for start in range(0, n, block):
             b = min(block, n - start)
             chunk = np.full(block + Lmax - 1, eos, dtype=np.uint8)
