@@ -402,10 +402,17 @@ class PrimerMatchModel:
         sequential lasthit+2k dedup over the (rare) successful extensions.
         Failed extensions never touch the dedup state (exact_halves.cc:163),
         so batching them is output-identical."""
-        ps, k = self.ps, self.k
         owner, scanner, batch, dirs, ext_pats, geomB = self._halves_ctx()
         ends, hids = self._seed_candidates(
             scanner, dirs, ext_pats, geomB, lambda h0: h0 + 1)
+        yield from self._halves_emit(ends, hids)
+
+    def _halves_emit(self, ends, hids):
+        """exact_halves host tail: batched native extension + the
+        sequential lasthit+2k dedup, from a candidate (ends, hids)
+        array pair."""
+        ps, k = self.ps, self.k
+        owner, scanner, batch, dirs, ext_pats, geomB = self._halves_ctx()
         order = np.lexsort((-hids, ends))  # (pos asc, half-id desc)
         ends, hids = ends[order], hids[order]
         ok, hend, value = batch(ends, hids.astype(np.int32))
@@ -417,6 +424,40 @@ class PrimerMatchModel:
             if he > lasthit[pid] + dedup:
                 lasthit[pid] = he
                 yield he, pid, int(value[i])
+
+    def engine_hits_stream(self, reps: int):
+        """Serving posture: ``reps`` engine runs over the resident
+        database with run i+1's DEVICE scan pipelined ahead of run i's
+        host verify/extend (conv_scan.scan_gated_stream) — per-run
+        outputs identical to :meth:`engine_hits`.  Engines without a
+        gated device pipeline fall back to sequential runs."""
+        codes = self.db.codes
+        if self.engine == "halves":
+            owner, scanner, batch, dirs, ext_pats, geomB = \
+                self._halves_ctx()
+            hid_of = lambda h0: h0 + 1  # noqa: E731
+        elif self.engine == "bases":
+            owner, seeds, scanner, batch, dirs, ext_pats, geomB = \
+                self._bases_ctx()
+            hid_of = lambda s0: s0 + 1  # noqa: E731
+        else:
+            for _ in range(reps):
+                yield list(self.engine_hits())
+            return
+        if not scanner.gated_available(len(codes)):
+            for _ in range(reps):
+                yield list(self.engine_hits())
+            return
+        gate = self._engine_gate(scanner, dirs, ext_pats, geomB, hid_of)
+        lut = self._hid_lut(scanner, hid_of)
+        emit = (self._halves_emit if self.engine == "halves"
+                else self._bases_emit)
+        stream = scanner.scan_gated_stream(
+            (codes for _ in range(reps)), gate, self.indels, self.k)
+        for _i, anchors, sids0, multi in stream:
+            ends, hids = self._gated_post(
+                scanner, codes, anchors, sids0, multi, lut)
+            yield list(emit(ends, hids))
 
     _halves_ctx_c = None
 
@@ -493,45 +534,11 @@ class PrimerMatchModel:
         ``hid_of`` maps the scanner's 0-based pattern index to that id."""
         codes = self.db.codes
         if scanner.gated_available(len(codes)):
-            from ..ops.gate import GateTables
-
-            k = self.k
-            S = len(ext_pats)
-            if self._gate_cache is not None \
-                    and self._gate_cache[0] is scanner:
-                gate = self._gate_cache[1]
-            else:
-                gate = GateTables.from_seed_meta(
-                    self.db, [ext_pats[hid_of(p0)] for p0 in range(S - 1)],
-                    np.asarray([dirs[hid_of(p0)] for p0 in range(S - 1)]),
-                    np.asarray([geomB[hid_of(p0)] for p0 in range(S - 1)]),
-                    k, k if self.indels else 0, self.wc, self.textn)
-                self._gate_cache = (scanner, gate)
+            gate = self._engine_gate(scanner, dirs, ext_pats, geomB, hid_of)
             anchors, sids0, multi = scanner.scan_gated(
-                codes, gate, self.indels, k)
-            lengths = scanner.tables.lengths
-            keep = np.ones(len(anchors), bool)
-            ends_l: list[int] = []
-            hids_l: list[int] = []
-            if len(multi):
-                mset = set(int(m) for m in multi)
-                starts = anchors - lengths[sids0]
-                keep = np.fromiter(
-                    (int(s) not in mset for s in starts), bool,
-                    len(starts)) if len(starts) else keep
-                for s, p0 in scanner.rescan_starts(codes, multi):
-                    ends_l.append(s + int(lengths[p0]))
-                    hids_l.append(hid_of(p0))
-            ends = np.concatenate([
-                anchors[keep],
-                np.asarray(ends_l, np.int64)]) if ends_l else anchors[keep]
-            hids = np.concatenate([
-                np.fromiter((hid_of(int(p)) for p in sids0[keep]), np.int64,
-                            int(keep.sum())),
-                np.asarray(hids_l, np.int64)]) if ends_l else np.fromiter(
-                (hid_of(int(p)) for p in sids0[keep]), np.int64,
-                int(keep.sum()))
-            return ends, hids
+                codes, gate, self.indels, self.k)
+            return self._gated_post(scanner, codes, anchors, sids0, multi,
+                                    self._hid_lut(scanner, hid_of))
         ends_l = []
         hids_l = []
         for end, p0, _ in scanner.scan(codes):
@@ -539,6 +546,52 @@ class PrimerMatchModel:
             hids_l.append(hid_of(p0))
         return (np.asarray(ends_l, np.int64),
                 np.asarray(hids_l, np.int64))
+
+    def _engine_gate(self, scanner, dirs, ext_pats, geomB, hid_of):
+        """Extension GateTables for a pigeonhole engine, cached per
+        scanner (per-model context)."""
+        from ..ops.gate import GateTables
+
+        if self._gate_cache is not None \
+                and self._gate_cache[0] is scanner:
+            return self._gate_cache[1]
+        k = self.k
+        S = len(ext_pats)
+        gate = GateTables.from_seed_meta(
+            self.db, [ext_pats[hid_of(p0)] for p0 in range(S - 1)],
+            np.asarray([dirs[hid_of(p0)] for p0 in range(S - 1)]),
+            np.asarray([geomB[hid_of(p0)] for p0 in range(S - 1)]),
+            k, k if self.indels else 0, self.wc, self.textn)
+        self._gate_cache = (scanner, gate)
+        return gate
+
+    @staticmethod
+    def _hid_lut(scanner, hid_of):
+        # vectorize the p0 -> engine seed id map as a small LUT
+        return np.fromiter(
+            (hid_of(p) for p in range(scanner.tables.P)), np.int64,
+            scanner.tables.P)
+
+    def _gated_post(self, scanner, codes, anchors, sids0, multi, hid_lut):
+        """(ends, hids) from one gated scan's survivors + escape list:
+        survivors at escaped starts are dropped in favor of the exact
+        host rescan of every escaped start."""
+        lengths = scanner.tables.lengths
+        keep = np.ones(len(anchors), bool)
+        ends_l = hids_l = None
+        if len(multi):
+            starts = anchors - lengths[sids0]
+            keep = ~np.isin(starts, multi)
+            rs, rp = scanner.rescan_starts_arrays(codes, multi)
+            ends_l = rs + lengths[rp]
+            hids_l = hid_lut[rp]
+        ks = sids0[keep]
+        if ends_l is not None and len(ends_l):
+            ends = np.concatenate([anchors[keep], ends_l])
+            hids = np.concatenate([hid_lut[ks], hids_l])
+        else:
+            ends, hids = anchors[keep], hid_lut[ks]
+        return ends, hids
 
     _bases_ctx_c = None
 
@@ -606,9 +659,15 @@ class PrimerMatchModel:
         no dedup; candidates in inner keyword-tree order."""
         owner, seeds, scanner, batch, dirs, ext_pats, geomB = \
             self._bases_ctx()
-        S = len(seeds)
         ends, sids = self._seed_candidates(
             scanner, dirs, ext_pats, geomB, lambda s0: s0 + 1)
+        yield from self._bases_emit(ends, sids)
+
+    def _bases_emit(self, ends, sids):
+        """exact_bases host tail from a candidate (ends, sids) pair."""
+        owner, seeds, scanner, batch, dirs, ext_pats, geomB = \
+            self._bases_ctx()
+        S = len(seeds)
         if self.node == 10:
             # shift_and inner engine emits in registration (bit) order
             order = np.lexsort((sids, ends))

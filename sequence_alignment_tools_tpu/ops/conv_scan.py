@@ -142,7 +142,7 @@ def _t3_form(codes_dev, T: int):
 @functools.lru_cache(maxsize=None)
 def _shared_gated_jit(classes, alpha, Lmax, eos_code, T, MB, cap_mb,
                       hit_cap, multi_cap, surv_cap, Lg, kk, band, indels,
-                      interpret):
+                      interpret, exact_pos):
     """One jitted gated-scan entry per static config, shared across
     scanner instances (see :func:`_shared_scan_jit`)."""
     from .pallas.scan_kernel import pallas_scan_gated
@@ -157,6 +157,7 @@ def _shared_gated_jit(classes, alpha, Lmax, eos_code, T, MB, cap_mb,
             T=T, MB=MB, cap_mb=cap_mb, hit_cap=hit_cap,
             multi_cap=multi_cap, surv_cap=surv_cap, Lg=Lg, kk=kk,
             band=band, indels=indels, interpret=interpret,
+            exact_pos=exact_pos,
         )
 
     return jfn
@@ -299,6 +300,20 @@ class ConvScanner:
             self._pallas_wt = (jnp.asarray(W), jnp.asarray(thr), classes)
         return self._pallas_wt
 
+    _pallas_wt_nofold = None
+
+    def _pallas_weights_exact(self):
+        """UNFOLDED kernel weights (margins exact, not just a superset
+        filter) — the in-kernel "pos" hit extraction's weight form."""
+        from .pallas.scan_kernel import kernel_weights
+
+        if self._pallas_wt_nofold is None:
+            W, thr, classes = kernel_weights(
+                self.tables, self.k, self.poison_eos, fold=False)
+            self._pallas_wt_nofold = (
+                jnp.asarray(W), jnp.asarray(thr), classes)
+        return self._pallas_wt_nofold
+
     def _bind_dispatch(self, cap_mb: int, hit_cap: int, interpret: bool):
         t = self.tables
         W, thr, classes = self._pallas_weights()
@@ -341,6 +356,12 @@ class ConvScanner:
         entries at those starts (the device gated only the top seed
         there)."""
         codes_dev = _device_form(codes)
+        gt = gate.t if hasattr(gate, "t") else gate
+        from .pallas.scan_kernel import slots_gated_ok
+
+        if slots_gated_ok(self.tables, gt, self.k):
+            return self._scan_gated_slots(codes_dev, len(codes), gt,
+                                          indels, k)
         # NO _expected_hits presizing here: the pigeonhole estimate is off
         # by ~10x for mixed-length seed sets (it assumes every seed is
         # Lmin long), and oversized caps cost a giant rescore im2col every
@@ -385,16 +406,171 @@ class ConvScanner:
     _gmulti_cap = 256
     _gsurv_cap = 1 << 12
 
-    def rescan_starts(self, codes: np.ndarray, starts):
+    # -- all-Pallas slots pipeline (scan + extraction + gate in-kernel) ------
+
+    _gslots_out = 1 << 11
+    _gslots_oflow = 64
+    _gtbl_cache = None
+
+    def _slots_statics(self, gt):
+        """Per-gate static config + device gate table, cached."""
+        import math
+
+        from .pallas.scan_kernel import SLOT_WB, slots_gate_table
+
+        if self._gtbl_cache is not None and self._gtbl_cache[0] is gt:
+            return self._gtbl_cache[1]
+        t = self.tables
+        LgT = max(1, min(8, int(np.max(gt.glen_np, initial=1))))
+        maxlen = int(t.lengths.max(initial=1))
+        NW = math.ceil((SLOT_WB + maxlen + LgT + gt.band) / 8)
+        lens = tuple(sorted(set(int(x) for x in t.lengths)))
+        gtbl = jnp.asarray(slots_gate_table(gt, t.lengths, LgT)[None])
+        cfg = (LgT, NW, lens, gtbl)
+        self._gtbl_cache = (gt, cfg)
+        return cfg
+
+    def _slots_dispatch(self, codes_dev, n: int, gt, indels: bool, k: int,
+                        caps):
+        """Launch the all-Pallas gated pipeline (no sync)."""
+        from .pallas.scan_kernel import pallas_scan_gated_slots
+
+        t = self.tables
+        W, thr, classes = self._pallas_weights_exact()
+        T = self._pallas_T_exact()
+        LgT, NW, lens, gtbl = self._slots_statics(gt)
+        t3 = self._t3_for(codes_dev, T)
+        return pallas_scan_gated_slots(
+            codes_dev, W, thr, gtbl, t3, classes=classes, Lmax=t.Lmax,
+            T=T, NW=NW, LgT=LgT, kk=k, band=gt.band, indels=indels,
+            lens=lens, out_cap=caps[0], oflow_cap=caps[1],
+            interpret=self.pallas_interpret, n_pat=t.P)
+
+    def _slots_decode(self, packed, n: int, out_cap: int, oflow_cap: int):
+        """(anchors, sids, multi) from a fetched slots packed row (caller
+        has already checked the caps)."""
+        t = self.tables
+        T = self._pallas_T_exact()
+        total, oflow = int(packed[0]), int(packed[1])
+        pos = packed[2 : 2 + total].astype(np.int64)
+        meta = packed[2 + out_cap : 2 + out_cap + total]
+        esc = meta < 0
+        sids = ((meta >> 8) & 127).astype(np.int32)
+        anchors = pos[~esc] + t.lengths[sids[~esc]].astype(np.int64)
+        multi = [pos[esc]]
+        rows = packed[2 + 2 * out_cap : 2 + 2 * out_cap + oflow]
+        U = T // 8
+        for r0 in rows:
+            tile, r = int(r0) >> 3, int(r0) & 7
+            starts = tile * T + 8 * np.arange(U, dtype=np.int64) + r
+            multi.append(starts[starts < n])
+        multi = np.concatenate(multi)
+        return anchors, sids[~esc], multi
+
+    def _scan_gated_slots(self, codes_dev, n: int, gt, indels: bool,
+                          k: int):
+        """scan_gated through :func:`pallas_scan_gated_slots`: the seed
+        scan, hit extraction AND extension gate all run in Mosaic kernels;
+        the host fetches one small packed row.  Output contract identical
+        to the pos-words path (anchors/sids/multi), with slot-cap
+        overflow rows folded into the exact-rescan escape list."""
+        cls = type(self)
+        while True:
+            caps = (self._gslots_out, self._gslots_oflow)
+            res = self._slots_dispatch(codes_dev, n, gt, indels, k, caps)
+            packed = np.asarray(jax.device_get(res))
+            total, oflow = int(packed[0]), int(packed[1])
+            if total <= caps[0] and oflow <= caps[1]:
+                break
+            cls._gslots_out = max(
+                caps[0], 1 << (max(total, 1) - 1).bit_length())
+            cls._gslots_oflow = max(
+                caps[1], 1 << (max(oflow, 1) - 1).bit_length())
+        return self._slots_decode(packed, n, caps[0], caps[1])
+
+    def scan_gated_stream(self, blocks, gate, indels: bool, k: int,
+                          depth: int = 48):
+        """Pipelined gated scans over an iterator of flat code arrays —
+        the scan_stream transport discipline for the all-Pallas gated
+        pipeline: block i+1's device pipeline dispatches before block i's
+        results return, and the (small) packed rows are fetched in
+        stacked groups on a background thread, amortizing the tunnel
+        round-trip.  Yields (i, anchors, sids, multi) per block, in
+        order; blocks ineligible for the slots pipeline fall back to the
+        synchronous :meth:`scan_gated`."""
+        from collections import deque
+
+        from .pallas.scan_kernel import slots_gated_ok
+
+        gt = gate.t if hasattr(gate, "t") else gate
+        pool = self._fetch_pool()
+        pending = deque()  # (i, n, dev, res, caps)
+        fut = None
+        fgroup = None  # [(i, n, dev, caps)]
+
+        def launch(take):
+            group = [pending.popleft()]
+            while pending and len(group) < take \
+                    and pending[0][4] == group[0][4]:
+                group.append(pending.popleft())
+            rs = [g[3] for g in group]
+            stacked = self._stack(rs) if len(rs) > 1 else rs[0]
+            f = pool.submit(lambda r=stacked: np.asarray(jax.device_get(r)))
+            return f, [(g[0], g[1], g[2], g[4]) for g in group]
+
+        def drain(f, group):
+            rows = f.result()
+            if rows.ndim == 1:
+                rows = rows[None]
+            for (i, n, dev, caps), row in zip(group, rows):
+                total, oflow = int(row[0]), int(row[1])
+                if total > caps[0] or oflow > caps[1]:
+                    # overflow: redo solo (grows the sticky class caps)
+                    yield (i,) + self._scan_gated_slots(
+                        dev, n, gt, indels, k)
+                else:
+                    yield (i,) + self._slots_decode(
+                        row, n, caps[0], caps[1])
+
+        for i, codes in enumerate(blocks):
+            dev = _device_form(codes)
+            n = len(codes)
+            if not (self.gated_available(n)
+                    and slots_gated_ok(self.tables, gt, self.k)):
+                # flush in-flight work to preserve output order
+                while fut is not None or pending:
+                    if fut is not None:
+                        yield from drain(fut, fgroup)
+                        fut = fgroup = None
+                    if pending:
+                        fut, fgroup = launch(len(pending))
+                yield (i,) + self.scan_gated(codes, gate, indels, k)
+                continue
+            caps = (self._gslots_out, self._gslots_oflow)
+            res = self._slots_dispatch(dev, n, gt, indels, k, caps)
+            pending.append((i, n, dev, res, caps))
+            if len(pending) >= depth:
+                if fut is not None:
+                    yield from drain(fut, fgroup)
+                fut, fgroup = launch(max(depth // 2, 1))
+        while fut is not None or pending:
+            if fut is not None:
+                yield from drain(fut, fgroup)
+                fut = fgroup = None
+            if pending:
+                fut, fgroup = launch(len(pending))
+
+    def rescan_starts_arrays(self, codes: np.ndarray, starts):
         """Exact host rescan of window start positions against the full
         accept table (the gated pipeline's multi-seed escape), vectorized
-        over the whole start array: yields (start, pid_0based) for every
-        pattern hitting there, in (start, pid) order."""
+        over the whole start array: returns (starts [M] int64,
+        pids_0based [M] int64) for every pattern hitting there, in
+        (start, pid) order."""
         t = self.tables
         n = len(codes)
-        starts = np.sort(np.asarray(list(starts), dtype=np.int64))
+        starts = np.sort(np.asarray(starts, dtype=np.int64))
         if not len(starts):
-            return
+            return (np.zeros(0, np.int64),) * 2
         # same end-of-array fill as the device rescore (eos, or code 0
         # when the table has no EOS class)
         pad = np.full(t.Lmax, max(t.eos_code, 0), dtype=codes.dtype)
@@ -408,18 +584,41 @@ class ConvScanner:
         for j in range(t.Lmax):
             sc += m3[j, wins[:, j], :]
         mi, pi = np.nonzero(sc >= (t.lengths - self.k)[None, :])
-        for i in range(len(mi)):
-            yield int(starts[mi[i]]), int(pi[i])
+        return starts[mi], pi.astype(np.int64)
+
+    def rescan_starts(self, codes: np.ndarray, starts):
+        """Generator form of :meth:`rescan_starts_arrays`."""
+        st, pi = self.rescan_starts_arrays(codes, np.asarray(list(starts)))
+        for i in range(len(st)):
+            yield int(st[i]), int(pi[i])
+
+    _pallas_T_exact_c = None
+
+    def _pallas_T_exact(self) -> int:
+        if self._pallas_T_exact_c is None:
+            W = self._pallas_weights_exact()[0]
+            self._pallas_T_exact_c = (
+                65536 if W.shape[1] // 128 == 1 else 16384)
+        return self._pallas_T_exact_c
 
     def _gated_dispatch(self, codes_dev, gate, indels: bool, k: int, caps):
+        from .pallas.scan_kernel import pos_exact_ok
+
         t = self.tables
-        W, thr, classes = self._pallas_weights()
-        T = self._pallas_T()
+        exact_pos = pos_exact_ok(t, self.k)
+        if exact_pos:
+            # in-kernel extraction wants the UNFOLDED (exact-margin)
+            # weights; no rescore pass exists in that mode
+            W, thr, classes = self._pallas_weights_exact()
+            T = self._pallas_T_exact()
+        else:
+            W, thr, classes = self._pallas_weights()
+            T = self._pallas_T()
         gt = gate.t if hasattr(gate, "t") else gate
         jfn = _shared_gated_jit(
             classes, t.alpha, t.Lmax, t.eos_code, T, self._MB,
             caps[0], caps[1], caps[2], caps[3],
-            gt.Lg, k, gt.band, indels, self.pallas_interpret)
+            gt.Lg, k, gt.band, indels, self.pallas_interpret, exact_pos)
         return jfn(codes_dev, self._t3_for(codes_dev, T), W, thr,
                    self.weights, self.thresholds, self.lengths_dev,
                    gt.bits, gt.glen, gt.gdir)

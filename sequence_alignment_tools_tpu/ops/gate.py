@@ -62,6 +62,9 @@ class GateTables:
         bits = np.zeros((S, Lg), np.int32)
         for c in range(alpha):
             bits |= accept[:, :, c].astype(np.int32) << c
+        self.bits_np = bits
+        self.glen_np = glen.astype(np.int32)
+        self.dir_np = np.asarray(gdir, np.int32)
         self.bits = jnp.asarray(bits)
         self.glen = jnp.asarray(glen.astype(np.int32))
         gd = np.where(np.asarray(gdir) > 0, 1,

@@ -43,8 +43,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def kernel_weights(tables, k: int, poison_eos: bool):
+def kernel_weights(tables, k: int, poison_eos: bool, fold: bool = True):
     """(W8 [8*PPAD, KPAD] int8, thr8 [8*PPAD, 1] int32, classes tuple).
+
+    With ``fold=False`` the base-class fold below is skipped: margins are
+    then EXACT (margin >= 0 <=> the window is a true scan hit) whenever
+    the raw weights are 0/1 with poison, every threshold fits int8
+    (max length - k <= 127) and Lmax <= HALO — the precondition of the
+    in-kernel hit extraction (:func:`pallas_pos_words`), checked by
+    :func:`pos_exact_ok`.  Folded weights are a SUPERSET filter only
+    (codes with no one-hot plane score w(base) instead of 0).
 
     PHASE-TRANSPOSED weight layout for :func:`pallas_microhits`: the text
     is scanned as a [8, n/8] block (sublane r holds positions t with
@@ -96,6 +104,8 @@ def kernel_weights(tables, k: int, poison_eos: bool):
     # only one class is live.
     base_cls = next(
         (c for c in classes if np.all(w[:, c, :] >= 0)), None)
+    if not fold:
+        base_cls = None
     if base_cls is not None and len(classes) > 1:
         base_col = w[:, base_cls, :].copy()  # [L, P]
         w = w - base_col[:, None, :]
@@ -142,7 +152,7 @@ def _na(Lmax: int) -> int:
 
 def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
                  oh_ref, *, classes: tuple, U: int, na: int, kchunks: int,
-                 plive: int, ptiles: int, occupancy: bool):
+                 plive: int, ptiles: int, emit: str):
     # codes_ref/next_ref: [1, 8, U] uint8 (phase-transposed text tiles i
     # and i+1 of the SAME padded array — sublane r, lane u is position
     # t = 8*(i*U + u) + r; the lane halo is read in-kernel from the next
@@ -240,15 +250,35 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
                 s = op(s[: r * 8, :], s[r * 8 : 2 * r * 8, :])
         return s
 
-    if occupancy:
+    if emit == "occupancy":
         # margins: max over patterns first, sign check last
         s = pattern_tree(scores, jnp.maximum)
         out_ref[0, 0] = (s >= 0).astype(jnp.bfloat16)
-    else:
+    elif emit == "counts":
         # per-(phase, position) hit counts <= P <= 128: exact in bf16
         hit = (scores >= 0).astype(jnp.bfloat16)
         s = pattern_tree(hit, jnp.add)
         out_ref[0, 0] = s
+    else:  # emit == "pos": packed per-position (top pattern, hit count)
+        # EXACT in-kernel hit extraction (requires unfolded weights, see
+        # :func:`pos_exact_ok`): per position, the number of patterns
+        # whose window starting there is a true hit and the max such
+        # pattern id, packed as (top_pid << 8) | cnt (cnt <= plive <=
+        # 128 < 256; no hit -> (-1 << 8) | 0 = -256).  ONE tree over the
+        # packed words — max rides the high bits (each operand's low
+        # byte masked off), the count sum rides the low byte; two's
+        # complement makes the no-hit word transparent to both
+        # (-256 & 255 == 0, max picks any real sid over -1).  The host
+        # consumes candidates straight from this word — no second-level
+        # rescore pass exists in this mode.
+        prow = jax.lax.broadcasted_iota(jnp.int32, (mlive, U), 0) >> 3
+        v = jnp.where(scores >= 0, (prow << 8) | 1, jnp.int32(-256))
+
+        def comb(a, b):
+            return (jnp.maximum(a, b) & jnp.int32(-256)) \
+                | ((a & 255) + (b & 255))
+
+        out_ref[0, 0] = pattern_tree(v, comb)
 
 
 def phase_transpose(codes, T: int = 8192):
@@ -284,6 +314,15 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
                      T: int = 8192, MB: int = 32, interpret: bool = False,
                      n_pat: int | None = None, occupancy: bool = False,
                      t3=None):
+    return _kernel_out(codes, W, thr, classes=classes, Lmax=Lmax, T=T,
+                       MB=MB, interpret=interpret, n_pat=n_pat,
+                       emit="occupancy" if occupancy else "counts", t3=t3)
+
+
+def _kernel_out(codes, W, thr, *, classes: tuple, Lmax: int,
+                T: int = 8192, MB: int = 32, interpret: bool = False,
+                n_pat: int | None = None, emit: str = "counts",
+                t3=None):
     """Microblock candidate counts over the whole code array.
 
     codes: [n] uint8/int device array (EOS-padded is fine).
@@ -298,9 +337,13 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
     cached form.
     Returns counts [ntiles * T // MB] f32 — number of (window-start, pattern)
     hits whose start position falls in each MB-position microblock — or,
-    with ``occupancy=True``, a bool occupancy mask of the same shape
+    with ``emit="occupancy"``, a bool occupancy mask of the same shape
     (cheaper: the kernel reduces int32 margins by max and the microblock
-    reduce is a bf16 max).
+    reduce is a bf16 max) — or, with ``emit="pos"``, the RAW
+    [ntiles, ptiles, 8, U] int32 packed per-position words
+    ((top_pid << 8) | cnt; -256 where no pattern hits; position
+    t = T*i + 8*u + r at [i, :, r, u]) — exact hit extraction with NO
+    rescore, valid only under :func:`pos_exact_ok` weights.
     """
     del thr  # thresholds are baked into W's bias lane
     if Lmax > HALO:
@@ -330,10 +373,11 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
     out = pl.pallas_call(
         functools.partial(
             _scan_kernel, classes=classes, U=U, na=na, kchunks=kchunks,
-            plive=plive, ptiles=ptiles, occupancy=occupancy,
+            plive=plive, ptiles=ptiles, emit=emit,
         ),
-        out_shape=jax.ShapeDtypeStruct((ntiles, ptiles, 8, U),
-                                       jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct(
+            (ntiles, ptiles, 8, U),
+            jnp.int32 if emit == "pos" else jnp.bfloat16),
         grid=(ntiles, ptiles),
         in_specs=[
             pl.BlockSpec((1, 8, U), lambda i, j: (i, 0, 0),
@@ -356,9 +400,11 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
         ],
         interpret=interpret,
     )(t3, t3, W4)
+    if emit == "pos":
+        return out
     # microblock m covers positions [MB*m, MB*(m+1)) = all 8 phases of G
     # consecutive lanes; reduce pattern tiles + phases, then lane groups
-    if occupancy:
+    if emit == "occupancy":
         o = out.reshape(ntiles, ptiles * 8, U).max(axis=1)
         return (o.reshape(ntiles, U // G, G).max(axis=2).reshape(-1) > 0)
     c = out.astype(jnp.float32).reshape(ntiles, ptiles * 8, U).sum(axis=1)
@@ -369,9 +415,534 @@ def _microhits_impl(codes, W, thr, *, classes, Lmax, T, MB, interpret,
                     n_pat=None, occupancy=False, t3=None):
     """Non-jitted body of :func:`pallas_microhits` for fusion into larger
     jitted pipelines."""
-    return pallas_microhits.__wrapped__(
+    return _kernel_out(
         codes, W, thr, classes=classes, Lmax=Lmax, T=T, MB=MB,
-        interpret=interpret, n_pat=n_pat, occupancy=occupancy, t3=t3,
+        interpret=interpret, n_pat=n_pat,
+        emit="occupancy" if occupancy else "counts", t3=t3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# in-kernel hit-stream extraction: the "slots" pipeline
+#
+# The pos-words mode still leaves the EXTRACTION of the ~0.2%-dense hit
+# stream to XLA (compaction + gather), which costs tens of ms per 16 MB on
+# this backend — more than 20x the scan kernel itself.  The slots kernel
+# extracts hits IN-KERNEL: per (tile, phase row) the hit positions are
+# ranked by a lane prefix-sum and routed to the row front by a bit-serial
+# shift network, emitting a compacted [8, SLOT_CAP] block of packed hit
+# metadata plus the 4-bit-packed text WINDOW around each hit (so the
+# downstream extension gate never touches the text again).  The XLA
+# epilogue handles only a few thousand compact slots.
+#
+# Shift-network correctness (LSB->MSB strides): after processing strides
+# 1..2^(j-1), every element's remaining displacement d is divisible by
+# 2^j.  At stride 2^j, a mover (bit j of d set) lands on a stationary
+# element only if their displacements differ by less than 2^j — but
+# mover d ≡ 2^j and stayer d ≡ 0 (mod 2^(j+1)) forces a difference of at
+# least 2^j.  Contradiction: every landing lane is vacant (or a void,
+# which never travels since its d is 0).
+
+SLOT_CAP = 256  # compacted hits kept per (tile, phase row); excess rows escape
+SLOT_WB = 16    # window codes kept LEFT of each hit position (2 lanes)
+
+
+def _row_compact(planes, hit, rowcnt, U: int, cap: int):
+    """Route each row's hits to its front lanes (rank order), in place on
+    a list of int32 [8, U] payload planes.  Returns the compacted planes
+    with void lanes zeroed.  ``hit`` bool [8, U]; ``rowcnt`` [8, 1]."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (8, U), 1)
+    hit32 = hit.astype(jnp.int32)
+    # inclusive lane prefix sum per row (Hillis-Steele)
+    p = hit32
+    s = 1
+    while s < U:
+        p = p + jnp.where(li >= s, pltpu.roll(p, shift=s, axis=1), 0)
+        s *= 2
+    rank = p - hit32
+    keep = hit & (rank < cap)
+    d = jnp.where(keep, li - rank, 0)
+    planes = [jnp.where(keep, x, 0) for x in planes]
+    s = 1
+    while s < U:
+        dm = pltpu.roll(d, shift=U - s, axis=1)  # candidate from lane u+s
+        take = ((dm & s) != 0) & (li < U - s)
+        d = jnp.where(take, dm - s, d)
+        planes = [
+            jnp.where(take, pltpu.roll(x, shift=U - s, axis=1), x)
+            for x in planes
+        ]
+        s *= 2
+    valid = li < jnp.minimum(rowcnt, cap)
+    return [jnp.where(valid, x, 0) for x in planes]
+
+
+def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref,
+                  slots_ref, cnt_ref, yt_ref, oh_ref, *,
+                  classes: tuple, U: int, na: int, plive: int, NW: int,
+                  cap: int):
+    """Scan + in-kernel hit extraction for one text tile (kchunks == 1,
+    ptiles == 1 — enforced by :func:`pallas_scan_slots`).
+
+    Emits ``slots_ref`` [1, 1 + NW, 8, cap] int32 — plane 0: packed meta
+    ``(localpos << 15) | (sid << 8) | min(cnt, 127)`` (0 = empty slot;
+    cnt >= 1 keeps hits nonzero), planes 1..NW: the text window codes
+    ``codes[pstart - SLOT_WB + 8q .. +7]`` packed 4 bits per code — and
+    ``cnt_ref`` [1, 8, LANE] int32 (per-row TRUE hit count, broadcast
+    along lanes; rows with count > cap overflow and must be escaped by
+    the caller)."""
+    nc = len(classes)
+    K = nc * 8 * na + 1
+    KPAD = LANE
+    mlive = 8 * plive
+    HU = na - 1
+    et = jnp.int8
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        yt_ref[K - 1 : K, :] = jnp.ones((1, U), et)
+        if K < KPAD:
+            yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, U), et)
+
+    blk = jnp.concatenate(
+        [codes_ref[0], next_ref[0][:, :HU]], axis=1
+    ).astype(jnp.int32)
+    for ci, c in enumerate(classes):
+        oh_ref[ci * 8 : (ci + 1) * 8, :] = (blk == c).astype(et)
+    for ci in range(nc):
+        for a in range(na):
+            row = (ci * na + a) * 8
+            yt_ref[row : row + 8, :] = \
+                oh_ref[ci * 8 : (ci + 1) * 8, a : a + U]
+
+    scores = jnp.dot(wt_ref[0, 0, :mlive, :], yt_ref[:],
+                     preferred_element_type=jnp.int32)
+
+    def pattern_tree(s, op):
+        r = plive
+        while r > 1:
+            if r % 2:
+                s = jnp.concatenate(
+                    [op(s[:8, :], s[(r - 1) * 8 : r * 8, :]),
+                     s[8 : (r - 1) * 8, :]], axis=0)
+                r -= 1
+            else:
+                r //= 2
+                s = op(s[: r * 8, :], s[r * 8 : 2 * r * 8, :])
+        return s
+
+    prow = jax.lax.broadcasted_iota(jnp.int32, (mlive, U), 0) >> 3
+    v = jnp.where(scores >= 0, (prow << 8) | 1, jnp.int32(-256))
+
+    def comb(a, b):
+        return (jnp.maximum(a, b) & jnp.int32(-256)) \
+            | ((a & 255) + (b & 255))
+
+    word = pattern_tree(v, comb)  # [8, U]
+
+    # text window planes: wq[r, u] packs codes[t - SLOT_WB + 8q .. +7]
+    # (4 bits per code) for position t = 8u + r of this tile.  The
+    # extended code block adds SLOT_WB/8 lanes of the PREVIOUS tile on
+    # the left, so offset c reads sublane (r + c) mod 8 at lane
+    # u + PL + (r + c) // 8 — one sublane roll + two static lane slices
+    # per offset (the shear trick).
+    PL = SLOT_WB // 8
+    WR = 8 * NW - SLOT_WB  # codes kept right of the hit
+    HR = (7 + WR - 1) // 8 + 1  # right halo lanes
+    eblk = jnp.concatenate(
+        [prev_ref[0][:, LANE - PL :].astype(jnp.int32),
+         codes_ref[0].astype(jnp.int32),
+         next_ref[0][:, :HR].astype(jnp.int32)], axis=1
+    )  # [8, PL + U + HR]
+    si8 = jax.lax.broadcasted_iota(jnp.int32, (8, U), 0)
+
+    def code_at(c):
+        # codes[t + c] plane over this tile's [8, U] positions: out[r, u]
+        # = eblk[(r + c) % 8, PL + u + (r + c) // 8] — np.roll semantics
+        # (rolled[i] = x[i - s]) give source r + cm at shift 8 - cm
+        cm = c % 8
+        g = (c - cm) // 8
+        rolled = pltpu.roll(eblk, shift=8 - cm, axis=0) if cm else eblk
+        lo = rolled[:, PL + g : PL + g + U]
+        hi = rolled[:, PL + g + 1 : PL + g + 1 + U]
+        return jnp.where(si8 < 8 - cm, lo, hi) if cm else lo
+
+    hit = word >= 0
+    li = jax.lax.broadcasted_iota(jnp.int32, (8, U), 1)
+    hit32 = hit.astype(jnp.int32)
+    p = hit32
+    s = 1
+    while s < U:
+        p = p + jnp.where(li >= s, pltpu.roll(p, shift=s, axis=1), 0)
+        s *= 2
+    rowcnt = p[:, U - 1 : U]
+
+    localpos = (li << 3) | si8
+    cnt_w = word & 255
+    meta = (localpos << 15) | ((word & jnp.int32(0x7F00))
+                               | jnp.minimum(cnt_w, 127))
+    planes = [meta]
+    for q in range(NW):
+        w = code_at(-SLOT_WB + 8 * q)
+        for b in range(1, 8):
+            w = w | (code_at(-SLOT_WB + 8 * q + b) << (4 * b))
+        planes.append(w)
+    out = _row_compact(planes, hit, rowcnt, U, cap)
+    for q in range(1 + NW):
+        slots_ref[0, q] = out[q][:, :cap]
+    cnt_ref[0] = jnp.broadcast_to(rowcnt, (8, LANE))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("classes", "Lmax", "T", "NW", "cap", "interpret",
+                     "n_pat"),
+)
+def pallas_scan_slots(codes, W, thr, t3=None, *, classes: tuple, Lmax: int,
+                      T: int = 65536, NW: int = 6, cap: int = SLOT_CAP,
+                      interpret: bool = False, n_pat: int | None = None):
+    """Whole-array scan with IN-KERNEL hit extraction (see
+    :func:`_slots_kernel`).  Requires :func:`pos_exact_ok` weights
+    (unfolded, fold=False), a single pattern tile (n_pat <= 128) and a
+    single K chunk.  Returns ``(slots [ntiles, 1 + NW, 8, cap] int32,
+    counts [ntiles, 8, LANE] int32)``."""
+    del thr
+    if Lmax > HALO:
+        raise NotImplementedError(f"Lmax {Lmax} exceeds kernel halo {HALO}")
+    U = T // 8
+    if cap > U:
+        raise ValueError(f"slot cap {cap} exceeds row lanes {U}")
+    na = _na(Lmax)
+    n = codes.shape[0]
+    ntiles = max((n + T - 1) // T, 1)
+    if W.shape[0] != 8 * LANE or W.shape[1] != LANE:
+        raise NotImplementedError("slots kernel needs ptiles=kchunks=1")
+    plive = min(max(n_pat or LANE, 1), LANE)
+    if t3 is None:
+        t3 = phase_transpose(codes, T)
+    # left window halo: the previous tile's last LANE lanes (block specs
+    # need 128-lane alignment; the kernel slices its last SLOT_WB//8).
+    # The trailing all-pad tile of t3 doubles as tile -1's pad via the
+    # roll.
+    prev = jnp.roll(t3[:, :, U - LANE :], 1, axis=0)
+    W4 = W.reshape(1, 8 * LANE, 1, LANE).swapaxes(1, 2)
+
+    slots, counts = pl.pallas_call(
+        functools.partial(
+            _slots_kernel, classes=classes, U=U, na=na, plive=plive,
+            NW=NW, cap=cap,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 1 + NW, 8, cap), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 8, LANE), jnp.int32),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, U), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, U), lambda i: (i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8 * LANE, LANE), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1 + NW, 8, cap), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((LANE, U), jnp.int8),
+            pltpu.VMEM((8 * len(classes), U + _na(Lmax) - 1), jnp.int8),
+        ],
+        interpret=interpret,
+    )(prev, t3, t3, W4)
+    return slots, counts
+
+
+def _gate_slots_kernel(slots_ref, cnt_ref, gt_ref, out_ref, ocnt_ref, *,
+                       NW: int, cap: int, LgT: int, kk: int, band: int,
+                       indels: bool, lens: tuple, T: int, n: int,
+                       Lmax: int):
+    """Banded seed-extension gate over one tile's compacted hit slots.
+
+    Per slot the anchored banded edit distance of (the first ``LgT``
+    positions of) its seed's extension pattern is evaluated against the
+    slot's packed text window — a PREFIX of the exact gate
+    (:func:`..gate._gate_ok`), so still a SUPERSET filter.  Emits the
+    slots that pass the gate OR need the host's exact rescan (multi-seed
+    positions, windows at the array tail), compacted per row:
+    ``out_ref`` [1, 8, cap] (meta as in :func:`_slots_kernel`, bit 31 =
+    escape) and ``ocnt_ref`` [1, 8, LANE] row counts.
+
+    ``gt_ref`` [1, 32, LANE]: per-seed columns (seed id s = lane s):
+    row 2j / 2j+1 = low/high byte of the accept bitmask of extension
+    position j (bit c = accepts code c); row 2*LgT = extension length
+    (clamped to LgT), +1 = lmatch flag, +2 = seed length."""
+    i = pl.program_id(0)
+    meta = slots_ref[0, 0]  # [8, cap]
+    valid = meta != 0
+    sid = (meta >> 8) & 127
+    cntv = meta & 255
+    localpos = meta >> 15
+    pstart = localpos + i * T
+    INF = jnp.int32(kk + 1)
+
+    # per-slot gate metadata via one-hot MXU lookup (no lane gathers):
+    # onehot_r [S=LANE, cap] @ gt rows -> per-slot bytes
+    grows = []
+    siota = jax.lax.broadcasted_iota(jnp.int32, (LANE, cap), 0)
+    gtbl = gt_ref[0]  # [32, LANE] int32 (small values)
+    for r in range(8):
+        # bf16 operands: table bytes <= 255 are exact in bf16, and int8
+        # would wrap values >= 128
+        oh = (sid[r : r + 1, :] == siota).astype(jnp.bfloat16)
+        g = jnp.dot(gtbl.astype(jnp.bfloat16), oh,
+                    preferred_element_type=jnp.float32
+                    ).astype(jnp.int32)  # [32, cap]
+        grows.append(g)
+
+    def gplane(row):  # [8, cap] plane of gt row `row` per slot
+        return jnp.concatenate(
+            [grows[r][row : row + 1, :] for r in range(8)], axis=0)
+
+    acc = [gplane(2 * j) | (gplane(2 * j + 1) << 8) for j in range(LgT)]
+    glen = gplane(2 * LgT)
+    ispos = gplane(2 * LgT + 1) > 0
+    slen = gplane(2 * LgT + 2)
+
+    def wcode(c):  # window code at offset c from pstart (static c)
+        q, b = (c + SLOT_WB) // 8, (c + SLOT_WB) % 8
+        return (slots_ref[0, 1 + q] >> (4 * b)) & 15
+
+    def text_at(t):  # DP text char t (0-based along the walk direction)
+        # lmatch walks forward from anchor = pstart + seed_len (variable
+        # per slot: select over the distinct registered lengths); rmatch
+        # walks backward from pstart - 1 (seed-length independent)
+        back = wcode(-1 - t) if 1 + t <= SLOT_WB else jnp.full_like(meta, 15)
+        fwd = jnp.zeros_like(meta)
+        for L in lens:
+            if L + t < 8 * NW - SLOT_WB:
+                fwd = jnp.where(slen == L, wcode(L + t), fwd)
+            else:
+                fwd = jnp.where(slen == L, 15, fwd)
+        return jnp.where(ispos, fwd, back)
+
+    Wg = LgT + band
+    ACC = []
+    for t in range(Wg):
+        w = text_at(t)
+        ACC.append([((a >> w) & 1) > 0 for a in acc])
+
+    res = jnp.where(glen == 0, 0, INF)
+    D = [jnp.full_like(meta, INF) for _ in range(2 * band + 1)]
+    if indels:
+        for d in range(2 * band + 1):
+            v = min(max(d - band, 0) if d >= band else kk + 1, kk + 1)
+            D[d] = jnp.full_like(meta, v)
+    else:
+        D[band] = jnp.zeros_like(meta)
+    for p in range(1, LgT + 1):
+        cols = []
+        prev_col = None
+        for d in range(2 * band + 1):
+            tpos = p + d - band
+            if tpos == 0 and indels and d + 1 <= 2 * band:
+                v = jnp.minimum(D[d + 1] + 1, INF)
+            elif tpos < 1 or tpos > Wg:
+                v = jnp.full_like(meta, INF)
+            else:
+                sub = jnp.where(ACC[tpos - 1][p - 1], 0, 1)
+                v = D[d] + sub
+                if indels:
+                    if d + 1 <= 2 * band:
+                        v = jnp.minimum(v, D[d + 1] + 1)
+                    if prev_col is not None:
+                        v = jnp.minimum(v, prev_col + 1)
+                v = jnp.minimum(v, INF)
+            cols.append(v)
+            prev_col = v
+        D = cols
+        rowmin = D[0]
+        for d in range(1, 2 * band + 1):
+            rowmin = jnp.minimum(rowmin, D[d])
+        res = jnp.where(glen == p, rowmin, res)
+    ok = res <= kk
+
+    escape = valid & ((cntv > 1) | (pstart > n - Lmax))
+    keep = valid & (pstart < n) & (ok | escape)
+    emeta = jnp.where(escape, meta | jnp.int32(-2147483648), meta)
+    kept32 = keep.astype(jnp.int32)
+    li = jax.lax.broadcasted_iota(jnp.int32, (8, cap), 1)
+    pfx = kept32
+    s = 1
+    while s < cap:
+        pfx = pfx + jnp.where(li >= s, pltpu.roll(pfx, shift=s, axis=1), 0)
+        s *= 2
+    rowcnt = pfx[:, cap - 1 : cap]
+    out = _row_compact([emeta], keep, rowcnt, cap, cap)
+    out_ref[0] = out[0]
+    ocnt_ref[0] = jnp.broadcast_to(rowcnt, (8, LANE))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("NW", "cap", "LgT", "kk", "band", "indels", "lens",
+                     "T", "n", "Lmax", "interpret"),
+)
+def pallas_gate_slots(slots, counts, gtbl, *, NW: int, cap: int, LgT: int,
+                      kk: int, band: int, indels: bool, lens: tuple,
+                      T: int, n: int, Lmax: int, interpret: bool = False):
+    """Run :func:`_gate_slots_kernel` over every tile's slots.  Returns
+    (kept [ntiles, 8, cap] int32, kept_counts [ntiles, 8, LANE])."""
+    ntiles = slots.shape[0]
+    return pl.pallas_call(
+        functools.partial(
+            _gate_slots_kernel, NW=NW, cap=cap, LgT=LgT, kk=kk, band=band,
+            indels=indels, lens=lens, T=T, n=n, Lmax=Lmax,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 8, cap), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 8, LANE), jnp.int32),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1 + NW, 8, cap), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, cap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(slots, counts, gtbl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("classes", "Lmax", "T", "NW", "cap", "LgT", "kk",
+                     "band", "indels", "lens", "out_cap", "oflow_cap",
+                     "interpret", "n_pat"),
+)
+def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, *,
+                            classes: tuple, Lmax: int, T: int = 65536,
+                            NW: int = 6, cap: int = SLOT_CAP, LgT: int = 8,
+                            kk: int = 1, band: int = 1, indels: bool = True,
+                            lens: tuple = (), out_cap: int = 4096,
+                            oflow_cap: int = 64, interpret: bool = False,
+                            n_pat: int | None = None):
+    """The whole k>0 pigeonhole front-end in Pallas: scan + in-kernel hit
+    extraction (:func:`pallas_scan_slots`) -> slotted extension gate
+    (:func:`pallas_gate_slots`) -> tiny XLA dense-pack.  The only XLA
+    work is a [ntiles*8]-row cumsum and ``out_cap``-sized gathers — no
+    O(positions) op ever runs outside the kernels.
+
+    Returns ONE packed int32 row:
+        [total, oflow_count,
+         pos x out_cap, meta x out_cap, oflow_row x oflow_cap]
+    where total = gate survivors + escapes (> out_cap -> caller retries
+    with a bigger cap), pos = window start position, meta bit 31 = escape
+    (multi-seed or tail position: host rescans those starts exactly),
+    else (sid << 8) | cnt in the low bits; oflow_row lists (tile*8 + r)
+    rows whose TRUE hit count exceeded the slot cap — the caller escapes
+    those rows' every position (correctness never depends on caps)."""
+    from ..compact import compact_mask
+
+    codes = codes.astype(jnp.uint8)
+    n = int(codes.shape[0])
+    slots, counts = pallas_scan_slots(
+        codes, W, thr, t3, classes=classes, Lmax=Lmax, T=T, NW=NW,
+        cap=cap, interpret=interpret, n_pat=n_pat)
+    kept, kcnt = pallas_gate_slots(
+        slots, counts, gtbl, NW=NW, cap=cap, LgT=LgT, kk=kk, band=band,
+        indels=indels, lens=lens, T=T, n=n, Lmax=Lmax,
+        interpret=interpret)
+    ntiles = slots.shape[0]
+    nrows = ntiles * 8
+    rowcnt1 = counts[:, :, 0].reshape(nrows)
+    oflow_count, oflow_idx = compact_mask(rowcnt1 > cap, oflow_cap)
+    oflow_row = jnp.where(oflow_idx < nrows, oflow_idx, -1)
+
+    rowcnt2 = jnp.minimum(kcnt[:, :, 0].reshape(nrows), cap)
+    cum = jnp.cumsum(rowcnt2)
+    total = cum[nrows - 1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (out_cap,), 0)
+    row = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    rows = jnp.minimum(row, nrows - 1)
+    s = j - (cum[rows] - rowcnt2[rows])
+    val = kept.reshape(nrows, cap)[rows, jnp.minimum(s, cap - 1)]
+    valid = j < total
+    localpos = (val & 0x7FFFFFFF) >> 15
+    pstart = (rows >> 3) * T + localpos
+    return jnp.concatenate([
+        total[None], oflow_count[None],
+        jnp.where(valid, pstart, -1).astype(jnp.int32),
+        jnp.where(valid, val, 0).astype(jnp.int32),
+        oflow_row.astype(jnp.int32),
+    ])
+
+
+def slots_gate_table(gate, lengths, LgT: int) -> np.ndarray:
+    """[32, 128] int32 per-seed gate metadata for
+    :func:`_gate_slots_kernel` (seed id = column): accept-bitmask bytes
+    per truncated extension position, then extension length (clamped),
+    lmatch flag, seed length."""
+    bits = gate.bits_np  # [S, Lg]
+    S, Lg = bits.shape
+    if S > LANE:
+        raise ValueError(f"{S} seeds exceed the slots gate table width")
+    tbl = np.zeros((32, LANE), np.int32)
+    for j in range(min(LgT, Lg)):
+        tbl[2 * j, :S] = bits[:, j] & 0xFF
+        tbl[2 * j + 1, :S] = (bits[:, j] >> 8) & 0xFF
+    tbl[2 * LgT, :S] = np.minimum(gate.glen_np, LgT)
+    tbl[2 * LgT + 1, :S] = (gate.dir_np > 0).astype(np.int32)
+    tbl[2 * LgT + 2, :S] = np.asarray(lengths[:S], np.int32)
+    return tbl
+
+
+def slots_gated_ok(tables, gate, k: int) -> bool:
+    """Static eligibility of the all-Pallas slots pipeline for a seed
+    scanner + gate pair (falls back to the pos-words pipeline
+    otherwise)."""
+    if not pos_exact_ok(tables, k):
+        return False
+    if tables.P > LANE or tables.alpha > 15:
+        return False
+    if len(set(int(x) for x in tables.lengths)) > 8:
+        return False
+    if gate.alpha > 15 or gate.bits_np.shape[0] > LANE:
+        return False
+    band = gate.band
+    LgT = max(1, min(8, int(np.max(gate.glen_np, initial=1))))
+    maxlen = int(tables.lengths.max(initial=1))
+    need = SLOT_WB + maxlen + LgT + band
+    return -(-need // 8) <= 8  # window planes fit
+
+
+def pos_exact_ok(tables, k: int) -> bool:
+    """True when the in-kernel "pos" extraction is EXACT for this scan
+    config: margins must equal (score - threshold) of the true accept
+    test.  Requires k == 0 (the gated pipeline's seed scans are always
+    exact), every threshold = pattern length within the int8 bias clip,
+    and Lmax within the kernel halo.  Weights from
+    :func:`..tables.conv_weights` are 0/1(+poison) by construction, so
+    margin >= 0 <=> every window position accepted <=> true hit; EOS
+    (poison or plain-zero) sinks straddling windows below threshold
+    either way."""
+    return bool(
+        k == 0
+        and tables.Lmax <= HALO
+        and int(tables.lengths.max(initial=1)) <= 127
+        and int(tables.lengths.min(initial=1)) >= 1
     )
 
 
@@ -469,7 +1040,7 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, t3=None, *,
     static_argnames=(
         "classes", "alpha", "Lmax", "eos_code", "T", "MB", "cap_mb",
         "hit_cap", "multi_cap", "surv_cap", "Lg", "kk", "band", "indels",
-        "interpret",
+        "interpret", "exact_pos",
     ),
 )
 def pallas_scan_gated(codes, W, thr, wconv, thresholds, lengths,
@@ -479,7 +1050,8 @@ def pallas_scan_gated(codes, W, thr, wconv, thresholds, lengths,
                       cap_mb: int = 1024, hit_cap: int = 4096,
                       multi_cap: int = 256, surv_cap: int = 512,
                       Lg: int = 16, kk: int = 1, band: int = 1,
-                      indels: bool = True, interpret: bool = False):
+                      indels: bool = True, interpret: bool = False,
+                      exact_pos: bool = False):
     """The k>0 pigeonhole pipeline in ONE device call: Mosaic microblock
     seed filter -> compaction -> exact seed rescore -> per-position top
     seed -> SEED-EXTENSION GATE (:func:`..gate._gate_ok`, a vectorized
@@ -512,39 +1084,90 @@ def pallas_scan_gated(codes, W, thr, wconv, thresholds, lengths,
     codes = codes.astype(jnp.uint8)
     n = codes.shape[0]
     P = wconv.shape[2]
-    mh = _microhits_impl(codes, W, thr, classes=classes, Lmax=Lmax, T=T,
-                         MB=MB, interpret=interpret, n_pat=P,
-                         occupancy=True, t3=t3)
-    nmb = mh.shape[0]
-    mb_count, mb_idx = compact_mask(mh, cap_mb)
+    if exact_pos:
+        # IN-KERNEL extraction (pos_exact_ok configs): the kernel itself
+        # emits exact packed per-position words ((top_pid << 8) | cnt) —
+        # no window gather, no one-hot rescore, no [positions, P] mask.
+        # W must be the UNFOLDED kernel weights.
+        pos = _kernel_out(codes, W, thr, classes=classes, Lmax=Lmax, T=T,
+                          MB=MB, interpret=interpret, n_pat=P, emit="pos",
+                          t3=t3)
+        ntiles, ptiles, _, U = pos.shape
+        G = MB // 8
+        if ptiles == 1:
+            word = pos[:, 0]  # [ntiles, 8, U]
+        else:
+            live = pos >= 0
+            cnts = jnp.sum(jnp.where(live, pos & 255, 0), axis=1)
+            offs = (jnp.arange(ptiles, dtype=jnp.int32) * LANE
+                    )[None, :, None, None]
+            sids = jnp.max(jnp.where(live, (pos >> 8) + offs, -1), axis=1)
+            word = jnp.where(
+                cnts > 0, (sids << 8) | cnts, jnp.int32(-256))
+        # microblock occupancy straight from the words (word >= 0 <=> hit)
+        occ = word.max(axis=1)  # [ntiles, U]
+        occ = occ.reshape(ntiles, U // G, G).max(axis=2).reshape(-1)
+        nmb = ntiles * (U // G)
+        mb0 = jax.lax.broadcasted_iota(jnp.int32, (nmb,), 0) * MB
+        mb_count, mb_idx = compact_mask((occ >= 0) & (mb0 < n), cap_mb)
+        # gather candidate microblocks' words; microblock m = tile
+        # m // (U//G), lane group m % (U//G); position of word [c, r, d]
+        # is T*i + 8*(g*G + d) + r
+        mbs = jnp.minimum(mb_idx, nmb - 1)
+        i = mbs // (U // G)
+        g = mbs % (U // G)
+        w3 = word.reshape(ntiles * 8, U)
+        r_io = jax.lax.broadcasted_iota(jnp.int32, (cap_mb, 8, G), 1)
+        d_io = jax.lax.broadcasted_iota(jnp.int32, (cap_mb, 8, G), 2)
+        cols = (g * G)[:, None, None] + d_io
+        wmb = w3[i[:, None, None] * 8 + r_io, cols]
+        pstart = ((i * T)[:, None, None] + 8 * cols + r_io).reshape(-1)
+        pvalid = (jnp.repeat(mb_idx < nmb, MB)) & (pstart < n)
+        wflat = wmb.reshape(-1)
+        cnt = jnp.where(pvalid & (wflat >= 0), wflat & 255, 0)
+        top_pid = jnp.where(cnt > 0, wflat >> 8, -1)
+        # windows overrunning the array end: the phase-transposed form is
+        # ZERO-padded (code 0, not EOS), so the kernel's words there may
+        # overcount — escape every such hit position to the exact host
+        # rescan (<= Lmax - 1 positions; survivors there are dropped by
+        # the caller in favor of the rescan, conv_scan.scan_gated)
+        multi_m = (cnt > 1) | ((cnt > 0) & (pstart > n - Lmax))
+    else:
+        mh = _microhits_impl(codes, W, thr, classes=classes, Lmax=Lmax,
+                             T=T, MB=MB, interpret=interpret, n_pat=P,
+                             occupancy=True, t3=t3)
+        nmb = mh.shape[0]
+        mb_count, mb_idx = compact_mask(mh, cap_mb)
 
-    win_len = MB + Lmax - 1
-    eos_fill = jnp.full(nmb * MB + win_len - n, max(eos_code, 0), jnp.uint8)
-    padded = jnp.concatenate([codes, eos_fill])
-    starts = jnp.minimum(mb_idx, nmb - 1).astype(jnp.int32) * MB
-    wins = padded[
-        starts[:, None]
-        + jax.lax.broadcasted_iota(jnp.int32, (1, win_len), 1)
-    ]
-    sub_idx = (
-        jax.lax.broadcasted_iota(jnp.int32, (MB, Lmax), 0)
-        + jax.lax.broadcasted_iota(jnp.int32, (MB, Lmax), 1)
-    )
-    sub = wins[:, sub_idx]
-    im2col = jax.nn.one_hot(sub, alpha, dtype=jnp.bfloat16).reshape(
-        cap_mb * MB, Lmax * alpha)
-    w2 = wconv.reshape(Lmax * alpha, P)
-    scores = jnp.dot(im2col, w2, preferred_element_type=jnp.bfloat16)
-    hitm = scores >= thresholds[None, :].astype(jnp.bfloat16)
-    # per-position reduction: hit count + top (max-id) hitting seed
-    cnt = jnp.sum(hitm, axis=1, dtype=jnp.int32)  # [cap_mb*MB]
-    piota = jax.lax.broadcasted_iota(jnp.int32, hitm.shape, 1)
-    top_pid = jnp.max(jnp.where(hitm, piota, -1), axis=1)
-    pstart = (starts[:, None]
-              + jax.lax.broadcasted_iota(jnp.int32, (1, MB), 1)
-              ).reshape(-1)
-    pvalid = (jnp.repeat(mb_idx < nmb, MB)) & (pstart < n)
-    cnt = jnp.where(pvalid, cnt, 0)
+        win_len = MB + Lmax - 1
+        eos_fill = jnp.full(nmb * MB + win_len - n, max(eos_code, 0),
+                            jnp.uint8)
+        padded = jnp.concatenate([codes, eos_fill])
+        starts = jnp.minimum(mb_idx, nmb - 1).astype(jnp.int32) * MB
+        wins = padded[
+            starts[:, None]
+            + jax.lax.broadcasted_iota(jnp.int32, (1, win_len), 1)
+        ]
+        sub_idx = (
+            jax.lax.broadcasted_iota(jnp.int32, (MB, Lmax), 0)
+            + jax.lax.broadcasted_iota(jnp.int32, (MB, Lmax), 1)
+        )
+        sub = wins[:, sub_idx]
+        im2col = jax.nn.one_hot(sub, alpha, dtype=jnp.bfloat16).reshape(
+            cap_mb * MB, Lmax * alpha)
+        w2 = wconv.reshape(Lmax * alpha, P)
+        scores = jnp.dot(im2col, w2, preferred_element_type=jnp.bfloat16)
+        hitm = scores >= thresholds[None, :].astype(jnp.bfloat16)
+        # per-position reduction: hit count + top (max-id) hitting seed
+        cnt = jnp.sum(hitm, axis=1, dtype=jnp.int32)  # [cap_mb*MB]
+        piota = jax.lax.broadcasted_iota(jnp.int32, hitm.shape, 1)
+        top_pid = jnp.max(jnp.where(hitm, piota, -1), axis=1)
+        pstart = (starts[:, None]
+                  + jax.lax.broadcasted_iota(jnp.int32, (1, MB), 1)
+                  ).reshape(-1)
+        pvalid = (jnp.repeat(mb_idx < nmb, MB)) & (pstart < n)
+        cnt = jnp.where(pvalid, cnt, 0)
+        multi_m = cnt > 1
 
     hit_count, sel = compact_mask(cnt > 0, hit_cap)
     svalid = sel < cap_mb * MB
@@ -555,7 +1178,7 @@ def pallas_scan_gated(codes, W, thr, wconv, thresholds, lengths,
 
     # escape list: positions with >1 hitting seed (host rescans those
     # windows exactly and resolves ALL their seeds itself)
-    multi_count, msel = compact_mask(cnt > 1, multi_cap)
+    multi_count, msel = compact_mask(multi_m, multi_cap)
     mvalid = msel < cap_mb * MB
     multi_start = jnp.where(
         mvalid, pstart[jnp.minimum(msel, cap_mb * MB - 1)], -1)

@@ -1,0 +1,139 @@
+"""In-kernel hit-stream extraction (ops.pallas.scan_kernel._slots_kernel):
+the slots pipeline must emit, per (tile, phase row), exactly the row's hit
+positions in rank order — packed meta word plus the 4-bit-packed text
+window — matching a brute-force scan.  Pins the shift-network compaction
+(LSB->MSB bit-serial routing) and the shear-built window packs.
+
+Reference semantics anchored to the fused scan contract of
+primer_match.cc:1114-1268 (one device call per database, host consumes
+only compacted hits)."""
+
+import numpy as np
+import pytest
+
+from sequence_alignment_tools_tpu.io.database import SeqDB
+from sequence_alignment_tools_tpu.io.patterns import PatternSet, \
+    build_pattern_set
+from sequence_alignment_tools_tpu.ops.pallas.scan_kernel import (
+    SLOT_WB, kernel_weights, pallas_scan_slots, pos_exact_ok)
+from sequence_alignment_tools_tpu.ops.tables import build_tables
+
+
+def _mk(n, pats, seed=3, plant=()):
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    table = b"ACGT\n"
+    db = SeqDB(codes=codes, table=table, entry_starts=np.array([0]),
+               entry_lengths=np.array([n]), headers=["e1"])
+    for at, pat in plant:
+        for j, ch in enumerate(pat):
+            codes[at + j] = table.index(ch.encode())
+    ps = build_pattern_set(pats)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    return db, tables
+
+
+def _brute_hits(codes, tables):
+    """hits[t] = (count, top_pid) per window-start position, zero-padded
+    text past n (the kernel's phase-transpose pad)."""
+    n = len(codes)
+    P = tables.P
+    m = tables.match  # [P, Lmax, alpha]
+    lens = tables.lengths
+    out = {}
+    padded = np.concatenate([codes, np.zeros(tables.Lmax, np.uint8)])
+    for t in range(n):
+        cnt, top = 0, -1
+        for p in range(P):
+            L = int(lens[p])
+            if all(m[p, j, padded[t + j]] for j in range(L)):
+                cnt += 1
+                top = p
+        if cnt:
+            out[t] = (cnt, top)
+    return out
+
+
+def _decode(slots, counts, T, cap, NW):
+    """{pos: (cnt, sid, window_codes)} from the packed kernel output."""
+    got = {}
+    ntiles = slots.shape[0]
+    for i in range(ntiles):
+        for r in range(8):
+            c = int(counts[i, r, 0])
+            assert c <= cap, "row overflow in test config"
+            for s in range(c):
+                meta = int(slots[i, 0, r, s])
+                assert meta != 0
+                localpos = meta >> 15
+                sid = (meta >> 8) & 0x7F
+                cnt = meta & 0xFF
+                assert localpos % 8 == r
+                win = []
+                for q in range(NW):
+                    w = int(slots[i, 1 + q, r, s]) & 0xFFFFFFFF
+                    for b in range(8):
+                        win.append((w >> (4 * b)) & 0xF)
+                pos = i * T + localpos
+                assert pos not in got
+                got[pos] = (cnt, sid, win)
+    return got
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_slots_matches_bruteforce(seed):
+    T, cap, NW = 1024, 128, 6
+    n = 3 * T - 200  # partial last tile exercises the zero pad
+    rng = np.random.default_rng(seed + 10)
+    pats = ["ACGTA", "CGT", "TTACG", "ACGTA"[:4]]
+    db, tables = _mk(n, pats, seed=seed,
+                     plant=[(T - 2, "ACGTA"), (2 * T - 1, "CGT"),
+                            (n - 4, "CGT"), (500, "TTACG")])
+    assert pos_exact_ok(tables, 0)
+    W, thr, classes = kernel_weights(tables, 0, False, fold=False)
+    slots, counts = pallas_scan_slots(
+        db.codes, W, thr, classes=classes, Lmax=tables.Lmax, T=T, NW=NW,
+        cap=cap, interpret=True, n_pat=tables.P)
+    slots = np.asarray(slots)
+    counts = np.asarray(counts)
+    got = _decode(slots, counts, T, cap, NW)
+    want = _brute_hits(np.asarray(db.codes), tables)
+    # the kernel scans the zero-padded tail too: positions >= n are
+    # dropped by the XLA consumer, not the kernel
+    got = {t: v for t, v in got.items() if t < n}
+    assert set(got) == set(want)
+    padded = np.concatenate(
+        [np.asarray(db.codes), np.zeros(8 * NW, np.uint8)])
+    for t, (cnt, sid, win) in got.items():
+        wcnt, wtop = want[t]
+        assert cnt == min(wcnt, 127)
+        assert sid == wtop
+        # window plane q code b is codes[t - SLOT_WB + 8q + b]
+        for c in range(8 * NW):
+            src = t - SLOT_WB + c
+            exp = int(padded[src]) if 0 <= src else 0
+            assert win[c] == exp, (t, c, win[c], exp)
+
+
+def test_slots_dense_row_overflow_reported():
+    """A poly-A text against an 'A' pattern fires at every position: the
+    per-row true counts exceed the cap and report honestly (the caller
+    escapes those rows)."""
+    T, cap, NW = 1024, 128, 6
+    n = T
+    db, tables = _mk(n, ["AA"], seed=1)
+    db.codes[:] = 0  # poly-A
+    W, thr, classes = kernel_weights(tables, 0, False, fold=False)
+    slots, counts = pallas_scan_slots(
+        db.codes, W, thr, classes=classes, Lmax=tables.Lmax, T=T, NW=NW,
+        cap=cap, interpret=True, n_pat=tables.P)
+    counts = np.asarray(counts)
+    # every row holds U = T//8 = 128 hits == cap here; bump: use first
+    # row only — all positions hit, count says the truth
+    assert int(counts[0, 0, 0]) == T // 8
+    slots = np.asarray(slots)
+    # the cap slots that were kept are valid rank-ordered hits
+    meta = slots[0, 0, 0]
+    assert (meta[: cap] != 0).all()
+    pos = meta >> 15
+    assert (np.diff(pos) == 8).all()  # row 0: positions 0, 8, 16, ...
