@@ -171,7 +171,14 @@ def bench_tpu() -> float:
 
 
 def _model_bps(db, pats, **kw):
-    """bases/s of a full PrimerMatchModel engine run (resident DB)."""
+    """bases/s of full PrimerMatchModel engine runs (resident DB), in
+    the production SERVING posture: consecutive runs overlap through
+    engine_hits_stream (run i+1's device pipeline is in flight during
+    run i's host verify/extend — the same overlapped-stream methodology
+    as the k=0 headline).  Engines without a streamed path fall back to
+    sequential runs inside engine_hits_stream itself."""
+    import time as _t
+
     from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
     from sequence_alignment_tools_tpu.models.primer_match import (
         PrimerMatchModel,
@@ -180,12 +187,21 @@ def _model_bps(db, pats, **kw):
     ps = build_pattern_set(pats, rev_comp=True)
     model = PrimerMatchModel(db, ps, **kw)
     model.use_host = False  # resident-DB serving: pin the device paths
-
-    def run():
-        for _ in model.engine_hits():
+    for _ in model.engine_hits_stream(2):  # compile + converge caps
+        pass
+    n = len(db.codes)
+    best = float("inf")
+    reps = 64
+    total = 0.0
+    while total < 6.0 and reps <= 512:
+        t0 = _t.perf_counter()
+        for _ in model.engine_hits_stream(reps):
             pass
-
-    return len(db.codes) / _best_rep(run)
+        dt = _t.perf_counter() - t0
+        best = min(best, dt / reps)
+        total += dt
+        reps *= 2
+    return n / best
 
 
 def bench_k_edit(db, k, indels=True):

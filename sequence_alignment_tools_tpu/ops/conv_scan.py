@@ -446,9 +446,81 @@ class ConvScanner:
             lens=lens, out_cap=caps[0], oflow_cap=caps[1],
             interpret=self.pallas_interpret, n_pat=t.P)
 
+    _chain_tab_c = False  # False = unbuilt, None = inapplicable (wc seeds)
+    _CHAIN_MAX = 8
+
+    def _chain_table(self):
+        """Static multi-seed resolution table.  Two exact seeds matching
+        at the SAME window start both equal the text there, so one is a
+        prefix of the other: the matcher set at any position is the
+        prefix closure of its longest matcher — a chain, determined
+        statically.  Maps the device's observable (top_sid, count) to the
+        full matcher chain; ambiguous keys (two chains sharing top and
+        size) stay None and fall back to the exact host rescan.  Only
+        valid for literal seeds (wc wildcard accept sets can co-match
+        without a prefix relation -> table is None)."""
+        if self._chain_tab_c is not False:
+            return self._chain_tab_c
+        t = self.tables
+        P = t.P
+        ok = all(
+            (t.pat_codes[p, : t.lengths[p]] >= 0).all() for p in range(P))
+        if not ok:
+            self._chain_tab_c = None
+            return None
+        seqs = [tuple(int(c) for c in t.pat_codes[p, : t.lengths[p]])
+                for p in range(P)]
+        chains: dict = {}
+        for L in range(P):
+            mem = tuple(sorted(
+                s for s in range(P)
+                if len(seqs[s]) <= len(seqs[L])
+                and seqs[s] == seqs[L][: len(seqs[s])]))
+            key = (max(mem), len(mem))
+            if chains.get(key, mem) != mem:
+                chains[key] = None  # ambiguous
+            else:
+                chains[key] = mem
+        CM = self._CHAIN_MAX
+        keymap = np.full((P, CM + 1), -1, np.int32)
+        groups: list[np.ndarray] = []
+        for (top, c), mem in chains.items():
+            if mem is None or c > CM:
+                continue
+            keymap[top, c] = len(groups)
+            groups.append(np.asarray(mem, np.int64))
+        self._chain_tab_c = (keymap, groups)
+        return self._chain_tab_c
+
+    def _expand_chains(self, pos, top, cnt):
+        """Resolve multi-seed escape entries statically: returns
+        (exp_pos, exp_sid, unresolved_mask)."""
+        tab = self._chain_table()
+        if tab is None or not len(pos):
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.ones(len(pos), bool))
+        keymap, groups = tab
+        c = np.where(cnt <= self._CHAIN_MAX, cnt, 0)
+        gid = keymap[top, c]
+        gid[cnt > self._CHAIN_MAX] = -1
+        unresolved = gid < 0
+        pos_l, sid_l = [], []
+        for g in np.unique(gid[gid >= 0]):
+            mem = groups[g]
+            pg = pos[gid == g]
+            pos_l.append(np.repeat(pg, len(mem)))
+            sid_l.append(np.tile(mem, len(pg)))
+        if pos_l:
+            return (np.concatenate(pos_l), np.concatenate(sid_l),
+                    unresolved)
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), unresolved
+
     def _slots_decode(self, packed, n: int, out_cap: int, oflow_cap: int):
         """(anchors, sids, multi) from a fetched slots packed row (caller
-        has already checked the caps)."""
+        has already checked the caps).  Multi-seed escapes resolve
+        through the static chain table where unambiguous (the expanded
+        candidates join the survivor arrays; the host extension validates
+        them exactly); the rest land on the rescan list."""
         t = self.tables
         T = self._pallas_T_exact()
         total, oflow = int(packed[0]), int(packed[1])
@@ -456,8 +528,21 @@ class ConvScanner:
         meta = packed[2 + out_cap : 2 + out_cap + total]
         esc = meta < 0
         sids = ((meta >> 8) & 127).astype(np.int32)
-        anchors = pos[~esc] + t.lengths[sids[~esc]].astype(np.int64)
-        multi = [pos[esc]]
+        surv_anchor = pos[~esc] + t.lengths[sids[~esc]].astype(np.int64)
+        surv_sid = sids[~esc].astype(np.int64)
+        cnts = (meta & 255).astype(np.int64)
+        # tail windows (possible zero-pad overread) always rescan; other
+        # escapes are cnt>1 multi-seed positions: expand via the chain
+        tail = esc & (pos > n - t.Lmax)
+        mul = esc & ~tail & (cnts < 127)
+        epos, esid, unres = self._expand_chains(
+            pos[mul], sids[mul].astype(np.int64), cnts[mul])
+        multi = [pos[tail], pos[esc & ~tail & (cnts >= 127)],
+                 pos[mul][unres]]
+        if len(epos):
+            surv_anchor = np.concatenate(
+                [surv_anchor, epos + t.lengths[esid]])
+            surv_sid = np.concatenate([surv_sid, esid])
         rows = packed[2 + 2 * out_cap : 2 + 2 * out_cap + oflow]
         U = T // 8
         for r0 in rows:
@@ -465,7 +550,7 @@ class ConvScanner:
             starts = tile * T + 8 * np.arange(U, dtype=np.int64) + r
             multi.append(starts[starts < n])
         multi = np.concatenate(multi)
-        return anchors, sids[~esc], multi
+        return surv_anchor, surv_sid.astype(np.int32), multi
 
     def _scan_gated_slots(self, codes_dev, n: int, gt, indels: bool,
                           k: int):

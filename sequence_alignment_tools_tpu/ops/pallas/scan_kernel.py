@@ -477,20 +477,31 @@ def _row_compact(planes, hit, rowcnt, U: int, cap: int):
     return [jnp.where(valid, x, 0) for x in planes]
 
 
-def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref,
-                  slots_ref, cnt_ref, yt_ref, oh_ref, *,
+def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
                   classes: tuple, U: int, na: int, plive: int, NW: int,
-                  cap: int):
+                  cap: int, gate_cfg: tuple | None = None):
     """Scan + in-kernel hit extraction for one text tile (kchunks == 1,
     ptiles == 1 — enforced by :func:`pallas_scan_slots`).
 
-    Emits ``slots_ref`` [1, 1 + NW, 8, cap] int32 — plane 0: packed meta
-    ``(localpos << 15) | (sid << 8) | min(cnt, 127)`` (0 = empty slot;
-    cnt >= 1 keeps hits nonzero), planes 1..NW: the text window codes
-    ``codes[pstart - SLOT_WB + 8q .. +7]`` packed 4 bits per code — and
-    ``cnt_ref`` [1, 8, LANE] int32 (per-row TRUE hit count, broadcast
-    along lanes; rows with count > cap overflow and must be escaped by
-    the caller)."""
+    Without ``gate_cfg`` emits ``slots_ref`` [1, 1 + NW, 8, cap] int32 —
+    plane 0: packed meta ``(localpos << 15) | (sid << 8) | min(cnt,
+    127)`` (0 = empty slot; cnt >= 1 keeps hits nonzero), planes 1..NW:
+    the text window codes ``codes[pstart - SLOT_WB + 8q .. +7]`` packed
+    4 bits per code — and ``cnt_ref`` [1, 8, LANE] int32 (per-row TRUE
+    hit count, broadcast along lanes; rows with count > cap overflow and
+    must be escaped by the caller).
+
+    With ``gate_cfg`` = (LgT, kk, band, indels, lens, T, n, Lmax) the
+    extension gate (:func:`_gate_body`) runs IN THE SAME KERNEL on the
+    compacted slots — the window planes never leave VMEM — emitting only
+    the re-compacted survivor/escape meta [1, 8, cap] and a counts plane
+    (lane 0: kept count, lane LANE//2: raw hit count for overflow
+    detection)."""
+    if gate_cfg is None:
+        slots_ref, cnt_ref, yt_ref, oh_ref = refs
+        gt_ref = out_ref = ocnt_ref = None
+    else:
+        gt_ref, out_ref, ocnt_ref, yt_ref, oh_ref = refs
     nc = len(classes)
     K = nc * 8 * na + 1
     KPAD = LANE
@@ -588,9 +599,35 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref,
             w = w | (code_at(-SLOT_WB + 8 * q + b) << (4 * b))
         planes.append(w)
     out = _row_compact(planes, hit, rowcnt, U, cap)
-    for q in range(1 + NW):
-        slots_ref[0, q] = out[q][:, :cap]
-    cnt_ref[0] = jnp.broadcast_to(rowcnt, (8, LANE))
+    if gate_cfg is None:
+        for q in range(1 + NW):
+            slots_ref[0, q] = out[q][:, :cap]
+        cnt_ref[0] = jnp.broadcast_to(rowcnt, (8, LANE))
+        return
+    # fused extension gate on the compacted slots (windows stay in VMEM)
+    LgT, kk, band, indels, lens, T, n, Lmax = gate_cfg
+    meta_c = out[0][:, :cap]
+    wp = [out[1 + q][:, :cap] for q in range(NW)]
+    emeta, keep = _gate_body(
+        meta_c, lambda q: wp[q], gt_ref[0], pl.program_id(0) * T,
+        NW=NW, LgT=LgT, kk=kk, band=band, indels=indels, lens=lens,
+        n=n, Lmax=Lmax)
+    kept32 = keep.astype(jnp.int32)
+    li2 = jax.lax.broadcasted_iota(jnp.int32, (8, cap), 1)
+    pfx = kept32
+    s = 1
+    while s < cap:
+        pfx = pfx + jnp.where(li2 >= s, pltpu.roll(pfx, shift=s, axis=1), 0)
+        s *= 2
+    rowcnt2 = pfx[:, cap - 1 : cap]
+    fin = _row_compact([emeta], keep, rowcnt2, cap, cap)
+    out_ref[0] = fin[0]
+    # lane 0: kept count; lane LANE//2: the RAW per-row hit count (slot
+    # overflow detection)
+    ocnt_ref[0] = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1) < LANE // 2,
+        jnp.broadcast_to(rowcnt2, (8, LANE)),
+        jnp.broadcast_to(rowcnt, (8, LANE)))
 
 
 @functools.partial(
@@ -662,39 +699,37 @@ def pallas_scan_slots(codes, W, thr, t3=None, *, classes: tuple, Lmax: int,
     return slots, counts
 
 
-def _gate_slots_kernel(slots_ref, cnt_ref, gt_ref, out_ref, ocnt_ref, *,
-                       NW: int, cap: int, LgT: int, kk: int, band: int,
-                       indels: bool, lens: tuple, T: int, n: int,
-                       Lmax: int):
-    """Banded seed-extension gate over one tile's compacted hit slots.
+def _gate_body(meta, wplane, gtbl, tile_base, *, NW: int, LgT: int,
+               kk: int, band: int, indels: bool, lens: tuple, n: int,
+               Lmax: int):
+    """The slotted banded seed-extension gate on [8, C] planes.
 
     Per slot the anchored banded edit distance of (the first ``LgT``
     positions of) its seed's extension pattern is evaluated against the
     slot's packed text window — a PREFIX of the exact gate
-    (:func:`..gate._gate_ok`), so still a SUPERSET filter.  Emits the
-    slots that pass the gate OR need the host's exact rescan (multi-seed
-    positions, windows at the array tail), compacted per row:
-    ``out_ref`` [1, 8, cap] (meta as in :func:`_slots_kernel`, bit 31 =
-    escape) and ``ocnt_ref`` [1, 8, LANE] row counts.
+    (:func:`..gate._gate_ok`), so still a SUPERSET filter.  Returns
+    ``(emeta, keep)``: slots that pass the gate OR need the host's exact
+    rescan (multi-seed positions, windows at the array tail), with bit
+    31 marking the escapes.
 
-    ``gt_ref`` [1, 32, LANE]: per-seed columns (seed id s = lane s):
-    row 2j / 2j+1 = low/high byte of the accept bitmask of extension
+    ``gtbl`` [32, LANE]: per-seed columns (seed id s = lane s): row
+    2j / 2j+1 = low/high byte of the accept bitmask of extension
     position j (bit c = accepts code c); row 2*LgT = extension length
-    (clamped to LgT), +1 = lmatch flag, +2 = seed length."""
-    i = pl.program_id(0)
-    meta = slots_ref[0, 0]  # [8, cap]
+    (clamped to LgT), +1 = lmatch flag, +2 = seed length.  ``wplane(q)``
+    = window plane q ([8, C] int32); ``tile_base`` = this tile's first
+    text position (traced scalar)."""
+    cap = meta.shape[1]
     valid = meta != 0
     sid = (meta >> 8) & 127
     cntv = meta & 255
     localpos = meta >> 15
-    pstart = localpos + i * T
+    pstart = localpos + tile_base
     INF = jnp.int32(kk + 1)
 
     # per-slot gate metadata via one-hot MXU lookup (no lane gathers):
     # onehot_r [S=LANE, cap] @ gt rows -> per-slot bytes
     grows = []
     siota = jax.lax.broadcasted_iota(jnp.int32, (LANE, cap), 0)
-    gtbl = gt_ref[0]  # [32, LANE] int32 (small values)
     for r in range(8):
         # bf16 operands: table bytes <= 255 are exact in bf16, and int8
         # would wrap values >= 128
@@ -715,7 +750,7 @@ def _gate_slots_kernel(slots_ref, cnt_ref, gt_ref, out_ref, ocnt_ref, *,
 
     def wcode(c):  # window code at offset c from pstart (static c)
         q, b = (c + SLOT_WB) // 8, (c + SLOT_WB) % 8
-        return (slots_ref[0, 1 + q] >> (4 * b)) & 15
+        return (wplane(q) >> (4 * b)) & 15
 
     def text_at(t):  # DP text char t (0-based along the walk direction)
         # lmatch walks forward from anchor = pstart + seed_len (variable
@@ -774,6 +809,21 @@ def _gate_slots_kernel(slots_ref, cnt_ref, gt_ref, out_ref, ocnt_ref, *,
     escape = valid & ((cntv > 1) | (pstart > n - Lmax))
     keep = valid & (pstart < n) & (ok | escape)
     emeta = jnp.where(escape, meta | jnp.int32(-2147483648), meta)
+    return emeta, keep
+
+
+def _gate_slots_kernel(slots_ref, cnt_ref, gt_ref, out_ref, ocnt_ref, *,
+                       NW: int, cap: int, LgT: int, kk: int, band: int,
+                       indels: bool, lens: tuple, T: int, n: int,
+                       Lmax: int):
+    """:func:`_gate_body` over one tile's compacted hit slots; survivors
+    and escapes re-compact per row into ``out_ref`` [1, 8, cap] plus
+    ``ocnt_ref`` [1, 8, LANE] row counts."""
+    i = pl.program_id(0)
+    emeta, keep = _gate_body(
+        slots_ref[0, 0], lambda q: slots_ref[0, 1 + q], gt_ref[0], i * T,
+        NW=NW, LgT=LgT, kk=kk, band=band, indels=indels, lens=lens, n=n,
+        Lmax=Lmax)
     kept32 = keep.astype(jnp.int32)
     li = jax.lax.broadcasted_iota(jnp.int32, (8, cap), 1)
     pfx = kept32
@@ -858,20 +908,59 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, *,
 
     codes = codes.astype(jnp.uint8)
     n = int(codes.shape[0])
-    slots, counts = pallas_scan_slots(
-        codes, W, thr, t3, classes=classes, Lmax=Lmax, T=T, NW=NW,
-        cap=cap, interpret=interpret, n_pat=n_pat)
-    kept, kcnt = pallas_gate_slots(
-        slots, counts, gtbl, NW=NW, cap=cap, LgT=LgT, kk=kk, band=band,
-        indels=indels, lens=lens, T=T, n=n, Lmax=Lmax,
-        interpret=interpret)
-    ntiles = slots.shape[0]
+    U = T // 8
+    if cap > U:
+        raise ValueError(f"slot cap {cap} exceeds row lanes {U}")
+    na = _na(Lmax)
+    ntiles = max((n + T - 1) // T, 1)
+    if W.shape[0] != 8 * LANE or W.shape[1] != LANE:
+        raise NotImplementedError("slots kernel needs ptiles=kchunks=1")
+    plive = min(max(n_pat or LANE, 1), LANE)
+    if t3 is None:
+        t3 = phase_transpose(codes, T)
+    prev = jnp.roll(t3[:, :, U - LANE :], 1, axis=0)
+    W4 = W.reshape(1, 8 * LANE, 1, LANE).swapaxes(1, 2)
+    kept, counts = pl.pallas_call(
+        functools.partial(
+            _slots_kernel, classes=classes, U=U, na=na, plive=plive,
+            NW=NW, cap=cap,
+            gate_cfg=(LgT, kk, band, indels, lens, T, n, Lmax),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 8, cap), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 8, LANE), jnp.int32),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, U), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, U), lambda i: (i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8 * LANE, LANE), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 32, LANE), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, cap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((LANE, U), jnp.int8),
+            pltpu.VMEM((8 * len(classes), U + na - 1), jnp.int8),
+        ],
+        interpret=interpret,
+    )(prev, t3, t3, W4, gtbl)
     nrows = ntiles * 8
-    rowcnt1 = counts[:, :, 0].reshape(nrows)
+    rowcnt1 = counts[:, :, LANE // 2].reshape(nrows)
     oflow_count, oflow_idx = compact_mask(rowcnt1 > cap, oflow_cap)
     oflow_row = jnp.where(oflow_idx < nrows, oflow_idx, -1)
 
-    rowcnt2 = jnp.minimum(kcnt[:, :, 0].reshape(nrows), cap)
+    rowcnt2 = jnp.minimum(counts[:, :, 0].reshape(nrows), cap)
     cum = jnp.cumsum(rowcnt2)
     total = cum[nrows - 1]
     j = jax.lax.broadcasted_iota(jnp.int32, (out_cap,), 0)

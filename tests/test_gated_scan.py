@@ -132,3 +132,58 @@ def test_gate_superset_fuzz(planted_db):
         assert not missed.any(), (
             f"k={k} indels={indels}: gate lost "
             f"{missed.sum()} true-ok candidates")
+
+
+def test_chain_expansion_duplicate_and_nested_seeds():
+    """Multi-seed escape resolution: the static chain table (two exact
+    seeds matching one start are prefix-related, conv_scan._chain_table)
+    must reproduce the exact rescan's candidate set for duplicate seeds
+    and prefix-nested seeds, including ambiguity fallbacks."""
+    import numpy as np
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import PatternSet
+    from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+    from sequence_alignment_tools_tpu.ops.tables import build_tables
+
+    rng = np.random.default_rng(7)
+    n = 1 << 21
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    db = SeqDB(codes=codes, table=b"ACGT\n", entry_starts=np.array([0]),
+               entry_lengths=np.array([n]), headers=["x"])
+    # duplicates, prefix chains, and an AMBIGUOUS pair: two chains with
+    # the same (top, size): seeds "AACC*" vs "AACG*" both chaining with
+    # the shared prefix "AAC"
+    seeds = ["ACGTACG", "ACGTACG",     # duplicates (ids 1, 2)
+             "ACGT", "ACGTAC",         # prefixes of 1 (ids 3, 4)
+             "AAC", "AACCT", "AACGT",  # shared prefix, diverging (5-7)
+             "GGTCA"]                  # independent (8)
+    ps = PatternSet(patterns=[""] + seeds, esb=[0] * (len(seeds) + 1),
+                    eeb=[0] * (len(seeds) + 1), n_forward=len(seeds))
+    tables = build_tables(ps, db, wc=False, textn=False)
+    sc = ConvScanner(tables, k=0)
+    tab = sc._chain_table()
+    assert tab is not None
+    keymap, groups = tab
+    # the chain of the duplicate pair + prefixes: matcher sids
+    # {0, 1, 2, 3}, so the device-observable top is max sid 3
+    g = keymap[3, 4]
+    assert g >= 0 and list(groups[g]) == [0, 1, 2, 3]
+    # ambiguous: "AACCT" chain and "AACGT" chain are both (top, 2) with
+    # tops 5 and 6 — distinct tops, so actually unambiguous here; check
+    # they resolve to their own chains
+    g5 = keymap[5, 2]
+    g6 = keymap[6, 2]
+    assert list(groups[g5]) == [4, 5] and list(groups[g6]) == [4, 6]
+    # expansion matches the exact rescan at real multi positions
+    pos = np.asarray([100, 5000], np.int64)
+    pat = [tables.pat_codes[1, :7], tables.pat_codes[5, :5]]
+    codes[100 : 107] = pat[0]
+    codes[5000 : 5005] = pat[1]
+    ep, es, unres = sc._expand_chains(
+        pos, np.asarray([3, 5], np.int64), np.asarray([4, 2], np.int64))
+    assert not unres.any()
+    want = {(100, 0), (100, 1), (100, 2), (100, 3), (5000, 4), (5000, 5)}
+    assert set(zip(ep.tolist(), es.tolist())) == want
+    rs, rp = sc.rescan_starts_arrays(codes, pos)
+    assert set(zip(rs.tolist(), rp.tolist())) == want
