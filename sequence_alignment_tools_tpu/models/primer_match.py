@@ -849,13 +849,19 @@ class PrimerMatchModel:
         else:
             scanner = self._attach(ConvScanner(tables, k=k, poison_eos=True,
                                                block=self.block))
-        ends_l: list[int] = []
-        pids_l: list[int] = []
-        for end, p0, _ in scanner.scan(self.db.codes):
-            ends_l.append(end)
-            pids_l.append(p0)
-        sends = np.asarray(ends_l, np.int64)
-        spids = np.asarray(pids_l, np.int64)
+        if self.indels and scanner.mesh is None and not self.use_host \
+                and scanner.kernel_available(len(self.db.codes)):
+            # Mosaic Sellers kernel: whole candidate set in one device
+            # round trip (candidate SET identical to the block DP's)
+            sends, spids = scanner.scan_pairs(self.db.codes)
+        else:
+            ends_l: list[int] = []
+            pids_l: list[int] = []
+            for end, p0, _ in scanner.scan(self.db.codes):
+                ends_l.append(end)
+                pids_l.append(p0)
+            sends = np.asarray(ends_l, np.int64)
+            spids = np.asarray(pids_l, np.int64)
         sorder = np.lexsort((spids, sends))
         sends, spids = sends[sorder], spids[sorder]
         verifier = BatchVerifier(

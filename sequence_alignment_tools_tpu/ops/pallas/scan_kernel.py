@@ -479,7 +479,8 @@ def _row_compact(planes, hit, rowcnt, U: int, cap: int):
 
 def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
                   classes: tuple, U: int, na: int, plive: int, NW: int,
-                  cap: int, gate_cfg: tuple | None = None):
+                  cap: int, gate_cfg: tuple | None = None,
+                  eos_esc: int = -1, Lmax: int = 0):
     """Scan + in-kernel hit extraction for one text tile (kchunks == 1,
     ptiles == 1 — enforced by :func:`pallas_scan_slots`).
 

@@ -28,6 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 
 @functools.partial(jax.jit, static_argnames=("eos", "k", "indels", "cap"))
 def _sellers_block(codes, match, lengths, eos, k, indels, cap):
@@ -118,6 +121,189 @@ def _sellers_block(codes, match, lengths, eos, k, indels, cap):
     return jnp.concatenate([count[None], idx.astype(jnp.int32), d[idx]])
 
 
+# ---------------------------------------------------------------------------
+# Mosaic Sellers kernel: the k-edit DP on the VPU with in-kernel hit
+# extraction.
+#
+# The XLA _sellers_block above lowers each DP row to a chain of whole-array
+# HBM passes (~31 ms per 256 KB block on this backend — 8 Mb/s end-to-end
+# for the k=2 filter engine).  The kernel form keeps the whole [8, W] DP
+# state in VMEM/registers: text segments ride the SUBLANES (each row carries
+# its own left halo, so rows are independent), the pattern loop is unrolled
+# on the host with each pattern position's accept bitmask baked as an
+# immediate (bit c = pattern accepts code c — any IUPAC class fits), and the
+# per-boundary hit stream (mindist <= k) compacts through the same
+# rank/shift network as the scan kernel (scan_kernel._row_compact).
+
+SEG = 4096          # text positions per segment row
+SEL_HALO = 128      # left halo per row; bounds Lmax + k
+SEL_CAP = 128       # compacted hits kept per segment row
+
+
+def _sellers_kernel(seg_ref, out_ref, cnt_ref, *, bits: tuple,
+                    lens: tuple, eos: int, k: int, indels: bool,
+                    cap: int):
+    """One [8, W] tile: 8 independent text segments through the full
+    pattern set's Sellers DP; emits compacted per-row hit slots
+    ``(localpos << 15) | (pid << 8) | min(cnt, 127)`` (localpos = r *
+    SEG + boundary_start relative to the tile's first owned position)
+    and per-row true counts."""
+    W = seg_ref.shape[2]
+    codes = seg_ref[0].astype(jnp.int32)  # [8, W]
+    INF = jnp.int32(k + 1)
+    li = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
+    at_eos = codes == eos
+    not_eos = ~at_eos
+    # allowed[t] = (nrun >= t): no EOS among positions i, i-1, .., i-t+1
+    allowed = [None, not_eos]
+    acc_ne = not_eos
+    for t in range(2, k + 1):
+        sh = jnp.where(li >= t - 1,
+                       pltpu.roll(not_eos.astype(jnp.int32),
+                                  shift=t - 1, axis=1), 0) > 0
+        acc_ne = acc_ne & sh
+        allowed.append(acc_ne)
+
+    def roll_right(x, t, fill):
+        return jnp.where(li >= t, pltpu.roll(x, shift=t, axis=1), fill)
+
+    # packed per-position accumulator word: (top_pid << 8) | cnt
+    word = jnp.full((8, W), -256, jnp.int32)
+    P = len(bits)
+    for p in range(P):
+        D = jnp.zeros((8, W), jnp.int32)
+        for j in range(lens[p]):
+            ok = ((jnp.int32(bits[p][j]) >> codes) & 1) > 0
+            sub = jnp.where(ok, 0, 1)
+            diag = roll_right(D, 1, INF)
+            base = jnp.where(at_eos, INF, diag + sub)
+            if indels:
+                base = jnp.minimum(base, jnp.where(at_eos, INF, D + 1))
+            base = jnp.minimum(base, INF)
+            out = base
+            if indels:
+                for t in range(1, k + 1):
+                    out = jnp.minimum(
+                        out, jnp.where(allowed[t],
+                                       roll_right(base, t, INF) + t, INF))
+            D = jnp.minimum(out, INF)
+        v = jnp.where(D <= k, (jnp.int32(p) << 8) | 1, jnp.int32(-256))
+        word = (jnp.maximum(word, v) & jnp.int32(-256)) \
+            | ((word & 255) + (v & 255))
+
+    from .pallas.scan_kernel import _row_compact
+
+    hit = (word >= 0) & (li >= SEL_HALO)
+    hit32 = hit.astype(jnp.int32)
+    pfx = hit32
+    s = 1
+    while s < W:
+        pfx = pfx + jnp.where(li >= s, pltpu.roll(pfx, shift=s, axis=1), 0)
+        s *= 2
+    rowcnt = pfx[:, W - 1 : W]
+    si = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
+    localpos = si * SEG + (li - SEL_HALO)
+    meta = (localpos << 15) | ((word & jnp.int32(0x7F00))
+                               | jnp.minimum(word & 255, 127))
+    out = _row_compact([meta], hit, rowcnt, W, cap)
+    out_ref[0] = out[0][:, :cap]
+    cnt_ref[0] = jnp.broadcast_to(rowcnt, (8, 128))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "lens", "eos", "k", "indels", "cap",
+                     "out_cap", "oflow_cap", "interpret"),
+)
+def pallas_sellers_scan(seg3, *, bits: tuple, lens: tuple, eos: int,
+                        k: int, indels: bool, cap: int = SEL_CAP,
+                        out_cap: int = 4096, oflow_cap: int = 64,
+                        interpret: bool = False, n: int = 0):
+    """Whole-array k-edit candidate scan: :func:`_sellers_kernel` over a
+    prebuilt segment matrix (see :func:`segment_matrix`) + the slots
+    dense-pack epilogue.  Returns ONE packed int32 row
+    [total, oflow_count, pos x out_cap, meta x out_cap,
+    oflow_row x oflow_cap] where pos is the 0-based boundary-START
+    position i (the reference emits boundary b = i + 1) and meta low
+    bits are (pid << 8) | cnt."""
+    from .compact import compact_mask
+
+    ntiles = seg3.shape[0]
+    kept, counts = pl.pallas_call(
+        functools.partial(
+            _sellers_kernel, bits=bits, lens=lens, eos=eos, k=k,
+            indels=indels, cap=cap,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 8, cap), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 8, 128), jnp.int32),
+        ),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8, seg3.shape[2]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, cap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(seg3)
+    nrows = ntiles * 8
+    rowcnt = counts[:, :, 0].reshape(nrows)
+    oflow_count, oflow_idx = compact_mask(rowcnt > cap, oflow_cap)
+    oflow_row = jnp.where(oflow_idx < nrows, oflow_idx, -1)
+    rc = jnp.minimum(rowcnt, cap)
+    cum = jnp.cumsum(rc)
+    total = cum[nrows - 1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (out_cap,), 0)
+    row = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    rows = jnp.minimum(row, nrows - 1)
+    s = j - (cum[rows] - rc[rows])
+    val = kept.reshape(nrows, cap)[rows, jnp.minimum(s, cap - 1)]
+    valid = j < total
+    localpos = (val & 0x7FFFFFFF) >> 15
+    pos = (rows >> 3) * (8 * SEG) + localpos
+    return jnp.concatenate([
+        total[None], oflow_count[None],
+        jnp.where(valid, pos, -1).astype(jnp.int32),
+        jnp.where(valid, val, 0).astype(jnp.int32),
+        oflow_row.astype(jnp.int32),
+    ])
+
+
+_SEG_CACHE: dict = {}
+
+
+def segment_matrix(codes: np.ndarray, eos_code: int):
+    """[ntiles, 8, SEL_HALO + SEG] uint8 device segment matrix: row
+    (i, r) covers text [base - SEL_HALO, base + SEG) for base =
+    (i*8 + r) * SEG, EOS-padded outside the array — each row carries its
+    own left halo so segments are DP-independent.  Cached per host array
+    identity (scan-resident form, like the phase transpose)."""
+    import weakref
+
+    ent = _SEG_CACHE.get(id(codes))
+    if ent is not None and ent[0]() is codes:
+        return ent[1]
+    n = len(codes)
+    W = SEL_HALO + SEG
+    nrows = max(-(-n // SEG), 1)
+    ntiles = -(-nrows // 8)
+    padded = np.full(SEL_HALO + ntiles * 8 * SEG, eos_code, np.uint8)
+    padded[SEL_HALO : SEL_HALO + n] = codes
+    strided = np.lib.stride_tricks.sliding_window_view(
+        padded, W)[:: SEG][: ntiles * 8]
+    seg3 = jnp.asarray(
+        np.ascontiguousarray(strided).reshape(ntiles, 8, W))
+    ref = weakref.ref(codes)
+    weakref.finalize(codes, _SEG_CACHE.pop, id(codes), None)
+    _SEG_CACHE[id(codes)] = (ref, seg3)
+    return seg3
+
+
 def nonexact_runs(codes: np.ndarray, eos_code: int) -> np.ndarray:
     """nrun[i] = length of the non-EOS run ending at (and including) i.
 
@@ -160,6 +346,146 @@ class SellersScanner:
     # a jax.sharding.Mesh attached by the model layer (parallel.shard.
     # auto_mesh); scans route through the sharded per-shard DP when set
     mesh = None
+    pallas_interpret = False
+
+    # sticky dense-pack caps (see ConvScanner's slots caps)
+    _sout_cap = 1 << 12
+    _soflow_cap = 64
+
+    def _kernel_bits(self):
+        """(bits, lens) immediates for :func:`_sellers_kernel`."""
+        if getattr(self, "_kbits", None) is None:
+            t = self.tables
+            bits = []
+            for p in range(t.P):
+                row = []
+                for j in range(int(t.lengths[p])):
+                    b = 0
+                    for c in range(t.alpha):
+                        if t.match[p, j, c]:
+                            b |= 1 << c
+                    row.append(b)
+                bits.append(tuple(row))
+            self._kbits = (tuple(bits),
+                           tuple(int(x) for x in t.lengths))
+        return self._kbits
+
+    def kernel_available(self, n: int) -> bool:
+        """The Mosaic Sellers kernel handles this config: immediates fit
+        (alpha < 31, P < 128), the DP row unroll is bounded, halos fit,
+        and a device (or the interpret harness) is present."""
+        import jax as _jax
+
+        t = self.tables
+        return bool(
+            (self.pallas_interpret or _jax.default_backend() != "cpu")
+            and t.alpha < 31 and t.P <= 127
+            and t.Lmax + self.k <= SEL_HALO
+            and int(t.lengths.sum()) <= 4096
+            and self.k <= 4 and n >= SEG)
+
+    def scan_pairs(self, codes: np.ndarray):
+        """(ends [M] int64, pids [M] int64) — the full Sellers candidate
+        set {(b, p): mindist(b, p) <= k}, UNORDERED, via the Mosaic
+        kernel: per-position hit counts + top pattern compact in-kernel;
+        positions where several patterns fire (or whose per-row slots
+        overflowed) are re-solved by the exact numpy DP
+        (:meth:`rescan_boundaries`).  Candidate set identical to
+        :meth:`scan`'s."""
+        bits, lens = self._kernel_bits()
+        t = self.tables
+        n = len(codes)
+        seg3 = segment_matrix(np.asarray(codes), t.eos_code)
+        cls = type(self)
+        while True:
+            oc, ofc = self._sout_cap, self._soflow_cap
+            res = pallas_sellers_scan(
+                seg3, bits=bits, lens=lens, eos=t.eos_code, k=self.k,
+                indels=self.indels, out_cap=oc, oflow_cap=ofc,
+                interpret=self.pallas_interpret, n=n)
+            packed = np.asarray(jax.device_get(res))
+            total, oflow = int(packed[0]), int(packed[1])
+            if total <= oc and oflow <= ofc:
+                break
+            cls._sout_cap = max(oc, 1 << (max(total, 1) - 1).bit_length())
+            cls._soflow_cap = max(
+                ofc, 1 << (max(oflow, 1) - 1).bit_length())
+        pos = packed[2 : 2 + total].astype(np.int64)
+        meta = packed[2 + oc : 2 + oc + total]
+        live = pos < n  # pad segments beyond the array never fire, but
+        pos, meta = pos[live], meta[live]
+        cnt = meta & 255
+        single = cnt == 1
+        rows = packed[2 + 2 * oc : 2 + 2 * oc + oflow]
+        if oflow:
+            # overflowed rows are rescanned whole: drop their kept slots
+            single &= ~np.isin(pos // SEG, rows.astype(np.int64))
+        ends = pos[single] + 1
+        pids = ((meta[single] >> 8) & 127).astype(np.int64)
+        multi = [pos[~single & (cnt >= 1)]]
+        for r0 in rows:
+            base = int(r0) * SEG
+            multi.append(np.arange(base, min(base + SEG, n),
+                                   dtype=np.int64))
+        multi = np.concatenate(multi)
+        if len(multi):
+            rb, rp = self.rescan_boundaries(codes, multi)
+            ends = np.concatenate([ends, rb + 1])
+            pids = np.concatenate([pids, rp])
+        return ends, pids
+
+    def rescan_boundaries(self, codes: np.ndarray, starts):
+        """Exact numpy Sellers at specific boundary starts: returns
+        (starts, pids) for every pattern with mindist(start + 1, p) <= k
+        — the kernel path's multi-pattern / overflow escape."""
+        t = self.tables
+        k = self.k
+        n = len(codes)
+        starts = np.unique(np.asarray(starts, np.int64))
+        if not len(starts):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # W - k extra columns of left margin keep the truncated nrun and
+        # free-start exact for every path reaching the last column (a
+        # <= k-edit alignment consumes <= Lmax + k text chars)
+        W = t.Lmax + 2 * k + 1
+        pad = np.full(W, t.eos_code, np.uint8)
+        ext = np.concatenate([pad, np.asarray(codes, np.uint8)])
+        # window text[i-W+1 .. i] for boundary start i (ext offset +W)
+        wins = ext[starts[:, None] + 1 + np.arange(W)]
+        INF = k + 1
+        M = len(starts)
+        nrun = np.zeros((M, W), np.int64)
+        run = np.zeros(M, np.int64)
+        for c in range(W):
+            run = np.where(wins[:, c] == t.eos_code, 0, run + 1)
+            nrun[:, c] = run
+        D = np.zeros((M, t.P, W), np.int32)
+        m3 = t.match.transpose(1, 2, 0)  # [Lmax, alpha, P]
+        at_eos = (nrun == 0)[:, None, :]
+        for j in range(t.Lmax):
+            ok = m3[j, wins, :].transpose(0, 2, 1)  # [M, P, W]
+            sub = np.where(ok, 0, 1)
+            diag = np.concatenate(
+                [np.full((M, t.P, 1), INF, np.int32), D[:, :, :-1]],
+                axis=2)
+            base = np.where(at_eos, INF, diag + sub)
+            if self.indels:
+                base = np.minimum(base, np.where(at_eos, INF, D + 1))
+            base = np.minimum(base, INF)
+            out = base
+            if self.indels:
+                for tt in range(1, k + 1):
+                    sh = np.concatenate(
+                        [np.full((M, t.P, tt), INF, np.int32),
+                         base[:, :, :-tt]], axis=2)
+                    out = np.minimum(
+                        out, np.where((nrun >= tt)[:, None, :],
+                                      sh + tt, INF))
+            active = (j < t.lengths)[None, :, None]
+            D = np.where(active, np.minimum(out, INF), D)
+        hit = D[:, :, W - 1] <= k  # [M, P]
+        mi, pi = np.nonzero(hit)
+        return starts[mi], pi.astype(np.int64)
 
     def _block_inputs(self, codes, start, halo, W, n):
         t = self.tables
