@@ -423,28 +423,55 @@ class ConvScanner:
         t = self.tables
         LgT = max(1, min(8, int(np.max(gt.glen_np, initial=1))))
         maxlen = int(t.lengths.max(initial=1))
-        NW = math.ceil((SLOT_WB + maxlen + LgT + gt.band) / 8)
+        # 2-bit window packing when text codes beyond 3 can only be EOS
+        # and the gate never accepts them (pure relaxation otherwise)
+        from .pallas.scan_kernel import slot_cpp
+        # 2-bit window packing is interpret-correct but miscompiles on
+        # the current Mosaic target (gate misses survivors; root cause
+        # not yet isolated) — pinned to the 4-bit form until then
+        wbits = 4
+        NW = math.ceil((SLOT_WB + maxlen + LgT + gt.band) / slot_cpp(wbits))
         lens = tuple(sorted(set(int(x) for x in t.lengths)))
         gtbl = jnp.asarray(slots_gate_table(gt, t.lengths, LgT)[None])
-        cfg = (LgT, NW, lens, gtbl)
+        cfg = (LgT, NW, lens, gtbl, wbits)
         self._gtbl_cache = (gt, cfg)
         return cfg
 
+    _slots_fold_c = None
+
     def _slots_dispatch(self, codes_dev, n: int, gt, indels: bool, k: int,
                         caps):
-        """Launch the all-Pallas gated pipeline (no sync)."""
-        from .pallas.scan_kernel import pallas_scan_gated_slots
+        """Launch the all-Pallas gated pipeline (no sync).  Uses the
+        FOLDED weights (one fewer one-hot plane) with EOS-window escapes
+        when that stays exact (scan_kernel.slots_fold_ok)."""
+        from .pallas.scan_kernel import (pallas_scan_gated_slots,
+                                         slots_fold_ok)
 
         t = self.tables
-        W, thr, classes = self._pallas_weights_exact()
-        T = self._pallas_T_exact()
-        LgT, NW, lens, gtbl = self._slots_statics(gt)
+        if self._slots_fold_c is None:
+            self._slots_fold_c = slots_fold_ok(t, self.k, self.poison_eos)
+        if self._slots_fold_c:
+            W, thr, classes = self._pallas_weights()
+            eos_esc = t.eos_code
+            if len(classes) >= len(self._pallas_weights_exact()[2]):
+                eos_esc = -1  # no fold actually happened
+                W, thr, classes = self._pallas_weights_exact()
+            T = self._pallas_T()
+        else:
+            W, thr, classes = self._pallas_weights_exact()
+            eos_esc = -1
+            T = self._pallas_T_exact()
+        LgT, NW, lens, gtbl, wbits = self._slots_statics(gt)
+        U = T // 8
+        segl = min(1024, U)
+        self._slots_geom = (T, segl, U // segl)
         t3 = self._t3_for(codes_dev, T)
         return pallas_scan_gated_slots(
             codes_dev, W, thr, gtbl, t3, classes=classes, Lmax=t.Lmax,
-            T=T, NW=NW, LgT=LgT, kk=k, band=gt.band, indels=indels,
-            lens=lens, out_cap=caps[0], oflow_cap=caps[1],
-            interpret=self.pallas_interpret, n_pat=t.P)
+            T=T, NW=NW, cap=64 * (U // segl), LgT=LgT, kk=k,
+            band=gt.band, indels=indels, lens=lens, out_cap=caps[0],
+            oflow_cap=caps[1], interpret=self.pallas_interpret,
+            n_pat=t.P, eos_esc=eos_esc, wbits=wbits)
 
     _chain_tab_c = False  # False = unbuilt, None = inapplicable (wc seeds)
     _CHAIN_MAX = 8
@@ -522,7 +549,7 @@ class ConvScanner:
         candidates join the survivor arrays; the host extension validates
         them exactly); the rest land on the rescan list."""
         t = self.tables
-        T = self._pallas_T_exact()
+        T, segl, nsegs = self._slots_geom
         total, oflow = int(packed[0]), int(packed[1])
         pos = packed[2 : 2 + total].astype(np.int64)
         meta = packed[2 + out_cap : 2 + out_cap + total]

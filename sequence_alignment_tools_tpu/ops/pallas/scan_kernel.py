@@ -447,6 +447,13 @@ SLOT_CAP = 256  # compacted hits kept per (tile, phase row); excess rows escape
 SLOT_WB = 16    # window codes kept LEFT of each hit position (2 lanes)
 
 
+def slot_cpp(wbits: int) -> int:
+    """Window codes packed per int32 plane: one code fewer than the bit
+    budget allows for 2-bit packs, keeping bits 30-31 clear (sign-bit
+    shifts miscompile on this Mosaic target)."""
+    return 15 if wbits == 2 else 32 // wbits
+
+
 def _row_compact(planes, hit, rowcnt, U: int, cap: int):
     """Route each row's hits to its front lanes (rank order), in place on
     a list of int32 [8, U] payload planes.  Returns the compacted planes
@@ -475,6 +482,56 @@ def _row_compact(planes, hit, rowcnt, U: int, cap: int):
         s *= 2
     valid = li < jnp.minimum(rowcnt, cap)
     return [jnp.where(valid, x, 0) for x in planes]
+
+
+def _seg_compact(planes, hit, U: int, segl: int, capg: int):
+    """Segmented variant of :func:`_row_compact`: each ``segl``-lane
+    segment of each row compacts to its own ``capg``-slot block —
+    shorter shift networks (displacements bounded by the segment), and
+    the packed [8, nsegs * capg] result assembles from STATIC slices of
+    the segment fronts.  Returns (packed planes, segcnt [8, U] — the
+    per-segment true count broadcast over its lanes)."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (8, U), 1)
+    lm = li & (segl - 1)
+    hit32 = hit.astype(jnp.int32)
+    p = hit32
+    s = 1
+    while s < segl:
+        p = p + jnp.where(lm >= s, pltpu.roll(p, shift=s, axis=1), 0)
+        s *= 2
+    rank = p - hit32
+    # per-segment total at every lane: backward max-fill of the
+    # (monotone within segment) inclusive prefix
+    b = p
+    s = segl // 2
+    while s >= 1:
+        b = jnp.maximum(
+            b, jnp.where(lm < segl - s, pltpu.roll(b, shift=U - s, axis=1),
+                         0))
+        s //= 2
+    keep = hit & (rank < capg)
+    d = jnp.where(keep, lm - rank, 0)
+    planes = [jnp.where(keep, x, 0) for x in planes]
+    s = 1
+    while s < segl:
+        dm = pltpu.roll(d, shift=U - s, axis=1)
+        take = ((dm & s) != 0) & (lm < segl - s)
+        d = jnp.where(take, dm - s, d)
+        planes = [
+            jnp.where(take, pltpu.roll(x, shift=U - s, axis=1), x)
+            for x in planes
+        ]
+        s *= 2
+    valid = lm < jnp.minimum(b, capg)
+    planes = [jnp.where(valid, x, 0) for x in planes]
+    nsegs = U // segl
+    packed = [
+        jnp.concatenate(
+            [x[:, g * segl : g * segl + capg] for g in range(nsegs)],
+            axis=1)
+        for x in planes
+    ]
+    return packed, b
 
 
 def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
@@ -559,7 +616,8 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     # u + PL + (r + c) // 8 — one sublane roll + two static lane slices
     # per offset (the shear trick).
     PL = SLOT_WB // 8
-    WR = 8 * NW - SLOT_WB  # codes kept right of the hit
+    wbits_w = gate_cfg[8] if gate_cfg is not None else 4
+    WR = slot_cpp(wbits_w) * NW - SLOT_WB  # codes kept right of the hit
     HR = (7 + WR - 1) // 8 + 1  # right halo lanes
     eblk = jnp.concatenate(
         [prev_ref[0][:, LANE - PL :].astype(jnp.int32),
@@ -581,38 +639,56 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
 
     hit = word >= 0
     li = jax.lax.broadcasted_iota(jnp.int32, (8, U), 1)
-    hit32 = hit.astype(jnp.int32)
-    p = hit32
-    s = 1
-    while s < U:
-        p = p + jnp.where(li >= s, pltpu.roll(p, shift=s, axis=1), 0)
-        s *= 2
-    rowcnt = p[:, U - 1 : U]
 
     localpos = (li << 3) | si8
     cnt_w = word & 255
+    if eos_esc >= 0:
+        # FOLDED weights (one fewer one-hot plane): margins are exact
+        # except at windows containing a no-plane code (= EOS here, the
+        # fold_ok precondition) — saturate those positions' counts so
+        # they take the escape path and the host rescans them exactly
+        em = code_at(0) == eos_esc
+        for c in range(1, Lmax):
+            em = em | (code_at(c) == eos_esc)
+        cnt_w = jnp.where(em, 127, cnt_w)
     meta = (localpos << 15) | ((word & jnp.int32(0x7F00))
                                | jnp.minimum(cnt_w, 127))
+    # text window payload planes, `wbits` bits per code (2-bit form for
+    # DNA aliases any code > 3 to code & 3 — a pure gate RELAXATION:
+    # extension patterns never accept EOS, so reading 'A' where the text
+    # has EOS only ever ADDS gate survivors, and the host extension is
+    # exact)
+    cpp = slot_cpp(wbits_w)
+    cmask = (1 << wbits_w) - 1
     planes = [meta]
     for q in range(NW):
-        w = code_at(-SLOT_WB + 8 * q)
-        for b in range(1, 8):
-            w = w | (code_at(-SLOT_WB + 8 * q + b) << (4 * b))
+        w = code_at(-SLOT_WB + cpp * q) & cmask
+        for b in range(1, cpp):
+            w = w | ((code_at(-SLOT_WB + cpp * q + b) & cmask)
+                     << (wbits_w * b))
         planes.append(w)
-    out = _row_compact(planes, hit, rowcnt, U, cap)
     if gate_cfg is None:
+        hit32 = hit.astype(jnp.int32)
+        p = hit32
+        s = 1
+        while s < U:
+            p = p + jnp.where(li >= s, pltpu.roll(p, shift=s, axis=1), 0)
+            s *= 2
+        rowcnt = p[:, U - 1 : U]
+        out = _row_compact(planes, hit, rowcnt, U, cap)
         for q in range(1 + NW):
             slots_ref[0, q] = out[q][:, :cap]
         cnt_ref[0] = jnp.broadcast_to(rowcnt, (8, LANE))
         return
     # fused extension gate on the compacted slots (windows stay in VMEM)
-    LgT, kk, band, indels, lens, T, n, Lmax = gate_cfg
-    meta_c = out[0][:, :cap]
-    wp = [out[1 + q][:, :cap] for q in range(NW)]
+    LgT, kk, band, indels, lens, T, n, Lmax, wbits, segl, capg = gate_cfg
+    packed, segcnt = _seg_compact(planes, hit, U, segl, capg)
+    meta_c = packed[0]
+    wp = packed[1:]
     emeta, keep = _gate_body(
         meta_c, lambda q: wp[q], gt_ref[0], pl.program_id(0) * T,
         NW=NW, LgT=LgT, kk=kk, band=band, indels=indels, lens=lens,
-        n=n, Lmax=Lmax)
+        n=n, Lmax=Lmax, wbits=wbits)
     kept32 = keep.astype(jnp.int32)
     li2 = jax.lax.broadcasted_iota(jnp.int32, (8, cap), 1)
     pfx = kept32
@@ -623,12 +699,15 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     rowcnt2 = pfx[:, cap - 1 : cap]
     fin = _row_compact([emeta], keep, rowcnt2, cap, cap)
     out_ref[0] = fin[0]
-    # lane 0: kept count; lane LANE//2: the RAW per-row hit count (slot
-    # overflow detection)
-    ocnt_ref[0] = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1) < LANE // 2,
-        jnp.broadcast_to(rowcnt2, (8, LANE)),
-        jnp.broadcast_to(rowcnt, (8, LANE)))
+    # lane 0: kept count; lanes 8..8+nsegs: RAW per-segment hit counts
+    # (slot overflow detection at segment granularity)
+    nsegs = U // segl
+    segcounts = jnp.concatenate(
+        [rowcnt2]
+        + [jnp.zeros((8, 7), jnp.int32)]
+        + [segcnt[:, g * segl : g * segl + 1] for g in range(nsegs)]
+        + [jnp.zeros((8, LANE - 8 - nsegs), jnp.int32)], axis=1)
+    ocnt_ref[0] = segcounts
 
 
 @functools.partial(
@@ -702,7 +781,7 @@ def pallas_scan_slots(codes, W, thr, t3=None, *, classes: tuple, Lmax: int,
 
 def _gate_body(meta, wplane, gtbl, tile_base, *, NW: int, LgT: int,
                kk: int, band: int, indels: bool, lens: tuple, n: int,
-               Lmax: int):
+               Lmax: int, wbits: int = 4):
     """The slotted banded seed-extension gate on [8, C] planes.
 
     Per slot the anchored banded edit distance of (the first ``LgT``
@@ -749,28 +828,49 @@ def _gate_body(meta, wplane, gtbl, tile_base, *, NW: int, LgT: int,
     ispos = gplane(2 * LgT + 1) > 0
     slen = gplane(2 * LgT + 2)
 
+    cpp = slot_cpp(wbits)
+    cmask = (1 << wbits) - 1
+    span = cpp * NW - SLOT_WB  # codes available right of pstart
+    # the out-of-window sentinel: a code index whose accept bit is never
+    # set (bit 15 with 4-bit windows; with 2-bit DNA windows no sentinel
+    # exists, so out-of-window reads alias to code 3 — a gate RELAXATION
+    # only, same argument as the EOS alias)
+    sent = cmask if wbits < 4 else 15
+
     def wcode(c):  # window code at offset c from pstart (static c)
-        q, b = (c + SLOT_WB) // 8, (c + SLOT_WB) % 8
-        return (wplane(q) >> (4 * b)) & 15
+        q, b = (c + SLOT_WB) // cpp, (c + SLOT_WB) % cpp
+        return (wplane(q) >> (wbits * b)) & cmask
 
     def text_at(t):  # DP text char t (0-based along the walk direction)
         # lmatch walks forward from anchor = pstart + seed_len (variable
         # per slot: select over the distinct registered lengths); rmatch
         # walks backward from pstart - 1 (seed-length independent)
-        back = wcode(-1 - t) if 1 + t <= SLOT_WB else jnp.full_like(meta, 15)
+        back = (wcode(-1 - t) if 1 + t <= SLOT_WB
+                else jnp.full_like(meta, sent))
         fwd = jnp.zeros_like(meta)
         for L in lens:
-            if L + t < 8 * NW - SLOT_WB:
+            if L + t < span:
                 fwd = jnp.where(slen == L, wcode(L + t), fwd)
             else:
-                fwd = jnp.where(slen == L, 15, fwd)
+                fwd = jnp.where(slen == L, sent, fwd)
         return jnp.where(ispos, fwd, back)
 
     Wg = LgT + band
     ACC = []
     for t in range(Wg):
         w = text_at(t)
-        ACC.append([((a >> w) & 1) > 0 for a in acc])
+        if wbits <= 2:
+            # static-shift select: variable-amount >> by a value that is
+            # itself a shift+mask product miscompiles on this target
+            ACC.append([
+                ((w == 0) & ((a & 1) > 0))
+                | ((w == 1) & (((a >> 1) & 1) > 0))
+                | ((w == 2) & (((a >> 2) & 1) > 0))
+                | ((w == 3) & (((a >> 3) & 1) > 0))
+                for a in acc
+            ])
+        else:
+            ACC.append([((a >> w) & 1) > 0 for a in acc])
 
     res = jnp.where(glen == 0, 0, INF)
     D = [jnp.full_like(meta, INF) for _ in range(2 * band + 1)]
@@ -881,7 +981,7 @@ def pallas_gate_slots(slots, counts, gtbl, *, NW: int, cap: int, LgT: int,
     jax.jit,
     static_argnames=("classes", "Lmax", "T", "NW", "cap", "LgT", "kk",
                      "band", "indels", "lens", "out_cap", "oflow_cap",
-                     "interpret", "n_pat"),
+                     "interpret", "n_pat", "eos_esc", "wbits"),
 )
 def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, *,
                             classes: tuple, Lmax: int, T: int = 65536,
@@ -889,7 +989,8 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, *,
                             kk: int = 1, band: int = 1, indels: bool = True,
                             lens: tuple = (), out_cap: int = 4096,
                             oflow_cap: int = 64, interpret: bool = False,
-                            n_pat: int | None = None):
+                            n_pat: int | None = None, eos_esc: int = -1,
+                            wbits: int = 4):
     """The whole k>0 pigeonhole front-end in Pallas: scan + in-kernel hit
     extraction (:func:`pallas_scan_slots`) -> slotted extension gate
     (:func:`pallas_gate_slots`) -> tiny XLA dense-pack.  The only XLA
@@ -917,6 +1018,11 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, *,
     if W.shape[0] != 8 * LANE or W.shape[1] != LANE:
         raise NotImplementedError("slots kernel needs ptiles=kchunks=1")
     plive = min(max(n_pat or LANE, 1), LANE)
+    segl = min(1024, U)
+    nsegs = U // segl
+    if cap % nsegs:
+        raise ValueError("cap must divide into the segment count")
+    capg = cap // nsegs
     if t3 is None:
         t3 = phase_transpose(codes, T)
     prev = jnp.roll(t3[:, :, U - LANE :], 1, axis=0)
@@ -925,7 +1031,9 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, *,
         functools.partial(
             _slots_kernel, classes=classes, U=U, na=na, plive=plive,
             NW=NW, cap=cap,
-            gate_cfg=(LgT, kk, band, indels, lens, T, n, Lmax),
+            gate_cfg=(LgT, kk, band, indels, lens, T, n, Lmax, wbits,
+                      segl, capg),
+            eos_esc=eos_esc, Lmax=Lmax,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, 8, cap), jnp.int32),
@@ -957,9 +1065,11 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, *,
         interpret=interpret,
     )(prev, t3, t3, W4, gtbl)
     nrows = ntiles * 8
-    rowcnt1 = counts[:, :, LANE // 2].reshape(nrows)
-    oflow_count, oflow_idx = compact_mask(rowcnt1 > cap, oflow_cap)
-    oflow_row = jnp.where(oflow_idx < nrows, oflow_idx, -1)
+    # raw per-segment hit counts: overflow escapes at row-SEGMENT
+    # granularity (oflow ids = (tile*8 + r) * nsegs + g)
+    segraw = counts[:, :, 8 : 8 + nsegs].reshape(nrows * nsegs)
+    oflow_count, oflow_idx = compact_mask(segraw > capg, oflow_cap)
+    oflow_row = jnp.where(oflow_idx < nrows * nsegs, oflow_idx, -1)
 
     rowcnt2 = jnp.minimum(counts[:, :, 0].reshape(nrows), cap)
     cum = jnp.cumsum(rowcnt2)
@@ -997,6 +1107,19 @@ def slots_gate_table(gate, lengths, LgT: int) -> np.ndarray:
     tbl[2 * LgT + 1, :S] = (gate.dir_np > 0).astype(np.int32)
     tbl[2 * LgT + 2, :S] = np.asarray(lengths[:S], np.int32)
     return tbl
+
+
+def slots_fold_ok(tables, k: int, poison_eos: bool) -> bool:
+    """True when the slots pipeline may use the FOLDED weights (one
+    fewer one-hot plane) with EOS-window escapes keeping it exact: the
+    only no-plane code after folding must be the EOS code itself, and
+    the escape dilation stays cheap."""
+    if tables.Lmax > 16:
+        return False
+    _W, _t, cu = kernel_weights(tables, k, poison_eos, fold=False)
+    _W, _t, cf = kernel_weights(tables, k, poison_eos, fold=True)
+    missing = set(range(tables.alpha)) - set(cf) - (set(cu) - set(cf))
+    return missing <= {tables.eos_code}
 
 
 def slots_gated_ok(tables, gate, k: int) -> bool:

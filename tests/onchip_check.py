@@ -89,6 +89,27 @@ def main():
     assert len(ppats) >= 6
     _check(pdb, ppats, False, (0, 1), "peptide")
 
+    # --- COMPILED Mosaic under shard_map on a real 1-device mesh --------
+    # (the regular suite only ever runs this interpret-mode on the CPU
+    # mesh; this pins that the sharded pipeline lowers + executes on the
+    # actual accelerator)
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+    from sequence_alignment_tools_tpu.ops.tables import build_tables
+    from sequence_alignment_tools_tpu.parallel.shard import (
+        make_mesh, sharded_pallas_scan_hits)
+
+    mesh = make_mesh(jax.devices()[:1])
+    ps = build_pattern_set(pats[:8], rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+    sc = ConvScanner(tables, k=0, use_pallas=True)
+    sc.use_host = False
+    want = sorted(sc.scan(db.codes))
+    got = sorted(sharded_pallas_scan_hits(sc, np.asarray(db.codes), mesh,
+                                          interpret=False))
+    assert got == want and got, ("shard_map-1dev", len(got), len(want))
+    print(f"shard_map 1-dev: {len(got)} hits OK", flush=True)
+
     print("ONCHIP OK", flush=True)
 
 
