@@ -122,13 +122,23 @@ class PcrMatchModel:
         )
 
     def pairs(self) -> Iterator[PairHit]:
+        return self.pairs_from(self.inner.engine_hits())
+
+    def pairs_stream(self, reps: int):
+        """Serving posture: ``reps`` full pair-join runs with the inner
+        engine's device scans pipelined across runs
+        (PrimerMatchModel.engine_hits_stream); per-run output identical
+        to :meth:`pairs`."""
+        for hits in self.inner.engine_hits_stream(reps):
+            yield list(self.pairs_from(iter(hits)))
+
+    def pairs_from(self, stream) -> Iterator[PairHit]:
         db, ps, k = self.db, self.ps, self.k
         n = ps.n_forward
         patlen = [0] + [len(ps.pattern(i)) for i in range(1, ps.n_total + 1)]
         minka = self.report_interval
         slack = k if self.indels else 1
         total_len = len(db)
-        stream = self.inner.engine_hits()
         exhausted = False
         l: list[list] = []  # [end, pid]; key 0 == processed
         while True:

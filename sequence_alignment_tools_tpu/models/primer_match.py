@@ -360,12 +360,27 @@ class PrimerMatchModel:
             "suftree": self._suftree_engine,
         }[self.engine]()
 
+    _exact_ctx_c = None
+
+    def _exact_ctx(self):
+        """(tables, scanner) for the exact engines, built once per model
+        (resident-DB serving must not re-pay table builds)."""
+        if self._exact_ctx_c is None:
+            tables = build_tables(self.ps, self.db, self.wc, self.textn)
+            scanner = self._attach(
+                ConvScanner(tables, k=0, block=self.block))
+            self._exact_ctx_c = (tables, scanner)
+        return self._exact_ctx_c
+
     def _exact_engine(self):
-        tables = build_tables(self.ps, self.db, self.wc, self.textn)
-        scanner = self._attach(ConvScanner(tables, k=0, block=self.block))
+        tables, scanner = self._exact_ctx()
+        yield from self._exact_emit(scanner.scan(self.db.codes))
+
+    def _exact_emit(self, hits):
+        tables, scanner = self._exact_ctx()
         lengths = tables.lengths
         cands = []
-        for end, p0, _ in scanner.scan(self.db.codes):
+        for end, p0, _ in hits:
             if self.engine == "exact_kt":
                 # keyword tree emits along output/fail chains: longest match
                 # first; duplicate patterns in reverse registration order
@@ -432,6 +447,38 @@ class PrimerMatchModel:
         outputs identical to :meth:`engine_hits`.  Engines without a
         gated device pipeline fall back to sequential runs."""
         codes = self.db.codes
+        if self.engine in ("exact_kt", "exact_sa"):
+            # exact engines pipeline straight through scan_stream's
+            # grouped-fetch transport (one scan per rep)
+            _tables, scanner = self._exact_ctx()
+            for _i, hits in scanner.scan_stream(
+                    codes for _ in range(reps)):
+                yield list(self._exact_emit(hits))
+            return
+        if self.engine == "filter" and not self.indels:
+            # -K substitution-only: the poison k-mismatch scan pipelines
+            # through scan_stream; the cluster/verify tail runs per rep
+            scanner, _v = self._filter_ctx()
+            for _i, hits in scanner.scan_stream(
+                    codes for _ in range(reps)):
+                sends = np.fromiter((h[0] for h in hits), np.int64,
+                                    len(hits))
+                spids = np.fromiter((h[1] for h in hits), np.int64,
+                                    len(hits))
+                yield list(self._filter_emit(sends, spids))
+            return
+        if self.engine == "filter":
+            scanner, _v = self._filter_ctx()
+            if not self.use_host and scanner.mesh is None \
+                    and scanner.kernel_available(len(codes)):
+                # k-edit: the Mosaic Sellers kernel pipelined across reps
+                for _i, sends, spids in scanner.scan_pairs_stream(
+                        codes for _ in range(reps)):
+                    yield list(self._filter_emit(sends, spids))
+                return
+            for _ in range(reps):
+                yield list(self.engine_hits())
+            return
         if self.engine == "halves":
             owner, scanner, batch, dirs, ext_pats, geomB = \
                 self._halves_ctx()
@@ -830,6 +877,32 @@ class PrimerMatchModel:
         yield from self._lastpos_verify(
             np.asarray(pids_l, np.int64), np.asarray(patends_l, np.int64))
 
+    _filter_ctx_c = None
+
+    def _filter_ctx(self):
+        """(scanner, verifier) for the filter engine, built once per
+        model (resident-DB serving)."""
+        if self._filter_ctx_c is not None:
+            return self._filter_ctx_c
+        from ..engine.verify import BatchVerifier
+
+        ps, k = self.ps, self.k
+        tables = build_tables(self.ps, self.db, self.wc, self.textn)
+        if self.indels:
+            scanner = self._attach(SellersScanner(
+                tables, k=k, indels=True, block=min(self.block, 1 << 18)))
+        else:
+            scanner = self._attach(ConvScanner(tables, k=k, poison_eos=True,
+                                               block=self.block))
+        verifier = BatchVerifier(
+            self._cluster_aligner, self.db,
+            [ps.pattern(pid) for pid in range(1, ps.n_total + 1)],
+            [ps.esb[pid] for pid in range(1, ps.n_total + 1)],
+            [ps.eeb[pid] for pid in range(1, ps.n_total + 1)],
+        )
+        self._filter_ctx_c = (scanner, verifier)
+        return self._filter_ctx_c
+
     def _filter_engine(self):
         """filter_bitvec (filter_bitvec.cc:73-183), including the reference's
         batch structure: the inner bitvector scan returns batches of >= minka
@@ -838,17 +911,7 @@ class PrimerMatchModel:
         key-only unstable std::sort (replicated by introsort), clusters whose
         2k+1 window may extend past the batch's scan position are deferred,
         and unprocessed candidates carry over (filter_bitvec.cc:88-181)."""
-        from ..engine.verify import BatchVerifier, sort_pairs_stdsort
-
-        ps, k = self.ps, self.k
-        minka = self.report_interval
-        tables = build_tables(self.ps, self.db, self.wc, self.textn)
-        if self.indels:
-            scanner = self._attach(SellersScanner(
-                tables, k=k, indels=True, block=min(self.block, 1 << 18)))
-        else:
-            scanner = self._attach(ConvScanner(tables, k=k, poison_eos=True,
-                                               block=self.block))
+        scanner, _verifier = self._filter_ctx()
         if self.indels and scanner.mesh is None and not self.use_host \
                 and scanner.kernel_available(len(self.db.codes)):
             # Mosaic Sellers kernel: whole candidate set in one device
@@ -862,14 +925,18 @@ class PrimerMatchModel:
                 pids_l.append(p0)
             sends = np.asarray(ends_l, np.int64)
             spids = np.asarray(pids_l, np.int64)
+        yield from self._filter_emit(sends, spids)
+
+    def _filter_emit(self, sends, spids):
+        """filter_bitvec host tail from an UNORDERED candidate array
+        pair."""
+        from ..engine.verify import sort_pairs_stdsort
+
+        ps, k = self.ps, self.k
+        minka = self.report_interval
+        scanner, verifier = self._filter_ctx()
         sorder = np.lexsort((spids, sends))
         sends, spids = sends[sorder], spids[sorder]
-        verifier = BatchVerifier(
-            self._cluster_aligner, self.db,
-            [ps.pattern(pid) for pid in range(1, ps.n_total + 1)],
-            [ps.esb[pid] for pid in range(1, ps.n_total + 1)],
-            [ps.eeb[pid] for pid in range(1, ps.n_total + 1)],
-        )
         n_stream = len(sends)
         si = 0  # stream cursor
         window = 2 * k + 1

@@ -384,6 +384,51 @@ class SellersScanner:
             and int(t.lengths.sum()) <= 4096
             and self.k <= 4 and n >= SEG)
 
+    def _pairs_dispatch(self, codes: np.ndarray, caps):
+        """Launch one kernel scan (no sync)."""
+        bits, lens = self._kernel_bits()
+        t = self.tables
+        seg3 = segment_matrix(np.asarray(codes), t.eos_code)
+        return pallas_sellers_scan(
+            seg3, bits=bits, lens=lens, eos=t.eos_code, k=self.k,
+            indels=self.indels, out_cap=caps[0], oflow_cap=caps[1],
+            interpret=self.pallas_interpret, n=len(codes))
+
+    def scan_pairs_stream(self, blocks, depth: int = 4):
+        """Pipelined :meth:`scan_pairs` over an iterator of code arrays:
+        scan i+1 dispatches before scan i's packed row returns; fetches
+        ride a background thread.  Yields (i, ends, pids) in order."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool is None:
+            type(self)._pool = ThreadPoolExecutor(max_workers=1)
+        pend = deque()
+        for i, codes in enumerate(blocks):
+            caps = (self._sout_cap, self._soflow_cap)
+            res = self._pairs_dispatch(codes, caps)
+            fut = self._pool.submit(
+                lambda r=res: np.asarray(jax.device_get(r)))
+            pend.append((i, codes, caps, fut))
+            if len(pend) >= depth:
+                yield self._pairs_collect(*pend.popleft())
+        while pend:
+            yield self._pairs_collect(*pend.popleft())
+
+    _pool = None
+
+    def _pairs_collect(self, i, codes, caps, fut):
+        packed = fut.result()
+        total, oflow = int(packed[0]), int(packed[1])
+        if total > caps[0] or oflow > caps[1]:
+            cls = type(self)
+            cls._sout_cap = max(
+                caps[0], 1 << (max(total, 1) - 1).bit_length())
+            cls._soflow_cap = max(
+                caps[1], 1 << (max(oflow, 1) - 1).bit_length())
+            return (i,) + self.scan_pairs(codes)
+        return (i,) + self._pairs_decode(packed, codes, caps)
+
     def scan_pairs(self, codes: np.ndarray):
         """(ends [M] int64, pids [M] int64) — the full Sellers candidate
         set {(b, p): mindist(b, p) <= k}, UNORDERED, via the Mosaic
@@ -392,24 +437,25 @@ class SellersScanner:
         overflowed) are re-solved by the exact numpy DP
         (:meth:`rescan_boundaries`).  Candidate set identical to
         :meth:`scan`'s."""
-        bits, lens = self._kernel_bits()
-        t = self.tables
-        n = len(codes)
-        seg3 = segment_matrix(np.asarray(codes), t.eos_code)
         cls = type(self)
         while True:
-            oc, ofc = self._sout_cap, self._soflow_cap
-            res = pallas_sellers_scan(
-                seg3, bits=bits, lens=lens, eos=t.eos_code, k=self.k,
-                indels=self.indels, out_cap=oc, oflow_cap=ofc,
-                interpret=self.pallas_interpret, n=n)
+            caps = (self._sout_cap, self._soflow_cap)
+            res = self._pairs_dispatch(codes, caps)
             packed = np.asarray(jax.device_get(res))
             total, oflow = int(packed[0]), int(packed[1])
-            if total <= oc and oflow <= ofc:
+            if total <= caps[0] and oflow <= caps[1]:
                 break
-            cls._sout_cap = max(oc, 1 << (max(total, 1) - 1).bit_length())
+            cls._sout_cap = max(
+                caps[0], 1 << (max(total, 1) - 1).bit_length())
             cls._soflow_cap = max(
-                ofc, 1 << (max(oflow, 1) - 1).bit_length())
+                caps[1], 1 << (max(oflow, 1) - 1).bit_length())
+        return self._pairs_decode(packed, codes, caps)
+
+    def _pairs_decode(self, packed, codes, caps):
+        t = self.tables
+        n = len(codes)
+        oc, ofc = caps
+        total, oflow = int(packed[0]), int(packed[1])
         pos = packed[2 : 2 + total].astype(np.int64)
         meta = packed[2 + oc : 2 + oc + total]
         live = pos < n  # pad segments beyond the array never fire, but
