@@ -625,6 +625,10 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
          next_ref[0][:, :HR].astype(jnp.int32)], axis=1
     )  # [8, PL + U + HR]
     si8 = jax.lax.broadcasted_iota(jnp.int32, (8, U), 0)
+    # one sublane roll per phase offset, shared by every code_at call
+    # (offsets c and c + 8 read the same rolled block at adjacent lanes)
+    rolled8 = [eblk] + [pltpu.roll(eblk, shift=8 - cm, axis=0)
+                        for cm in range(1, 8)]
 
     def code_at(c):
         # codes[t + c] plane over this tile's [8, U] positions: out[r, u]
@@ -632,7 +636,7 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
         # (rolled[i] = x[i - s]) give source r + cm at shift 8 - cm
         cm = c % 8
         g = (c - cm) // 8
-        rolled = pltpu.roll(eblk, shift=8 - cm, axis=0) if cm else eblk
+        rolled = rolled8[cm]
         lo = rolled[:, PL + g : PL + g + U]
         hi = rolled[:, PL + g + 1 : PL + g + 1 + U]
         return jnp.where(si8 < 8 - cm, lo, hi) if cm else lo
