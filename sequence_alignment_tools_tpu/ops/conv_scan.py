@@ -426,10 +426,13 @@ class ConvScanner:
         # 2-bit window packing when text codes beyond 3 can only be EOS
         # and the gate never accepts them (pure relaxation otherwise)
         from .pallas.scan_kernel import slot_cpp
-        # 2-bit window packing is interpret-correct but miscompiles on
-        # the current Mosaic target (gate misses survivors; root cause
-        # not yet isolated) — pinned to the 4-bit form until then
-        wbits = 4
+        # 2-bit window packing when text codes beyond 3 can only alias
+        # harmlessly (EOS -> 'A': a pure gate relaxation, since extension
+        # patterns never accept codes > 3 when the accept bitmasks fit 16
+        # bits).  Pack/unpack uses CHAINED small shifts — single shift
+        # amounts >= ~16 miscompile on this Mosaic target.
+        wbits = 2 if (t.alpha <= 5 and int(gt.bits_np.max(initial=0)) < 16
+                      ) else 4
         NW = math.ceil((SLOT_WB + maxlen + LgT + gt.band) / slot_cpp(wbits))
         lens = tuple(sorted(set(int(x) for x in t.lengths)))
         gtbl = jnp.asarray(slots_gate_table(gt, t.lengths, LgT)[None])
@@ -964,11 +967,30 @@ class ConvScanner:
             res = sub._pallas_dispatch(codes_dev, caps[0], caps[1],
                                        interpret)
             pending.append((off, sub, res, caps))
+        # fetch packed rows in shape-grouped STACKS: one round trip per
+        # group instead of per pass (the transport charges ~34 ms RTT per
+        # fetch; 25 passes serialized cost more than the scans)
+        rows: dict = {}
+        i = 0
+        while i < len(pending):
+            j = i + 1
+            shape = pending[i][2].shape
+            while j < len(pending) and pending[j][2].shape == shape:
+                j += 1
+            group = pending[i:j]
+            if len(group) == 1:
+                rows[i] = np.asarray(jax.device_get(group[0][2]))
+            else:
+                stacked = np.asarray(jax.device_get(
+                    self._stack([g[2] for g in group])))
+                for gi in range(len(group)):
+                    rows[i + gi] = stacked[gi]
+            i = j
         out = []
-        for off, sub, res, caps in pending:
+        for idx, (off, sub, _res, caps) in enumerate(pending):
             lens = sub.tables.lengths
-            for end, p0, m in sub._pallas_decode(
-                    res, codes_dev, n, interpret, caps):
+            for end, p0, m in sub._decode_packed(
+                    rows[idx], codes_dev, n, interpret, caps):
                 out.append((end - int(lens[p0]), off + p0, end, m))
         out.sort()
         for _start, pid, end, m in out:

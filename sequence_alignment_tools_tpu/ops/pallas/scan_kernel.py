@@ -666,10 +666,11 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     cmask = (1 << wbits_w) - 1
     planes = [meta]
     for q in range(NW):
-        w = code_at(-SLOT_WB + cpp * q) & cmask
-        for b in range(1, cpp):
-            w = w | ((code_at(-SLOT_WB + cpp * q + b) & cmask)
-                     << (wbits_w * b))
+        # pack via chained small shifts (single large shift amounts have
+        # miscompiled on this target)
+        w = code_at(-SLOT_WB + cpp * q + cpp - 1) & cmask
+        for b in range(cpp - 2, -1, -1):
+            w = (w << wbits_w) | (code_at(-SLOT_WB + cpp * q + b) & cmask)
         planes.append(w)
     if gate_cfg is None:
         hit32 = hit.astype(jnp.int32)
@@ -841,9 +842,17 @@ def _gate_body(meta, wplane, gtbl, tile_base, *, NW: int, LgT: int,
     # only, same argument as the EOS alias)
     sent = cmask if wbits < 4 else 15
 
+    # unpack every window code once, CHAINED >> wbits steps (single
+    # large shift amounts have miscompiled on this target)
+    codes_flat = []
+    for q in range(NW):
+        v = wplane(q)
+        for _b in range(cpp):
+            codes_flat.append(v & cmask)
+            v = v >> wbits
+
     def wcode(c):  # window code at offset c from pstart (static c)
-        q, b = (c + SLOT_WB) // cpp, (c + SLOT_WB) % cpp
-        return (wplane(q) >> (wbits * b)) & cmask
+        return codes_flat[c + SLOT_WB]
 
     def text_at(t):  # DP text char t (0-based along the walk direction)
         # lmatch walks forward from anchor = pstart + seed_len (variable
