@@ -339,12 +339,7 @@ def bench_wide_wc():
     ps = build_pattern_set(pats, rev_comp=True)
     model = PrimerMatchModel(db, ps, k=0, wc=True)
     model.use_host = False
-
-    def run():
-        for _ in model.engine_hits():
-            pass
-
-    return len(codes) / _best_rep(run), pats
+    return _stream_bps(db, model.engine_hits_stream), pats
 
 
 # ---------------------------------------------------------------------------
