@@ -120,6 +120,27 @@ def _device_form(codes):
     return dev
 
 
+_WPK_CACHE: dict = {}
+
+
+def _wpk_form(codes_dev, T: int, eos: int):
+    """Packed-window device form (scan_kernel.wpack_transpose), cached
+    across scanner instances by device-array identity."""
+    import weakref
+
+    key = (id(codes_dev), T, eos)
+    ent = _WPK_CACHE.get(key)
+    if ent is not None and ent[0]() is codes_dev:
+        return ent[1]
+    from .pallas.scan_kernel import wpack_transpose
+
+    wpk = wpack_transpose(codes_dev, T=T, eos=eos)
+    ref = weakref.ref(codes_dev)
+    weakref.finalize(codes_dev, _WPK_CACHE.pop, key, None)
+    _WPK_CACHE[key] = (ref, wpk)
+    return wpk
+
+
 def _t3_form(codes_dev, T: int):
     """Phase-transposed device form, cached across scanner instances by
     device-array identity (the transpose is byte-shuffle-bound at ~3x the

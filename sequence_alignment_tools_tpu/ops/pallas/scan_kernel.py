@@ -484,6 +484,38 @@ def _row_compact(planes, hit, rowcnt, U: int, cap: int):
     return [jnp.where(valid, x, 0) for x in planes]
 
 
+WPACK_CPP = 12     # codes per int32 in the packed-window form (2-bit)
+WPACK_EOSBIT = 24  # bit: any EOS within [p, p + 16)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "eos"))
+def wpack_transpose(codes, T: int, eos: int):
+    """Phase-transposed PACKED-WINDOW form of a flat code array:
+    [ntiles + 1, 8, T // 8] int32 where entry for position p packs
+    ``codes[p + b] & 3`` at bits 2b (b < 12) plus an any-EOS-in-
+    [p, p+16) flag at bit 24.  Built once per resident DB (cached like
+    the phase transpose): the slots kernel then reads each 12-code
+    window plane with ONE shear instead of 12 per-code shears, and the
+    EOS-escape test is one bit test.  The 2-bit code alias (EOS -> 'A')
+    is the usual pure gate relaxation."""
+    U = T // 8
+    codes = codes.astype(jnp.int32)
+    n = codes.shape[0]
+    ntiles = max((n + T - 1) // T, 1)
+    pad = jnp.zeros(((ntiles + 1) * T - n) + 16, jnp.int32)
+    ext = jnp.concatenate([codes, pad])
+    # chained pack, highest offset first so code p+b lands at bits 2b
+    w = jnp.zeros(((ntiles + 1) * T,), jnp.int32)
+    for b in range(WPACK_CPP - 1, -1, -1):
+        w = (w << 2) | (ext[b : b + (ntiles + 1) * T] & 3)
+    ef = jnp.zeros(((ntiles + 1) * T,), jnp.bool_)
+    em = ext == eos
+    for b in range(16):
+        ef = ef | em[b : b + (ntiles + 1) * T]
+    w = w | (ef.astype(jnp.int32) << WPACK_EOSBIT)
+    return w.reshape(ntiles + 1, U, 8).transpose(0, 2, 1)
+
+
 def _seg_compact(planes, hit, U: int, segl: int, capg: int):
     """Segmented variant of :func:`_row_compact`: each ``segl``-lane
     segment of each row compacts to its own ``capg``-slot block —
@@ -537,7 +569,8 @@ def _seg_compact(planes, hit, U: int, segl: int, capg: int):
 def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
                   classes: tuple, U: int, na: int, plive: int, NW: int,
                   cap: int, gate_cfg: tuple | None = None,
-                  eos_esc: int = -1, Lmax: int = 0):
+                  eos_esc: int = -1, Lmax: int = 0,
+                  use_wpack: bool = False):
     """Scan + in-kernel hit extraction for one text tile (kchunks == 1,
     ptiles == 1 — enforced by :func:`pallas_scan_slots`).
 
@@ -555,9 +588,13 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     the re-compacted survivor/escape meta [1, 8, cap] and a counts plane
     (lane 0: kept count, lane LANE//2: raw hit count for overflow
     detection)."""
+    wprev_ref = wcur_ref = wnext_ref = None
     if gate_cfg is None:
         slots_ref, cnt_ref, yt_ref, oh_ref = refs
         gt_ref = out_ref = ocnt_ref = None
+    elif use_wpack:
+        (gt_ref, wprev_ref, wcur_ref, wnext_ref, out_ref, ocnt_ref,
+         yt_ref, oh_ref) = refs
     else:
         gt_ref, out_ref, ocnt_ref, yt_ref, oh_ref = refs
     nc = len(classes)
@@ -600,14 +637,14 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
                 s = op(s[: r * 8, :], s[r * 8 : 2 * r * 8, :])
         return s
 
+    # TWO single-op trees (max over seed ids, add over hit flags) cost
+    # ~2.5x less VPU work than one tree over packed words (5 ops/comb)
     prow = jax.lax.broadcasted_iota(jnp.int32, (mlive, U), 0) >> 3
-    v = jnp.where(scores >= 0, (prow << 8) | 1, jnp.int32(-256))
-
-    def comb(a, b):
-        return (jnp.maximum(a, b) & jnp.int32(-256)) \
-            | ((a & 255) + (b & 255))
-
-    word = pattern_tree(v, comb)  # [8, U]
+    hit_m = scores >= 0
+    sidp = pattern_tree(jnp.where(hit_m, prow, -1), jnp.maximum)
+    cntp = pattern_tree(hit_m.astype(jnp.int32), jnp.add)
+    word = jnp.where(cntp > 0, (sidp << 8) | jnp.minimum(cntp, 255),
+                     jnp.int32(-256))  # [8, U]
 
     # text window planes: wq[r, u] packs codes[t - SLOT_WB + 8q .. +7]
     # (4 bits per code) for position t = 8u + r of this tile.  The
@@ -646,32 +683,63 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
 
     localpos = (li << 3) | si8
     cnt_w = word & 255
-    if eos_esc >= 0:
-        # FOLDED weights (one fewer one-hot plane): margins are exact
-        # except at windows containing a no-plane code (= EOS here, the
-        # fold_ok precondition) — saturate those positions' counts so
-        # they take the escape path and the host rescans them exactly
-        em = code_at(0) == eos_esc
-        for c in range(1, Lmax):
-            em = em | (code_at(c) == eos_esc)
-        cnt_w = jnp.where(em, 127, cnt_w)
-    meta = (localpos << 15) | ((word & jnp.int32(0x7F00))
-                               | jnp.minimum(cnt_w, 127))
-    # text window payload planes, `wbits` bits per code (2-bit form for
-    # DNA aliases any code > 3 to code & 3 — a pure gate RELAXATION:
-    # extension patterns never accept EOS, so reading 'A' where the text
-    # has EOS only ever ADDS gate survivors, and the host extension is
-    # exact)
-    cpp = slot_cpp(wbits_w)
-    cmask = (1 << wbits_w) - 1
-    planes = [meta]
-    for q in range(NW):
-        # pack via chained small shifts (single large shift amounts have
-        # miscompiled on this target)
-        w = code_at(-SLOT_WB + cpp * q + cpp - 1) & cmask
-        for b in range(cpp - 2, -1, -1):
-            w = (w << wbits_w) | (code_at(-SLOT_WB + cpp * q + b) & cmask)
-        planes.append(w)
+    if use_wpack:
+        # packed-window form (wpack_transpose): one shear read per
+        # 12-code plane, EOS-escape as one bit test
+        PLW = SLOT_WB // 8
+        HRW = 3
+        ewblk = jnp.concatenate(
+            [wprev_ref[0][:, LANE - PLW :], wcur_ref[0],
+             wnext_ref[0][:, :HRW]], axis=1)
+        wrolled = {}
+
+        def wplane_at(c):
+            cm = c % 8
+            g = (c - cm) // 8
+            if cm not in wrolled:
+                wrolled[cm] = (pltpu.roll(ewblk, shift=8 - cm, axis=0)
+                               if cm else ewblk)
+            rolled = wrolled[cm]
+            lo = rolled[:, PLW + g : PLW + g + U]
+            hi = rolled[:, PLW + g + 1 : PLW + g + 1 + U]
+            return jnp.where(si8 < 8 - cm, lo, hi) if cm else lo
+
+        if eos_esc >= 0:
+            emf = (wplane_at(0) >> WPACK_EOSBIT) & 1
+            cnt_w = jnp.where(emf > 0, 127, cnt_w)
+        meta = (localpos << 15) | ((word & jnp.int32(0x7F00))
+                                   | jnp.minimum(cnt_w, 127))
+        planes = [meta] + [wplane_at(-SLOT_WB + WPACK_CPP * q)
+                           for q in range(NW)]
+    else:
+        if eos_esc >= 0:
+            # FOLDED weights (one fewer one-hot plane): margins are
+            # exact except at windows containing a no-plane code (= EOS
+            # here, the fold_ok precondition) — saturate those
+            # positions' counts so they take the escape path and the
+            # host rescans them exactly
+            em = code_at(0) == eos_esc
+            for c in range(1, Lmax):
+                em = em | (code_at(c) == eos_esc)
+            cnt_w = jnp.where(em, 127, cnt_w)
+        meta = (localpos << 15) | ((word & jnp.int32(0x7F00))
+                                   | jnp.minimum(cnt_w, 127))
+        # text window payload planes, `wbits` bits per code (2-bit form
+        # for DNA aliases any code > 3 to code & 3 — a pure gate
+        # RELAXATION: extension patterns never accept EOS, so reading
+        # 'A' where the text has EOS only ever ADDS gate survivors, and
+        # the host extension is exact)
+        cpp = slot_cpp(wbits_w)
+        cmask = (1 << wbits_w) - 1
+        planes = [meta]
+        for q in range(NW):
+            # pack via chained small shifts (single large shift amounts
+            # have miscompiled on this target)
+            w = code_at(-SLOT_WB + cpp * q + cpp - 1) & cmask
+            for b in range(cpp - 2, -1, -1):
+                w = (w << wbits_w) | (code_at(-SLOT_WB + cpp * q + b)
+                                      & cmask)
+            planes.append(w)
     if gate_cfg is None:
         hit32 = hit.astype(jnp.int32)
         p = hit32
@@ -996,7 +1064,7 @@ def pallas_gate_slots(slots, counts, gtbl, *, NW: int, cap: int, LgT: int,
                      "band", "indels", "lens", "out_cap", "oflow_cap",
                      "interpret", "n_pat", "eos_esc", "wbits"),
 )
-def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, *,
+def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None, *,
                             classes: tuple, Lmax: int, T: int = 65536,
                             NW: int = 6, cap: int = SLOT_CAP, LgT: int = 8,
                             kk: int = 1, band: int = 1, indels: bool = True,
@@ -1040,31 +1108,45 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, *,
         t3 = phase_transpose(codes, T)
     prev = jnp.roll(t3[:, :, U - LANE :], 1, axis=0)
     W4 = W.reshape(1, 8 * LANE, 1, LANE).swapaxes(1, 2)
-    kept, counts = pl.pallas_call(
-        functools.partial(
-            _slots_kernel, classes=classes, U=U, na=na, plive=plive,
-            NW=NW, cap=cap,
-            gate_cfg=(LgT, kk, band, indels, lens, T, n, Lmax, wbits,
-                      segl, capg),
-            eos_esc=eos_esc, Lmax=Lmax,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((ntiles, 8, cap), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles, 8, LANE), jnp.int32),
-        ),
-        grid=(ntiles,),
-        in_specs=[
+    use_wpack = wpk is not None
+    in_specs = [
+        pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, U), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, U), lambda i: (i + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 8 * LANE, LANE), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 32, LANE), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [prev, t3, t3, W4, gtbl]
+    if use_wpack:
+        wprev = jnp.roll(wpk[:, :, U - LANE :], 1, axis=0)
+        in_specs += [
             pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, U), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, U), lambda i: (i + 1, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8 * LANE, LANE), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 32, LANE), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ]
+        args += [wprev, wpk, wpk]
+    kept, counts = pl.pallas_call(
+        functools.partial(
+            _slots_kernel, classes=classes, U=U, na=na, plive=plive,
+            NW=NW, cap=cap,
+            gate_cfg=(LgT, kk, band, indels, lens, T, n, Lmax, wbits,
+                      segl, capg),
+            eos_esc=eos_esc, Lmax=Lmax, use_wpack=use_wpack,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ntiles, 8, cap), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles, 8, LANE), jnp.int32),
+        ),
+        grid=(ntiles,),
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 8, cap), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1076,7 +1158,7 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, *,
             pltpu.VMEM((8 * len(classes), U + na - 1), jnp.int8),
         ],
         interpret=interpret,
-    )(prev, t3, t3, W4, gtbl)
+    )(*args)
     nrows = ntiles * 8
     # raw per-segment hit counts: overflow escapes at row-SEGMENT
     # granularity (oflow ids = (tile*8 + r) * nsegs + g)

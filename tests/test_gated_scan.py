@@ -187,3 +187,53 @@ def test_chain_expansion_duplicate_and_nested_seeds():
     assert set(zip(ep.tolist(), es.tolist())) == want
     rs, rp = sc.rescan_starts_arrays(codes, pos)
     assert set(zip(rs.tolist(), rp.tolist())) == want
+
+
+def test_wpack_eos_adjacent_hits_exact():
+    """Packed-window path (wpack_transpose): hits whose extension window
+    touches an entry boundary must escape via the EOS flag bit and
+    resolve exactly — engine output identical to the XLA oracle when
+    matches sit immediately before/after EOS separators."""
+    import numpy as np
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.models.primer_match import (
+        PrimerMatchModel,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 1 << 18
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    db = SeqDB(codes=codes, table=b"ACGT\n", entry_starts=np.array([0]),
+               entry_lengths=np.array([n]), headers=["x"])
+    text = "".join("ACGT"[c] for c in codes[:40000])
+    pats = [text[100:120], text[9000:9018]]
+    # entry boundaries RIGHT at pattern edges: EOS immediately after a
+    # planted occurrence, and immediately before another
+    pc = [np.asarray([b"ACGT".index(ch.encode()) for ch in p], np.uint8)
+          for p in pats]
+    codes[30000 : 30000 + 20] = pc[0]
+    codes[30020] = 4  # EOS right after
+    codes[31000] = 4  # EOS right before
+    codes[31001 : 31001 + 18] = pc[1]
+    # and one pattern SPLIT by an EOS (must NOT match)
+    codes[32000 : 32000 + 20] = pc[0]
+    codes[32010] = 4
+    ps = build_pattern_set(pats, rev_comp=True)
+    m = PrimerMatchModel(db, ps, k=1)
+    m.use_host = False
+    sc = m._halves_ctx()[1]
+    sc.pallas_interpret = True
+    got = sorted(m.engine_hits())
+
+    m2 = PrimerMatchModel(db, ps, k=1)
+    m2.use_host = False
+    o2 = m2._halves_ctx()[1]
+    o2.use_pallas = False
+    want = sorted(m2.engine_hits())
+    assert got == want and want
+    ends = [e for e, _p, _m in want]
+    assert any(abs(e - 30020) <= 1 for e in ends)  # pre-EOS hit found
+    assert any(abs(e - 31019) <= 1 for e in ends)  # post-EOS hit found
+    assert not any(32005 < e < 32025 for e in ends)  # split = no match
