@@ -491,7 +491,11 @@ class PrimerMatchModel:
             for _ in range(reps):
                 yield list(self.engine_hits())
             return
-        if not scanner.gated_available(len(codes)):
+        if not scanner.gated_available(len(codes)) or (
+                scanner.mesh is not None
+                and scanner.mesh.devices.size > 1):
+            # (multi-device runs go through the sharded gated path
+            # per run; no cross-run stream there yet)
             for _ in range(reps):
                 yield list(self.engine_hits())
             return
@@ -582,10 +586,17 @@ class PrimerMatchModel:
         codes = self.db.codes
         if scanner.gated_available(len(codes)):
             gate = self._engine_gate(scanner, dirs, ext_pats, geomB, hid_of)
-            anchors, sids0, multi = scanner.scan_gated(
-                codes, gate, self.indels, self.k)
-            return self._gated_post(scanner, codes, anchors, sids0, multi,
-                                    self._hid_lut(scanner, hid_of))
+            from ..ops.pallas.scan_kernel import slots_gated_ok
+
+            mesh_ok = (scanner.mesh is None
+                       or scanner.mesh.devices.size <= 1
+                       or slots_gated_ok(scanner.tables, gate, scanner.k))
+            if mesh_ok:
+                anchors, sids0, multi = scanner.scan_gated(
+                    codes, gate, self.indels, self.k)
+                return self._gated_post(
+                    scanner, codes, anchors, sids0, multi,
+                    self._hid_lut(scanner, hid_of))
         ends_l = []
         hids_l = []
         for end, p0, _ in scanner.scan(codes):

@@ -357,12 +357,12 @@ class ConvScanner:
         """The fused seed-scan + extension-gate pipeline runs when the
         Mosaic kernel would (device scan) — the k>0 engines use it to keep
         the dense seed hits AND the almost-always-failing extensions on
-        device, fetching only gate survivors.  Under a mesh the engines
-        fall back to the (sharded) plain scan — the gate has no
-        multi-chip variant yet; huge pattern sets (> _PBLOCK) take the
-        pattern-blocked plain pipeline."""
+        device, fetching only gate survivors.  Under a multi-device mesh
+        the slots form runs data-parallel per shard
+        (parallel.shard.sharded_gated_slots); configs the slots pipeline
+        can't take fall back to the (sharded) plain scan.  Huge pattern
+        sets (> _PBLOCK) take the pattern-blocked plain pipeline."""
         return bool(self.use_pallas
-                    and self.mesh is None
                     and self.tables.P <= self._PBLOCK
                     and n <= self._RESIDENT_MAX
                     and (self.pallas_interpret or n >= (1 << 20))
@@ -376,10 +376,19 @@ class ConvScanner:
         hit — the caller rescans those exactly and must ignore survivor
         entries at those starts (the device gated only the top seed
         there)."""
-        codes_dev = _device_form(codes)
         gt = gate.t if hasattr(gate, "t") else gate
         from .pallas.scan_kernel import slots_gated_ok
 
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            if slots_gated_ok(self.tables, gt, self.k):
+                from ..parallel.shard import sharded_gated_slots
+
+                return sharded_gated_slots(
+                    self, gt, indels, k, np.asarray(codes), self.mesh,
+                    interpret=self._mesh_interpret())
+            raise NotImplementedError(
+                "gated scan under a mesh needs the slots pipeline")
+        codes_dev = _device_form(codes)
         if slots_gated_ok(self.tables, gt, self.k):
             return self._scan_gated_slots(codes_dev, len(codes), gt,
                                           indels, k)

@@ -251,6 +251,93 @@ def sharded_pallas_scan_hits(scanner, codes: np.ndarray, mesh: Mesh,
     return gen()
 
 
+def sharded_gated_slots(scanner, gt, indels: bool, k: int,
+                        codes: np.ndarray, mesh: Mesh,
+                        axis: str = "data", interpret: bool = False):
+    """The all-Pallas k>0 gated pipeline (scan + in-kernel extraction +
+    extension gate, ops.pallas.scan_kernel.pallas_scan_gated_slots),
+    data-parallel over a device mesh: every shard runs the fused
+    pipeline on its position slice plus a static right halo wide enough
+    for seed windows AND gate extension windows, and the small packed
+    rows ride one ``all_gather``.  A candidate is owned by the shard
+    containing its window START; the host decodes each shard's row
+    locally (chain expansion and escape handling are position-local),
+    drops halo-started entries and rebases.  Output contract identical
+    to ConvScanner.scan_gated — (anchors, sids, multi) in global
+    coordinates."""
+    from ..ops.pallas.scan_kernel import pallas_scan_gated_slots
+
+    t = scanner.tables
+    LgT, NW, lens, gtbl, wbits = scanner._slots_statics(gt)
+    if scanner._slots_fold_c is None:
+        from ..ops.pallas.scan_kernel import slots_fold_ok
+
+        scanner._slots_fold_c = slots_fold_ok(
+            t, scanner.k, scanner.poison_eos)
+    if scanner._slots_fold_c:
+        W, thr, classes = scanner._pallas_weights()
+        eos_esc = t.eos_code
+        if len(classes) >= len(scanner._pallas_weights_exact()[2]):
+            eos_esc = -1
+            W, thr, classes = scanner._pallas_weights_exact()
+        T = scanner._pallas_T()
+    else:
+        W, thr, classes = scanner._pallas_weights_exact()
+        eos_esc = -1
+        T = scanner._pallas_T_exact()
+    U = T // 8
+    segl = min(1024, U)
+    scanner._slots_geom = (T, segl, U // segl)
+    halo = 64  # covers Lmax - 1 + the gate window span (<= ~40)
+    shards, shard_len = shard_codes(
+        np.asarray(codes), mesh, halo, t.eos_code, axis)
+    shards = jnp.asarray(shards, jnp.uint8)
+    n_local = int(shards.shape[1])
+    cls = type(scanner)
+
+    while True:
+        out_cap, oflow_cap = scanner._gslots_out, scanner._gslots_oflow
+
+        def per_shard(codes_block, W, thr, gtbl):
+            row = pallas_scan_gated_slots.__wrapped__(
+                codes_block[0], W, thr, gtbl,
+                classes=classes, Lmax=t.Lmax, T=T, NW=NW,
+                cap=64 * (U // segl), LgT=LgT, kk=k, band=gt.band,
+                indels=indels, lens=lens, out_cap=out_cap,
+                oflow_cap=oflow_cap, interpret=interpret, n_pat=t.P,
+                eos_esc=eos_esc, wbits=wbits)
+            return jax.lax.all_gather(row, axis)[None]
+
+        rows = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(), P(), P()),
+            out_specs=P(axis, None, None),
+            check_vma=False,
+        )(shards, W, thr, gtbl)
+        rows = np.asarray(jax.device_get(rows[0]))  # [n_dev, rowlen]
+        if (rows[:, 0] <= out_cap).all() and (rows[:, 1] <= oflow_cap).all():
+            break
+        cls._gslots_out = max(
+            out_cap, 1 << (max(int(rows[:, 0].max()), 1) - 1).bit_length())
+        cls._gslots_oflow = max(
+            oflow_cap,
+            1 << (max(int(rows[:, 1].max()), 1) - 1).bit_length())
+
+    anchors_l, sids_l, multi_l = [], [], []
+    lengths = t.lengths
+    for i in range(rows.shape[0]):
+        a, s, mu = scanner._slots_decode(rows[i], n_local, out_cap,
+                                         oflow_cap)
+        own = (a - lengths[s]) < shard_len
+        base = i * shard_len
+        anchors_l.append(a[own] + base)
+        sids_l.append(s[own])
+        multi_l.append(mu[mu < shard_len] + base)
+    return (np.concatenate(anchors_l), np.concatenate(sids_l),
+            np.concatenate(multi_l))
+
+
 def sharded_sellers_scan(scanner, codes: np.ndarray, mesh: Mesh,
                          axis: str = "data"):
     """The k-edit Sellers candidate scan (ops.sellers), data-parallel over

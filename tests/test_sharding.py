@@ -183,3 +183,50 @@ def test_sharded_pallas_pipeline(syn_fasta):
         sc2, db.codes, mesh, interpret=True))
     assert got2 == want
     assert sc2._cap_mb > 2 or sc2._hit_cap > 2
+
+
+def test_sharded_gated_slots_matches_single_device():
+    """The k>0 all-Pallas gated pipeline under a multi-device mesh
+    (parallel.shard.sharded_gated_slots): engine output identical to the
+    single-device slots path, with planted matches straddling every
+    shard boundary."""
+    import numpy as np
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.models.primer_match import (
+        PrimerMatchModel,
+    )
+    from sequence_alignment_tools_tpu.parallel.shard import make_mesh
+
+    rng = np.random.default_rng(23)
+    n = 1 << 17
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    db = SeqDB(codes=codes, table=b"ACGT\n", entry_starts=np.array([0]),
+               entry_lengths=np.array([n]), headers=["x"])
+    text = "".join("ACGT"[c] for c in codes[:4000])
+    pats = [text[100:120], text[1000:1022], text[2000:2018]]
+    # plant across every 8-way shard boundary (shard = n/8)
+    shard = n // 8
+    pc = np.asarray([b"ACGT".index(ch.encode()) for ch in pats[0]],
+                    np.uint8)
+    for b in range(1, 8):
+        at = b * shard - 10
+        codes[at : at + 20] = pc
+    ps = build_pattern_set(pats, rev_comp=True)
+
+    m1 = PrimerMatchModel(db, ps, k=1)
+    m1.use_host = False
+    m1._halves_ctx()[1].pallas_interpret = True
+    want = sorted(m1.engine_hits())
+    assert len(want) >= 10  # boundary plants + originals
+
+    import jax
+
+    m8 = PrimerMatchModel(db, ps, k=1)
+    m8.use_host = False
+    sc = m8._halves_ctx()[1]
+    sc.pallas_interpret = True
+    sc.mesh = make_mesh(jax.devices()[:8])
+    got = sorted(m8.engine_hits())
+    assert got == want
