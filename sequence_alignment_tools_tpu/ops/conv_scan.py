@@ -463,10 +463,18 @@ class ConvScanner:
         # amounts >= ~16 miscompile on this Mosaic target.
         wbits = 2 if (t.alpha <= 5 and int(gt.bits_np.max(initial=0)) < 16
                       ) else 4
-        NW = math.ceil((SLOT_WB + maxlen + LgT + gt.band) / slot_cpp(wbits))
+        # the 2-bit regime reads the PRECOMPUTED packed-window form
+        # (scan_kernel.wpack_transpose, cached per resident DB): each
+        # window plane is ONE shear read in-kernel instead of 15 code
+        # shears + a pack chain, and the EOS escape is one bit test
+        use_wpack = wbits == 2
+        from .pallas.scan_kernel import WPACK_CPP
+
+        cpp = WPACK_CPP if use_wpack else slot_cpp(wbits)
+        NW = math.ceil((SLOT_WB + maxlen + LgT + gt.band) / cpp)
         lens = tuple(sorted(set(int(x) for x in t.lengths)))
         gtbl = jnp.asarray(slots_gate_table(gt, t.lengths, LgT)[None])
-        cfg = (LgT, NW, lens, gtbl, wbits)
+        cfg = (LgT, NW, lens, gtbl, wbits, use_wpack)
         self._gtbl_cache = (gt, cfg)
         return cfg
 
@@ -494,13 +502,14 @@ class ConvScanner:
             W, thr, classes = self._pallas_weights_exact()
             eos_esc = -1
             T = self._pallas_T_exact()
-        LgT, NW, lens, gtbl, wbits = self._slots_statics(gt)
+        LgT, NW, lens, gtbl, wbits, use_wpack = self._slots_statics(gt)
         U = T // 8
         segl = min(1024, U)
         self._slots_geom = (T, segl, U // segl)
         t3 = self._t3_for(codes_dev, T)
+        wpk = (_wpk_form(codes_dev, T, t.eos_code) if use_wpack else None)
         return pallas_scan_gated_slots(
-            codes_dev, W, thr, gtbl, t3, classes=classes, Lmax=t.Lmax,
+            codes_dev, W, thr, gtbl, t3, wpk, classes=classes, Lmax=t.Lmax,
             T=T, NW=NW, cap=64 * (U // segl), LgT=LgT, kk=k,
             band=gt.band, indels=indels, lens=lens, out_cap=caps[0],
             oflow_cap=caps[1], interpret=self.pallas_interpret,
@@ -603,11 +612,16 @@ class ConvScanner:
             surv_anchor = np.concatenate(
                 [surv_anchor, epos + t.lengths[esid]])
             surv_sid = np.concatenate([surv_sid, esid])
+        # slot-cap overflow escapes are SEGMENT-granular: id = (tile*8 +
+        # r) * nsegs + g covers positions 8*(g*segl + j) + r of tile
+        # (scan_kernel.pallas_scan_gated_slots segraw layout) — every
+        # start in that span rescans exactly
         rows = packed[2 + 2 * out_cap : 2 + 2 * out_cap + oflow]
-        U = T // 8
         for r0 in rows:
-            tile, r = int(r0) >> 3, int(r0) & 7
-            starts = tile * T + 8 * np.arange(U, dtype=np.int64) + r
+            row, g = int(r0) // nsegs, int(r0) % nsegs
+            tile, r = row >> 3, row & 7
+            lanes = g * segl + np.arange(segl, dtype=np.int64)
+            starts = tile * T + 8 * lanes + r
             multi.append(starts[starts < n])
         multi = np.concatenate(multi)
         return surv_anchor, surv_sid.astype(np.int32), multi

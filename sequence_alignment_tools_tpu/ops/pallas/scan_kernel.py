@@ -651,28 +651,33 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     # extended code block adds SLOT_WB/8 lanes of the PREVIOUS tile on
     # the left, so offset c reads sublane (r + c) mod 8 at lane
     # u + PL + (r + c) // 8 — one sublane roll + two static lane slices
-    # per offset (the shear trick).
+    # per offset (the shear trick).  The block and its per-phase rolls
+    # build LAZILY: the packed-window path never touches the raw codes
+    # again, so it must not pay the 7 sublane rolls.
     PL = SLOT_WB // 8
     wbits_w = gate_cfg[8] if gate_cfg is not None else 4
     WR = slot_cpp(wbits_w) * NW - SLOT_WB  # codes kept right of the hit
     HR = (7 + WR - 1) // 8 + 1  # right halo lanes
-    eblk = jnp.concatenate(
-        [prev_ref[0][:, LANE - PL :].astype(jnp.int32),
-         codes_ref[0].astype(jnp.int32),
-         next_ref[0][:, :HR].astype(jnp.int32)], axis=1
-    )  # [8, PL + U + HR]
     si8 = jax.lax.broadcasted_iota(jnp.int32, (8, U), 0)
     # one sublane roll per phase offset, shared by every code_at call
     # (offsets c and c + 8 read the same rolled block at adjacent lanes)
-    rolled8 = [eblk] + [pltpu.roll(eblk, shift=8 - cm, axis=0)
-                        for cm in range(1, 8)]
+    rolled8: dict = {}
 
     def code_at(c):
         # codes[t + c] plane over this tile's [8, U] positions: out[r, u]
         # = eblk[(r + c) % 8, PL + u + (r + c) // 8] — np.roll semantics
         # (rolled[i] = x[i - s]) give source r + cm at shift 8 - cm
+        if -1 not in rolled8:
+            rolled8[-1] = jnp.concatenate(
+                [prev_ref[0][:, LANE - PL :].astype(jnp.int32),
+                 codes_ref[0].astype(jnp.int32),
+                 next_ref[0][:, :HR].astype(jnp.int32)], axis=1
+            )  # [8, PL + U + HR]
         cm = c % 8
         g = (c - cm) // 8
+        if cm not in rolled8:
+            rolled8[cm] = (pltpu.roll(rolled8[-1], shift=8 - cm, axis=0)
+                           if cm else rolled8[-1])
         rolled = rolled8[cm]
         lo = rolled[:, PL + g : PL + g + U]
         hi = rolled[:, PL + g + 1 : PL + g + 1 + U]
@@ -761,7 +766,8 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     emeta, keep = _gate_body(
         meta_c, lambda q: wp[q], gt_ref[0], pl.program_id(0) * T,
         NW=NW, LgT=LgT, kk=kk, band=band, indels=indels, lens=lens,
-        n=n, Lmax=Lmax, wbits=wbits)
+        n=n, Lmax=Lmax, wbits=wbits,
+        cpp=WPACK_CPP if use_wpack else None)
     kept32 = keep.astype(jnp.int32)
     li2 = jax.lax.broadcasted_iota(jnp.int32, (8, cap), 1)
     pfx = kept32
@@ -854,7 +860,7 @@ def pallas_scan_slots(codes, W, thr, t3=None, *, classes: tuple, Lmax: int,
 
 def _gate_body(meta, wplane, gtbl, tile_base, *, NW: int, LgT: int,
                kk: int, band: int, indels: bool, lens: tuple, n: int,
-               Lmax: int, wbits: int = 4):
+               Lmax: int, wbits: int = 4, cpp: int | None = None):
     """The slotted banded seed-extension gate on [8, C] planes.
 
     Per slot the anchored banded edit distance of (the first ``LgT``
@@ -901,7 +907,12 @@ def _gate_body(meta, wplane, gtbl, tile_base, *, NW: int, LgT: int,
     ispos = gplane(2 * LgT + 1) > 0
     slen = gplane(2 * LgT + 2)
 
-    cpp = slot_cpp(wbits)
+    # codes per window plane: slot_cpp(wbits) for kernel-packed planes,
+    # WPACK_CPP for the precomputed packed-window form (which also keeps
+    # an EOS flag at bit 24 — the unpack below never reaches it at 12
+    # codes x 2 bits)
+    if cpp is None:
+        cpp = slot_cpp(wbits)
     cmask = (1 << wbits) - 1
     span = cpp * NW - SLOT_WB  # codes available right of pstart
     # the out-of-window sentinel: a code index whose accept bit is never

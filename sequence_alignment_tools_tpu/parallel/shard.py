@@ -268,7 +268,7 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
     from ..ops.pallas.scan_kernel import pallas_scan_gated_slots
 
     t = scanner.tables
-    LgT, NW, lens, gtbl, wbits = scanner._slots_statics(gt)
+    LgT, NW, lens, gtbl, wbits, use_wpack = scanner._slots_statics(gt)
     if scanner._slots_fold_c is None:
         from ..ops.pallas.scan_kernel import slots_fold_ok
 
@@ -299,8 +299,13 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
         out_cap, oflow_cap = scanner._gslots_out, scanner._gslots_oflow
 
         def per_shard(codes_block, W, thr, gtbl):
+            from ..ops.pallas.scan_kernel import wpack_transpose
+
+            wpk = (wpack_transpose.__wrapped__(
+                codes_block[0], T=T, eos=t.eos_code)
+                if use_wpack else None)
             row = pallas_scan_gated_slots.__wrapped__(
-                codes_block[0], W, thr, gtbl,
+                codes_block[0], W, thr, gtbl, wpk=wpk,
                 classes=classes, Lmax=t.Lmax, T=T, NW=NW,
                 cap=64 * (U // segl), LgT=LgT, kk=k, band=gt.band,
                 indels=indels, lens=lens, out_cap=out_cap,

@@ -237,3 +237,39 @@ def test_wpack_eos_adjacent_hits_exact():
     assert any(abs(e - 30020) <= 1 for e in ends)  # pre-EOS hit found
     assert any(abs(e - 31019) <= 1 for e in ends)  # post-EOS hit found
     assert not any(32005 < e < 32025 for e in ends)  # split = no match
+
+
+def test_slot_overflow_segment_escape_parity():
+    """Slot-cap overflow escapes are SEGMENT-granular ((tile*8+r)*nsegs+g,
+    pallas_scan_gated_slots segraw layout): a dense same-phase hit cluster
+    overflowing one segment's capg must rescan exactly that segment's
+    positions — engine output identical to the host oracle.  Regression:
+    the decode once misread the id as a row id and rescanned the wrong
+    positions, losing every overflowed hit."""
+    rng = np.random.default_rng(99)
+    n = 1 << 17
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    # period-8 pattern: planting one long periodic region makes EVERY
+    # stride-8 start a full-pattern match, so >64 left-half seed hits
+    # land in ONE (phase row, segment) bucket -> capg overflow
+    pat = ("ACGTTGCA" * 2)[:14]
+    period = np.asarray([b"ACGT".index(c.encode()) for c in "ACGTTGCA"],
+                        np.uint8)
+    region = np.tile(period, 82)  # 81 stride-8 match starts
+    codes[1000 : 1000 + len(region)] = region
+    db = SeqDB(codes=codes, table=b"ACGT\n", entry_starts=np.array([0]),
+               entry_lengths=np.array([n]), headers=["x"])
+    ps = build_pattern_set([pat], rev_comp=True)
+    m = PrimerMatchModel(db, ps, k=1)
+    m.use_host = False
+    sc = m._halves_ctx()[1]
+    sc.pallas_interpret = True
+    got = sorted(m.engine_hits())
+
+    m2 = PrimerMatchModel(db, ps, k=1)
+    m2.use_host = False
+    o2 = m2._halves_ctx()[1]
+    o2.use_pallas = False
+    want = sorted(m2.engine_hits())
+    assert got == want
+    assert len(want) >= 80  # the planted cluster is all found
