@@ -438,9 +438,54 @@ class ConvScanner:
 
     # -- all-Pallas slots pipeline (scan + extraction + gate in-kernel) ------
 
-    _gslots_out = 1 << 11
+    # out: the FINAL fetched row cap (post chain-gate; fetch bytes scale
+    # with it, so small); work: the internal candidate gather cap
+    _gslots_out = 1 << 9
     _gslots_oflow = 64
+    _gslots_work = 1 << 11
     _gtbl_cache = None
+    _chain_dev_c = None
+
+    def _chain_dev(self, gt):
+        """Device chain-member tables for the in-jit multi-seed gate of
+        pallas_scan_gated_slots: (mtab [KS, CKR, CM], slen [S], gt.bits,
+        gt.glen, gt.gdir) plus the static gate length, or None when the
+        chain table is inapplicable (wildcard seeds)."""
+        if self._chain_dev_c is not None and self._chain_dev_c[0] is gt:
+            return self._chain_dev_c[1]
+        tab = self._chain_table()
+        if tab is None:
+            self._chain_dev_c = (gt, None)
+            return None
+        keymap, groups, _w, _winv = tab
+        CKR = self._CHAIN_MAX - 1
+        CM = max((len(g) for g in groups), default=1)
+        KS = keymap.shape[0]
+        mtab = np.full((KS, CKR, CM), -1, np.int32)
+        for sm in range(KS):
+            for c in range(2, self._CHAIN_MAX + 1):
+                g = keymap[sm, c]
+                if g >= 0:
+                    mem = groups[g]
+                    mtab[sm, c - 2, : len(mem)] = mem
+        # prefix-truncated member gate (like the in-kernel LgT clamp): a
+        # full ≤k-edit extension implies its prefix aligns within k, so
+        # clamping glen keeps the filter a superset at ~40% of the DP
+        CL = min(gt.Lg, 6)
+        glen_t = jnp.minimum(gt.glen, CL)
+        chain = (jnp.asarray(mtab), self.lengths_dev,
+                 gt.bits[:, :CL], glen_t, gt.gdir)
+        self._chain_dev_c = (gt, (chain, CL))
+        return self._chain_dev_c[1]
+
+    def _slots_w(self):
+        """(w, winv) chain-weight permutation for the slots meta sums
+        (identity when the chain table is inapplicable)."""
+        tab = self._chain_table()
+        if tab is None:
+            ident = np.arange(self.tables.P, dtype=np.int64)
+            return ident, ident
+        return tab[2], tab[3]
 
     def _slots_statics(self, gt):
         """Per-gate static config + device gate table, cached."""
@@ -473,8 +518,15 @@ class ConvScanner:
         cpp = WPACK_CPP if use_wpack else slot_cpp(wbits)
         NW = math.ceil((SLOT_WB + maxlen + LgT + gt.band) / cpp)
         lens = tuple(sorted(set(int(x) for x in t.lengths)))
-        gtbl = jnp.asarray(slots_gate_table(gt, t.lengths, LgT)[None])
-        cfg = (LgT, NW, lens, gtbl, wbits, use_wpack)
+        w, _winv = self._slots_w()
+        gtbl = jnp.asarray(slots_gate_table(gt, t.lengths, LgT, w)[None])
+        # per-score-row chain-weight column (row m = p*8 + r -> w[p]);
+        # padded to a (8, 128)-tiled block for the VMEM block spec
+        wcol_np = np.zeros((8 * 128, 128), np.int8)
+        for p in range(t.P):
+            wcol_np[p * 8 : (p + 1) * 8, 0] = np.int8(w[p])
+        wcol = jnp.asarray(wcol_np)
+        cfg = (LgT, NW, lens, gtbl, wbits, use_wpack, wcol)
         self._gtbl_cache = (gt, cfg)
         return cfg
 
@@ -502,17 +554,26 @@ class ConvScanner:
             W, thr, classes = self._pallas_weights_exact()
             eos_esc = -1
             T = self._pallas_T_exact()
-        LgT, NW, lens, gtbl, wbits, use_wpack = self._slots_statics(gt)
+        # the slots kernel's VMEM stack peaks at scores [8*plive, U] int32
+        # plus the matmul-reduce operand planes: T = 64K overflows the
+        # 16 MB scoped-vmem limit at plive = 128
+        T = min(T, 32768)
+        LgT, NW, lens, gtbl, wbits, use_wpack, wcol = \
+            self._slots_statics(gt)
         U = T // 8
         segl = min(1024, U)
         self._slots_geom = (T, segl, U // segl)
         t3 = self._t3_for(codes_dev, T)
         wpk = (_wpk_form(codes_dev, T, t.eos_code) if use_wpack else None)
+        cdev = self._chain_dev(gt)
+        chain, chain_Lg = cdev if cdev is not None else (None, 0)
         return pallas_scan_gated_slots(
-            codes_dev, W, thr, gtbl, t3, wpk, classes=classes, Lmax=t.Lmax,
-            T=T, NW=NW, cap=64 * (U // segl), LgT=LgT, kk=k,
+            codes_dev, W, thr, gtbl, t3, wpk, chain, wcol,
+            classes=classes,
+            Lmax=t.Lmax, T=T, NW=NW, cap=64 * (U // segl), LgT=LgT, kk=k,
             band=gt.band, indels=indels, lens=lens, out_cap=caps[0],
-            oflow_cap=caps[1], interpret=self.pallas_interpret,
+            oflow_cap=caps[1], work_cap=caps[2], chain_Lg=chain_Lg,
+            interpret=self.pallas_interpret,
             n_pat=t.P, eos_esc=eos_esc, wbits=wbits)
 
     _chain_tab_c = False  # False = unbuilt, None = inapplicable (wc seeds)
@@ -523,11 +584,17 @@ class ConvScanner:
         at the SAME window start both equal the text there, so one is a
         prefix of the other: the matcher set at any position is the
         prefix closure of its longest matcher — a chain, determined
-        statically.  Maps the device's observable (top_sid, count) to the
-        full matcher chain; ambiguous keys (two chains sharing top and
-        size) stay None and fall back to the exact host rescan.  Only
-        valid for literal seeds (wc wildcard accept sets can co-match
-        without a prefix relation -> table is None)."""
+        statically.  The kernels' matmul pattern reduce emits the SUM of
+        the hitting seeds' WEIGHTS (a permutation of 0..P-1 shipped as
+        the kernel's per-row weight column), so the observable key is
+        (weight_sum, count).  A plain id sum collides easily (any two
+        same-size chains with equal id totals); the permutation is
+        searched statically until every multi-member chain keys uniquely
+        — singles are always unique (w is a bijection).  Residual
+        ambiguous keys (search failed) stay None and fall back to the
+        exact host rescan.  Returns (keymap, groups, w, winv); None when
+        inapplicable (wc wildcard accept sets can co-match without a
+        prefix relation)."""
         if self._chain_tab_c is not False:
             return self._chain_tab_c
         t = self.tables
@@ -539,39 +606,63 @@ class ConvScanner:
             return None
         seqs = [tuple(int(c) for c in t.pat_codes[p, : t.lengths[p]])
                 for p in range(P)]
-        chains: dict = {}
+        mems = []
         for L in range(P):
-            mem = tuple(sorted(
+            mems.append(tuple(sorted(
                 s for s in range(P)
                 if len(seqs[s]) <= len(seqs[L])
-                and seqs[s] == seqs[L][: len(seqs[s])]))
-            key = (max(mem), len(mem))
+                and seqs[s] == seqs[L][: len(seqs[s])])))
+        multi = sorted({m for m in mems if len(m) >= 2})
+        rng = np.random.default_rng(12345)
+        w = np.arange(P, dtype=np.int64)
+        for _attempt in range(300):
+            keys = set()
+            ok = True
+            for mem in multi:
+                key = (int(sum(w[s] for s in mem)), len(mem))
+                if key in keys:
+                    ok = False
+                    break
+                keys.add(key)
+            if ok:
+                break
+            w = rng.permutation(P).astype(np.int64)
+        chains: dict = {}
+        for mem in mems:
+            key = (int(sum(w[s] for s in mem)), len(mem))
             if chains.get(key, mem) != mem:
-                chains[key] = None  # ambiguous
+                chains[key] = None  # ambiguous (weight search failed)
             else:
                 chains[key] = mem
         CM = self._CHAIN_MAX
-        keymap = np.full((P, CM + 1), -1, np.int32)
+        maxsum = max((k[0] for k in chains), default=0)
+        keymap = np.full((maxsum + 1, CM + 1), -1, np.int32)
         groups: list[np.ndarray] = []
-        for (top, c), mem in chains.items():
+        for (sm, c), mem in chains.items():
             if mem is None or c > CM:
                 continue
-            keymap[top, c] = len(groups)
+            keymap[sm, c] = len(groups)
             groups.append(np.asarray(mem, np.int64))
-        self._chain_tab_c = (keymap, groups)
+        winv = np.zeros(P, np.int64)
+        winv[w] = np.arange(P)
+        self._chain_tab_c = (keymap, groups, w.astype(np.int64), winv)
         return self._chain_tab_c
 
-    def _expand_chains(self, pos, top, cnt):
-        """Resolve multi-seed escape entries statically: returns
-        (exp_pos, exp_sid, unresolved_mask)."""
+    def _expand_chains(self, pos, sm, cnt):
+        """Resolve multi-seed escape entries statically from their
+        (id-sum, count) keys: returns (exp_pos, exp_sid,
+        unresolved_mask).  The slots meta clamps the sum at 1023, but
+        the clamp only binds at cnt >= 9 (max id 127), which is past
+        _CHAIN_MAX and lands on the unresolved path regardless."""
         tab = self._chain_table()
         if tab is None or not len(pos):
             return (np.zeros(0, np.int64), np.zeros(0, np.int64),
                     np.ones(len(pos), bool))
-        keymap, groups = tab
-        c = np.where(cnt <= self._CHAIN_MAX, cnt, 0)
-        gid = keymap[top, c]
-        gid[cnt > self._CHAIN_MAX] = -1
+        keymap, groups, _w, _winv = tab
+        oob = (cnt > self._CHAIN_MAX) | (sm >= keymap.shape[0])
+        c = np.where(oob, 0, cnt)
+        gid = keymap[np.minimum(sm, keymap.shape[0] - 1), c]
+        gid[oob] = -1
         unresolved = gid < 0
         pos_l, sid_l = [], []
         for g in np.unique(gid[gid >= 0]):
@@ -596,17 +687,21 @@ class ConvScanner:
         pos = packed[2 : 2 + total].astype(np.int64)
         meta = packed[2 + out_cap : 2 + out_cap + total]
         esc = meta < 0
-        sids = ((meta >> 8) & 127).astype(np.int32)
-        surv_anchor = pos[~esc] + t.lengths[sids[~esc]].astype(np.int64)
-        surv_sid = sids[~esc].astype(np.int64)
-        cnts = (meta & 255).astype(np.int64)
+        sums = ((meta >> 5) & 1023).astype(np.int64)
+        # non-escape slots always have cnt == 1, where the weight sum IS
+        # the seed's weight code: invert through the chain permutation
+        _w, winv = self._slots_w()
+        sid1 = winv[np.minimum(sums, len(winv) - 1)]
+        surv_anchor = pos[~esc] + t.lengths[sid1[~esc]].astype(np.int64)
+        surv_sid = sid1[~esc]
+        cnts = (meta & 31).astype(np.int64)
         # tail windows (possible zero-pad overread) always rescan; other
         # escapes are cnt>1 multi-seed positions: expand via the chain
         tail = esc & (pos > n - t.Lmax)
-        mul = esc & ~tail & (cnts < 127)
+        mul = esc & ~tail & (cnts < 31)
         epos, esid, unres = self._expand_chains(
-            pos[mul], sids[mul].astype(np.int64), cnts[mul])
-        multi = [pos[tail], pos[esc & ~tail & (cnts >= 127)],
+            pos[mul], sums[mul], cnts[mul])
+        multi = [pos[tail], pos[esc & ~tail & (cnts >= 31)],
                  pos[mul][unres]]
         if len(epos):
             surv_anchor = np.concatenate(
@@ -635,20 +730,25 @@ class ConvScanner:
         overflow rows folded into the exact-rescan escape list."""
         cls = type(self)
         while True:
-            caps = (self._gslots_out, self._gslots_oflow)
+            caps = (self._gslots_out, self._gslots_oflow,
+                    self._gslots_work)
             res = self._slots_dispatch(codes_dev, n, gt, indels, k, caps)
             packed = np.asarray(jax.device_get(res))
             total, oflow = int(packed[0]), int(packed[1])
-            if total <= caps[0] and oflow <= caps[1]:
+            wtotal = int(packed[-1])
+            if total <= caps[0] and oflow <= caps[1] \
+                    and wtotal <= caps[2]:
                 break
             cls._gslots_out = max(
                 caps[0], 1 << (max(total, 1) - 1).bit_length())
             cls._gslots_oflow = max(
                 caps[1], 1 << (max(oflow, 1) - 1).bit_length())
+            cls._gslots_work = max(
+                caps[2], 1 << (max(wtotal, 1) - 1).bit_length())
         return self._slots_decode(packed, n, caps[0], caps[1])
 
     def scan_gated_stream(self, blocks, gate, indels: bool, k: int,
-                          depth: int = 48):
+                          depth: int = 96):
         """Pipelined gated scans over an iterator of flat code arrays —
         the scan_stream transport discipline for the all-Pallas gated
         pipeline: block i+1's device pipeline dispatches before block i's
@@ -683,7 +783,8 @@ class ConvScanner:
                 rows = rows[None]
             for (i, n, dev, caps), row in zip(group, rows):
                 total, oflow = int(row[0]), int(row[1])
-                if total > caps[0] or oflow > caps[1]:
+                if total > caps[0] or oflow > caps[1] \
+                        or int(row[-1]) > caps[2]:
                     # overflow: redo solo (grows the sticky class caps)
                     yield (i,) + self._scan_gated_slots(
                         dev, n, gt, indels, k)
@@ -705,7 +806,8 @@ class ConvScanner:
                         fut, fgroup = launch(len(pending))
                 yield (i,) + self.scan_gated(codes, gate, indels, k)
                 continue
-            caps = (self._gslots_out, self._gslots_oflow)
+            caps = (self._gslots_out, self._gslots_oflow,
+                    self._gslots_work)
             res = self._slots_dispatch(dev, n, gt, indels, k, caps)
             pending.append((i, n, dev, res, caps))
             if len(pending) >= depth:
@@ -730,13 +832,16 @@ class ConvScanner:
         starts = np.sort(np.asarray(starts, dtype=np.int64))
         if not len(starts):
             return (np.zeros(0, np.int64),) * 2
-        # same end-of-array fill as the device rescore (eos, or code 0
-        # when the table has no EOS class)
-        pad = np.full(t.Lmax, max(t.eos_code, 0), dtype=codes.dtype)
-        padded = np.concatenate([codes, pad])
-        wins = padded[
-            np.minimum(starts[:, None] + np.arange(t.Lmax), n + t.Lmax - 1)
-        ]  # [M, Lmax]
+        # windows via a clipped gather — NO full-array pad copy (the old
+        # np.concatenate([codes, pad]) duplicated the whole database per
+        # rescan call: ~1.5 ms of the k=1 serving tail for ONE escape);
+        # positions past the end fill with the device rescore's pad code
+        # (eos, or code 0 when the table has no EOS class)
+        fill = max(t.eos_code, 0)
+        idx = starts[:, None] + np.arange(t.Lmax)
+        wins = np.ascontiguousarray(
+            codes[np.minimum(idx, n - 1)])  # [M, Lmax]
+        wins[idx >= n] = fill
         # scores[m, p] = sum_j match[p, j, wins[m, j]]
         m3 = t.match.transpose(1, 2, 0)  # [Lmax, alpha, P]
         sc = np.zeros((len(starts), t.P), dtype=np.int32)

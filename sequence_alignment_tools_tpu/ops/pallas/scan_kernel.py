@@ -150,6 +150,45 @@ def _na(Lmax: int) -> int:
     return (max(Lmax, 1) - 1) // 8 + 2
 
 
+def _pattern_matmul_reduce(scores, mlive: int, U: int, et, wcol=None):
+    """(cnt [8, U] int32, sid_sum [8, U] int32) from margins [mlive, U].
+
+    The pattern-axis reduce as TWO tiny MXU matmuls instead of a VPU
+    tree over the 8*plive rows (the tree was ~half the kernel's VPU
+    time at plive = 128): with score row m = p*8 + r, the selection
+    matrix S[r, m] = (r == m % 8) contracts the pattern axis while
+    keeping the phase rows, so
+
+        cnt     = S @ [score >= 0]          (hits per position)
+        sid_sum = S @ (pid * [score >= 0])  (sum of hitting pattern ids)
+
+    For cnt == 1 positions the sum IS the hitting pattern id; multi-hit
+    positions carry the SUM, which keys the static prefix-chain table
+    (two exact patterns co-matching at one start are prefix-nested, so
+    the matcher set is determined by any injective-enough key — see
+    conv_scan._chain_table) or escape to an exact host rescan.  int8
+    operands are exact: pid <= plive - 1 <= 127 and the int32
+    accumulator carries the sums.
+
+    ``wcol`` (optional, [mlive, 1] int8) replaces the id contributions
+    with per-pattern WEIGHTS — a permutation of 0..plive-1 chosen by
+    the host so that chain keys are injective (a plain id sum collides
+    whenever two same-size chains share a total)."""
+    hit = scores >= 0
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, mlive), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (8, mlive), 1)
+    S = (ri == (ci & 7)).astype(et)
+    if wcol is None:
+        pw = jax.lax.broadcasted_iota(jnp.int32, (mlive, U), 0) >> 3
+    else:
+        pw = jnp.broadcast_to(wcol.astype(jnp.int32), (mlive, U))
+    x_cnt = jnp.where(hit, 1, 0).astype(et)
+    x_sid = jnp.where(hit, pw, 0).astype(et)
+    cnt = jnp.dot(S, x_cnt, preferred_element_type=jnp.int32)
+    sm = jnp.dot(S, x_sid, preferred_element_type=jnp.int32)
+    return cnt, sm
+
+
 def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
                  oh_ref, *, classes: tuple, U: int, na: int, kchunks: int,
                  plive: int, ptiles: int, emit: str):
@@ -233,52 +272,25 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
                 preferred_element_type=jnp.int32,
             )
         scores = acc_ref[:]
-    def pattern_tree(s, op):
-        # reduce the (pattern, phase) rows to the 8 phase rows; plive is
-        # the EXACT live pattern count (not a power of two — pad rows
-        # would cost tree work), so odd counts peel one 8-row block into
-        # the head; every slice stays 8-row aligned
-        r = plive
-        while r > 1:
-            if r % 2:
-                s = jnp.concatenate(
-                    [op(s[:8, :], s[(r - 1) * 8 : r * 8, :]),
-                     s[8 : (r - 1) * 8, :]], axis=0)
-                r -= 1
-            else:
-                r //= 2
-                s = op(s[: r * 8, :], s[r * 8 : 2 * r * 8, :])
-        return s
+    cnt, sm = _pattern_matmul_reduce(scores, mlive, U, et)
 
     if emit == "occupancy":
-        # margins: max over patterns first, sign check last
-        s = pattern_tree(scores, jnp.maximum)
-        out_ref[0, 0] = (s >= 0).astype(jnp.bfloat16)
+        out_ref[0, 0] = (cnt > 0).astype(jnp.bfloat16)
     elif emit == "counts":
         # per-(phase, position) hit counts <= P <= 128: exact in bf16
-        hit = (scores >= 0).astype(jnp.bfloat16)
-        s = pattern_tree(hit, jnp.add)
-        out_ref[0, 0] = s
-    else:  # emit == "pos": packed per-position (top pattern, hit count)
+        out_ref[0, 0] = cnt.astype(jnp.bfloat16)
+    else:  # emit == "pos": packed per-position (sid sum, hit count)
         # EXACT in-kernel hit extraction (requires unfolded weights, see
         # :func:`pos_exact_ok`): per position, the number of patterns
-        # whose window starting there is a true hit and the max such
-        # pattern id, packed as (top_pid << 8) | cnt (cnt <= plive <=
-        # 128 < 256; no hit -> (-1 << 8) | 0 = -256).  ONE tree over the
-        # packed words — max rides the high bits (each operand's low
-        # byte masked off), the count sum rides the low byte; two's
-        # complement makes the no-hit word transparent to both
-        # (-256 & 255 == 0, max picks any real sid over -1).  The host
-        # consumes candidates straight from this word — no second-level
-        # rescore pass exists in this mode.
-        prow = jax.lax.broadcasted_iota(jnp.int32, (mlive, U), 0) >> 3
-        v = jnp.where(scores >= 0, (prow << 8) | 1, jnp.int32(-256))
-
-        def comb(a, b):
-            return (jnp.maximum(a, b) & jnp.int32(-256)) \
-                | ((a & 255) + (b & 255))
-
-        out_ref[0, 0] = pattern_tree(v, comb)
+        # whose window starting there is a true hit and the SUM of their
+        # pattern ids, packed as (sid_sum << 8) | cnt (no hit -> -256).
+        # When cnt == 1 the sum IS the pattern id; multi-hit positions
+        # resolve through the sum-keyed static chain table or escape to
+        # the exact host rescan.  The host consumes candidates straight
+        # from this word — no second-level rescore pass exists in this
+        # mode.
+        out_ref[0, 0] = jnp.where(
+            cnt > 0, (sm << 8) | jnp.minimum(cnt, 255), jnp.int32(-256))
 
 
 def phase_transpose(codes, T: int = 8192):
@@ -341,9 +353,10 @@ def _kernel_out(codes, W, thr, *, classes: tuple, Lmax: int,
     (cheaper: the kernel reduces int32 margins by max and the microblock
     reduce is a bf16 max) — or, with ``emit="pos"``, the RAW
     [ntiles, ptiles, 8, U] int32 packed per-position words
-    ((top_pid << 8) | cnt; -256 where no pattern hits; position
-    t = T*i + 8*u + r at [i, :, r, u]) — exact hit extraction with NO
-    rescore, valid only under :func:`pos_exact_ok` weights.
+    ((sid_sum << 8) | cnt; -256 where no pattern hits; position
+    t = T*i + 8*u + r at [i, :, r, u]; for cnt == 1 the sum is the
+    hitting pattern id) — exact hit extraction with NO rescore, valid
+    only under :func:`pos_exact_ok` weights.
     """
     del thr  # thresholds are baked into W's bias lane
     if Lmax > HALO:
@@ -570,13 +583,14 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
                   classes: tuple, U: int, na: int, plive: int, NW: int,
                   cap: int, gate_cfg: tuple | None = None,
                   eos_esc: int = -1, Lmax: int = 0,
-                  use_wpack: bool = False):
+                  use_wpack: bool = False, use_wcol: bool = False):
     """Scan + in-kernel hit extraction for one text tile (kchunks == 1,
     ptiles == 1 — enforced by :func:`pallas_scan_slots`).
 
     Without ``gate_cfg`` emits ``slots_ref`` [1, 1 + NW, 8, cap] int32 —
-    plane 0: packed meta ``(localpos << 15) | (sid << 8) | min(cnt,
-    127)`` (0 = empty slot; cnt >= 1 keeps hits nonzero), planes 1..NW:
+    plane 0: packed meta ``(localpos << 15) | (min(sid_sum, 1023) << 5)
+    | min(cnt, 31)`` (0 = empty slot; cnt >= 1 keeps hits nonzero; for
+    cnt == 1 the sum IS the seed id), planes 1..NW:
     the text window codes ``codes[pstart - SLOT_WB + 8q .. +7]`` packed
     4 bits per code — and ``cnt_ref`` [1, 8, LANE] int32 (per-row TRUE
     hit count, broadcast along lanes; rows with count > cap overflow and
@@ -588,7 +602,9 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     the re-compacted survivor/escape meta [1, 8, cap] and a counts plane
     (lane 0: kept count, lane LANE//2: raw hit count for overflow
     detection)."""
-    wprev_ref = wcur_ref = wnext_ref = None
+    wprev_ref = wcur_ref = wnext_ref = wcol_ref = None
+    if use_wcol:
+        wcol_ref, *refs = refs  # inserted right after wt_ref by callers
     if gate_cfg is None:
         slots_ref, cnt_ref, yt_ref, oh_ref = refs
         gt_ref = out_ref = ocnt_ref = None
@@ -624,27 +640,9 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     scores = jnp.dot(wt_ref[0, 0, :mlive, :], yt_ref[:],
                      preferred_element_type=jnp.int32)
 
-    def pattern_tree(s, op):
-        r = plive
-        while r > 1:
-            if r % 2:
-                s = jnp.concatenate(
-                    [op(s[:8, :], s[(r - 1) * 8 : r * 8, :]),
-                     s[8 : (r - 1) * 8, :]], axis=0)
-                r -= 1
-            else:
-                r //= 2
-                s = op(s[: r * 8, :], s[r * 8 : 2 * r * 8, :])
-        return s
-
-    # TWO single-op trees (max over seed ids, add over hit flags) cost
-    # ~2.5x less VPU work than one tree over packed words (5 ops/comb)
-    prow = jax.lax.broadcasted_iota(jnp.int32, (mlive, U), 0) >> 3
-    hit_m = scores >= 0
-    sidp = pattern_tree(jnp.where(hit_m, prow, -1), jnp.maximum)
-    cntp = pattern_tree(hit_m.astype(jnp.int32), jnp.add)
-    word = jnp.where(cntp > 0, (sidp << 8) | jnp.minimum(cntp, 255),
-                     jnp.int32(-256))  # [8, U]
+    # pattern reduce as two MXU matmuls (see :func:`_pattern_matmul_reduce`)
+    wcol = wcol_ref[:mlive, 0:1] if use_wcol else None
+    cntp, smp = _pattern_matmul_reduce(scores, mlive, U, et, wcol)
 
     # text window planes: wq[r, u] packs codes[t - SLOT_WB + 8q .. +7]
     # (4 bits per code) for position t = 8u + r of this tile.  The
@@ -683,11 +681,17 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
         hi = rolled[:, PL + g + 1 : PL + g + 1 + U]
         return jnp.where(si8 < 8 - cm, lo, hi) if cm else lo
 
-    hit = word >= 0
+    hit = cntp > 0
     li = jax.lax.broadcasted_iota(jnp.int32, (8, U), 1)
 
+    # meta layout: (localpos << 15) | (sid_sum << 5) | cnt — localpos
+    # (< T <= 65536) bits 15..30, the 10-bit id sum (<= 8 * 127 for any
+    # chain short enough to resolve; longer ones saturate the count and
+    # rescan anyway) bits 5..14, count bits 0..4 saturating at 31 (the
+    # EOS-window escape marker).  Bit 31 is the gate's escape flag.
     localpos = (li << 3) | si8
-    cnt_w = word & 255
+    cnt_w = cntp
+    sum10 = jnp.minimum(smp, 1023) << 5
     if use_wpack:
         # packed-window form (wpack_transpose): one shear read per
         # 12-code plane, EOS-escape as one bit test
@@ -711,9 +715,8 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
 
         if eos_esc >= 0:
             emf = (wplane_at(0) >> WPACK_EOSBIT) & 1
-            cnt_w = jnp.where(emf > 0, 127, cnt_w)
-        meta = (localpos << 15) | ((word & jnp.int32(0x7F00))
-                                   | jnp.minimum(cnt_w, 127))
+            cnt_w = jnp.where(emf > 0, 31, cnt_w)
+        meta = (localpos << 15) | sum10 | jnp.minimum(cnt_w, 31)
         planes = [meta] + [wplane_at(-SLOT_WB + WPACK_CPP * q)
                            for q in range(NW)]
     else:
@@ -726,9 +729,8 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
             em = code_at(0) == eos_esc
             for c in range(1, Lmax):
                 em = em | (code_at(c) == eos_esc)
-            cnt_w = jnp.where(em, 127, cnt_w)
-        meta = (localpos << 15) | ((word & jnp.int32(0x7F00))
-                                   | jnp.minimum(cnt_w, 127))
+            cnt_w = jnp.where(em, 31, cnt_w)
+        meta = (localpos << 15) | sum10 | jnp.minimum(cnt_w, 31)
         # text window payload planes, `wbits` bits per code (2-bit form
         # for DNA aliases any code > 3 to code & 3 — a pure gate
         # RELAXATION: extension patterns never accept EOS, so reading
@@ -794,7 +796,8 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     static_argnames=("classes", "Lmax", "T", "NW", "cap", "interpret",
                      "n_pat"),
 )
-def pallas_scan_slots(codes, W, thr, t3=None, *, classes: tuple, Lmax: int,
+def pallas_scan_slots(codes, W, thr, t3=None, wcol=None, *, classes: tuple,
+                      Lmax: int,
                       T: int = 65536, NW: int = 6, cap: int = SLOT_CAP,
                       interpret: bool = False, n_pat: int | None = None):
     """Whole-array scan with IN-KERNEL hit extraction (see
@@ -823,26 +826,33 @@ def pallas_scan_slots(codes, W, thr, t3=None, *, classes: tuple, Lmax: int,
     prev = jnp.roll(t3[:, :, U - LANE :], 1, axis=0)
     W4 = W.reshape(1, 8 * LANE, 1, LANE).swapaxes(1, 2)
 
+    in_specs = [
+        pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, U), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, U), lambda i: (i + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 8 * LANE, LANE), lambda i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [prev, t3, t3, W4]
+    if wcol is not None:
+        in_specs.append(pl.BlockSpec((8 * LANE, LANE), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(wcol)
+
     slots, counts = pl.pallas_call(
         functools.partial(
             _slots_kernel, classes=classes, U=U, na=na, plive=plive,
-            NW=NW, cap=cap,
+            NW=NW, cap=cap, use_wcol=wcol is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, 1 + NW, 8, cap), jnp.int32),
             jax.ShapeDtypeStruct((ntiles, 8, LANE), jnp.int32),
         ),
         grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, U), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, U), lambda i: (i + 1, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8 * LANE, LANE), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1 + NW, 8, cap), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -854,7 +864,7 @@ def pallas_scan_slots(codes, W, thr, t3=None, *, classes: tuple, Lmax: int,
             pltpu.VMEM((8 * len(classes), U + _na(Lmax) - 1), jnp.int8),
         ],
         interpret=interpret,
-    )(prev, t3, t3, W4)
+    )(*args)
     return slots, counts
 
 
@@ -879,8 +889,8 @@ def _gate_body(meta, wplane, gtbl, tile_base, *, NW: int, LgT: int,
     text position (traced scalar)."""
     cap = meta.shape[1]
     valid = meta != 0
-    sid = (meta >> 8) & 127
-    cntv = meta & 255
+    sid = (meta >> 5) & 1023  # the id sum; == the seed id when cnt == 1
+    cntv = meta & 31
     localpos = meta >> 15
     pstart = localpos + tile_base
     INF = jnp.int32(kk + 1)
@@ -1073,32 +1083,50 @@ def pallas_gate_slots(slots, counts, gtbl, *, NW: int, cap: int, LgT: int,
     jax.jit,
     static_argnames=("classes", "Lmax", "T", "NW", "cap", "LgT", "kk",
                      "band", "indels", "lens", "out_cap", "oflow_cap",
-                     "interpret", "n_pat", "eos_esc", "wbits"),
+                     "interpret", "n_pat", "eos_esc", "wbits", "work_cap",
+                     "chain_Lg"),
 )
-def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None, *,
+def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
+                            chain=None, wcol=None, *,
                             classes: tuple, Lmax: int, T: int = 65536,
                             NW: int = 6, cap: int = SLOT_CAP, LgT: int = 8,
                             kk: int = 1, band: int = 1, indels: bool = True,
                             lens: tuple = (), out_cap: int = 4096,
                             oflow_cap: int = 64, interpret: bool = False,
                             n_pat: int | None = None, eos_esc: int = -1,
-                            wbits: int = 4):
+                            wbits: int = 4, work_cap: int | None = None,
+                            chain_Lg: int = 0):
     """The whole k>0 pigeonhole front-end in Pallas: scan + in-kernel hit
     extraction (:func:`pallas_scan_slots`) -> slotted extension gate
     (:func:`pallas_gate_slots`) -> tiny XLA dense-pack.  The only XLA
-    work is a [ntiles*8]-row cumsum and ``out_cap``-sized gathers — no
+    work is a [ntiles*8]-row cumsum and ``work_cap``-sized gathers — no
     O(positions) op ever runs outside the kernels.
+
+    ``chain`` (optional) = (mtab, slen, gaccept, gglen, ggdir): the
+    device chain-member gate.  Multi-seed escapes are mostly RANDOM
+    half-matches of prefix-nested seed pairs whose extensions all fail;
+    without this, every one of them is fetched and host-extended (the
+    dominant k=1 serving tail).  mtab [KS, CKR, CM] maps the observable
+    (id_sum, cnt) key to its chain member sids (-1 = none /
+    unresolvable); each member's banded extension DP runs via the XLA
+    gate (:func:`..gate._gate_ok`, tables gaccept/gglen/ggdir, Lg =
+    ``chain_Lg``) over the work_cap-sized candidate row — escapes where
+    EVERY member fails are dropped ON DEVICE (they could not survive the
+    exact host extension either), identical final output.
 
     Returns ONE packed int32 row:
         [total, oflow_count,
-         pos x out_cap, meta x out_cap, oflow_row x oflow_cap]
-    where total = gate survivors + escapes (> out_cap -> caller retries
-    with a bigger cap), pos = window start position, meta bit 31 = escape
-    (multi-seed or tail position: host rescans those starts exactly),
-    else (sid << 8) | cnt in the low bits; oflow_row lists (tile*8 + r)
-    rows whose TRUE hit count exceeded the slot cap — the caller escapes
-    those rows' every position (correctness never depends on caps)."""
+         pos x out_cap, meta x out_cap, oflow_row x oflow_cap, work_total]
+    where total = gate survivors + kept escapes (> out_cap -> caller
+    retries with a bigger cap; work_total likewise vs work_cap), pos =
+    window start position, meta bit 31 = escape (multi-seed or tail
+    position: host chain-expands or rescans those starts exactly), else
+    (sid << 5) | cnt in the low bits; oflow_row lists (tile*8 + r) * nsegs
+    + g segments whose TRUE hit count exceeded the slot cap — the caller
+    escapes those segments' every position (correctness never depends on
+    caps)."""
     from ..compact import compact_mask
+    from ..gate import _gate_ok
 
     codes = codes.astype(jnp.uint8)
     n = int(codes.shape[0])
@@ -1129,10 +1157,16 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None, *,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 8 * LANE, LANE), lambda i: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 32, LANE), lambda i: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
     ]
-    args = [prev, t3, t3, W4, gtbl]
+    args = [prev, t3, t3, W4]
+    if wcol is not None:
+        # per-score-row chain weights, read by the kernel right after wt
+        in_specs.append(pl.BlockSpec((8 * LANE, LANE), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(wcol)
+    in_specs.append(pl.BlockSpec((1, 32, LANE), lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(gtbl)
     if use_wpack:
         wprev = jnp.roll(wpk[:, :, U - LANE :], 1, axis=0)
         in_specs += [
@@ -1151,6 +1185,7 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None, *,
             gate_cfg=(LgT, kk, band, indels, lens, T, n, Lmax, wbits,
                       segl, capg),
             eos_esc=eos_esc, Lmax=Lmax, use_wpack=use_wpack,
+            use_wcol=wcol is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, 8, cap), jnp.int32),
@@ -1177,41 +1212,73 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None, *,
     oflow_count, oflow_idx = compact_mask(segraw > capg, oflow_cap)
     oflow_row = jnp.where(oflow_idx < nrows * nsegs, oflow_idx, -1)
 
+    wcap = work_cap or out_cap
     rowcnt2 = jnp.minimum(counts[:, :, 0].reshape(nrows), cap)
     cum = jnp.cumsum(rowcnt2)
-    total = cum[nrows - 1]
-    j = jax.lax.broadcasted_iota(jnp.int32, (out_cap,), 0)
+    wtotal = cum[nrows - 1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (wcap,), 0)
     row = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
     rows = jnp.minimum(row, nrows - 1)
     s = j - (cum[rows] - rowcnt2[rows])
     val = kept.reshape(nrows, cap)[rows, jnp.minimum(s, cap - 1)]
-    valid = j < total
+    valid = j < wtotal
     localpos = (val & 0x7FFFFFFF) >> 15
     pstart = (rows >> 3) * T + localpos
+
+    keep2 = valid
+    if chain is not None:
+        mtab, slen, gaccept, gglen, ggdir = chain
+        KS, CKR, CM = mtab.shape
+        esc = val < 0
+        cnts = val & 31
+        sums = (val >> 5) & 1023
+        is_chain = (valid & esc & (cnts >= 2) & (cnts <= 1 + CKR)
+                    & (pstart <= n - Lmax) & (sums < KS))
+        key_s = jnp.where(is_chain, sums, 0)
+        key_c = jnp.clip(cnts - 2, 0, CKR - 1)
+        resolved = mtab[key_s, key_c, 0] >= 0
+        any_ok = jnp.zeros_like(is_chain)
+        for m in range(CM):
+            sid_m = mtab[key_s, key_c, m]
+            sid_c = jnp.clip(sid_m, 0, slen.shape[0] - 1)
+            anch = (pstart + slen[sid_c]).astype(jnp.int32)
+            okm = _gate_ok.__wrapped__(
+                codes, anch, sid_c, gaccept, gglen, ggdir,
+                Lg=chain_Lg, k=kk, band=band, indels=indels, n=n)
+            any_ok = any_ok | ((sid_m >= 0) & okm)
+        keep2 = valid & ~(is_chain & resolved & ~any_ok)
+
+    total, sel = compact_mask(keep2, out_cap)
+    fvalid = sel < wcap
+    fidx = jnp.minimum(sel, wcap - 1)
     return jnp.concatenate([
         total[None], oflow_count[None],
-        jnp.where(valid, pstart, -1).astype(jnp.int32),
-        jnp.where(valid, val, 0).astype(jnp.int32),
+        jnp.where(fvalid, pstart[fidx], -1).astype(jnp.int32),
+        jnp.where(fvalid, val[fidx], 0).astype(jnp.int32),
         oflow_row.astype(jnp.int32),
+        wtotal[None],
     ])
 
 
-def slots_gate_table(gate, lengths, LgT: int) -> np.ndarray:
+def slots_gate_table(gate, lengths, LgT: int, w=None) -> np.ndarray:
     """[32, 128] int32 per-seed gate metadata for
-    :func:`_gate_slots_kernel` (seed id = column): accept-bitmask bytes
+    :func:`_gate_slots_kernel` (column = the seed's chain-weight code
+    ``w[s]``, or the seed id when ``w`` is None): accept-bitmask bytes
     per truncated extension position, then extension length (clamped),
     lmatch flag, seed length."""
     bits = gate.bits_np  # [S, Lg]
     S, Lg = bits.shape
     if S > LANE:
         raise ValueError(f"{S} seeds exceed the slots gate table width")
+    col = (np.arange(S, dtype=np.int64) if w is None
+           else np.asarray(w[:S], np.int64))
     tbl = np.zeros((32, LANE), np.int32)
     for j in range(min(LgT, Lg)):
-        tbl[2 * j, :S] = bits[:, j] & 0xFF
-        tbl[2 * j + 1, :S] = (bits[:, j] >> 8) & 0xFF
-    tbl[2 * LgT, :S] = np.minimum(gate.glen_np, LgT)
-    tbl[2 * LgT + 1, :S] = (gate.dir_np > 0).astype(np.int32)
-    tbl[2 * LgT + 2, :S] = np.asarray(lengths[:S], np.int32)
+        tbl[2 * j, col] = bits[:, j] & 0xFF
+        tbl[2 * j + 1, col] = (bits[:, j] >> 8) & 0xFF
+    tbl[2 * LgT, col] = np.minimum(gate.glen_np, LgT)
+    tbl[2 * LgT + 1, col] = (gate.dir_np > 0).astype(np.int32)
+    tbl[2 * LgT + 2, col] = np.asarray(lengths[:S], np.int32)
     return tbl
 
 
@@ -1416,13 +1483,18 @@ def pallas_scan_gated(codes, W, thr, wconv, thresholds, lengths,
         if ptiles == 1:
             word = pos[:, 0]  # [ntiles, 8, U]
         else:
+            # global pattern id = local + LANE * tile, so the global id
+            # SUM combines as sum_j (sum_j + LANE * j * cnt_j)
             live = pos >= 0
-            cnts = jnp.sum(jnp.where(live, pos & 255, 0), axis=1)
+            cnt_t = jnp.where(live, pos & 255, 0)
+            cnts = jnp.sum(cnt_t, axis=1)
             offs = (jnp.arange(ptiles, dtype=jnp.int32) * LANE
                     )[None, :, None, None]
-            sids = jnp.max(jnp.where(live, (pos >> 8) + offs, -1), axis=1)
+            sums = jnp.sum(
+                jnp.where(live, (pos >> 8) + offs * cnt_t, 0), axis=1)
             word = jnp.where(
-                cnts > 0, (sids << 8) | cnts, jnp.int32(-256))
+                cnts > 0, (sums << 8) | jnp.minimum(cnts, 255),
+                jnp.int32(-256))
         # microblock occupancy straight from the words (word >= 0 <=> hit)
         occ = word.max(axis=1)  # [ntiles, U]
         occ = occ.reshape(ntiles, U // G, G).max(axis=2).reshape(-1)
@@ -1492,7 +1564,10 @@ def pallas_scan_gated(codes, W, thr, wconv, thresholds, lengths,
     svalid = sel < cap_mb * MB
     sidx = jnp.minimum(sel, cap_mb * MB - 1)
     cstart = pstart[sidx]
-    cpid = top_pid[sidx]
+    # multi-hit entries carry an id SUM >= P in the word's high bits;
+    # they are dropped in favor of the host rescan downstream, but the
+    # gather/gate here must stay in range
+    cpid = jnp.minimum(top_pid[sidx], P - 1)
     anchors = cstart + lengths[cpid].astype(jnp.int32)
 
     # escape list: positions with >1 hitting seed (host rescans those

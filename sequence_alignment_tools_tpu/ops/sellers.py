@@ -371,18 +371,105 @@ class SellersScanner:
         return self._kbits
 
     def kernel_available(self, n: int) -> bool:
-        """The Mosaic Sellers kernel handles this config: immediates fit
-        (alpha < 31, P < 128), the DP row unroll is bounded, halos fit,
-        and a device (or the interpret harness) is present."""
+        """A Mosaic kernel path handles this config — the Myers
+        bit-parallel kernel (preferred) or the row-DP Sellers kernel."""
         import jax as _jax
 
         t = self.tables
+        if self.myers_available(n):
+            return True
         return bool(
             (self.pallas_interpret or _jax.default_backend() != "cpu")
             and t.alpha < 31 and t.P <= 127
             and t.Lmax + self.k <= SEL_HALO
             and int(t.lengths.sum()) <= 4096
             and self.k <= 4 and n >= SEG)
+
+    # -- Myers bit-parallel path (ops.pallas.myers_kernel) -------------------
+
+    _MY_SEGC = 2048
+    _my_pairs = 1 << 12   # sticky caps (class-level, like the slots caps)
+    _my_slots = 1 << 12
+
+    def myers_available(self, n: int) -> bool:
+        """Myers kernel eligibility: one int32 word per pattern (len <=
+        31, P <= 30 so hit masks fit), warmup halo covers any <= k-edit
+        span, Levenshtein recurrence (indels), manageable class count."""
+        import jax as _jax
+
+        from .pallas.myers_kernel import MY_HALO
+
+        t = self.tables
+        return bool(
+            self.indels
+            and (self.pallas_interpret or _jax.default_backend() != "cpu")
+            and t.P <= 30 and t.Lmax <= 31
+            and t.Lmax + self.k <= MY_HALO + 1
+            and t.alpha <= 16 and self.k <= 8
+            and n >= self._MY_SEGC)
+
+    def _myers_cfg(self):
+        if getattr(self, "_my_cfg", None) is None:
+            from .pallas.myers_kernel import myers_eqbits
+
+            self._my_cfg = myers_eqbits(self.tables)
+        return self._my_cfg
+
+    def _myers_dispatch(self, codes, caps):
+        """Chained kernel + epilogue device calls (no sync).  Returns
+        (packed_row, (slots, counts)) — the kernel outputs are kept so
+        an overflow retry re-runs ONLY the cap-dependent XLA epilogue
+        (a fresh Mosaic compile per cap config would cost minutes)."""
+        from .pallas.myers_kernel import (myers_transpose,
+                                          pallas_myers_epilogue,
+                                          pallas_myers_kernel)
+
+        eqbits, lens, classes = self._myers_cfg()
+        t = self.tables
+        x4 = myers_transpose(np.asarray(codes), t.eos_code, self._MY_SEGC)
+        sl, ct = pallas_myers_kernel(
+            x4, eqbits=eqbits, lens=lens, classes=classes,
+            eos=t.eos_code, k=self.k, interpret=self.pallas_interpret)
+        row = pallas_myers_epilogue(
+            sl, ct, ntiles=x4.shape[0], ngroups=x4.shape[1],
+            segc=self._MY_SEGC, slot_cap=caps[1], pair_cap=caps[0],
+            n=len(codes))
+        return row, (sl, ct, x4.shape[0], x4.shape[1], len(codes))
+
+    def _myers_decode(self, packed, caps):
+        npairs = int(packed[0])
+        pos = packed[2 : 2 + npairs].astype(np.int64)
+        mask = packed[2 + caps[0] : 2 + caps[0] + npairs].astype(np.int64)
+        P = self.tables.P
+        sel = ((mask[:, None] >> np.arange(P)[None, :]) & 1) > 0
+        mi, pi = np.nonzero(sel)
+        return pos[mi] + 1, pi.astype(np.int64)
+
+    def _myers_pairs(self, codes):
+        cls = type(self)
+        caps = (self._my_pairs, self._my_slots)
+        res, kout = self._myers_dispatch(codes, caps)
+        while True:
+            packed = np.asarray(jax.device_get(res))
+            npairs, nslots = int(packed[0]), int(packed[1])
+            if npairs <= caps[0] and nslots <= caps[1]:
+                break
+            cls._my_pairs = max(
+                caps[0], 1 << (max(npairs, 1) - 1).bit_length())
+            cls._my_slots = max(
+                caps[1], 1 << (max(nslots, 1) - 1).bit_length())
+            caps = (self._my_pairs, self._my_slots)
+            res = self._myers_epilogue_retry(kout, caps)
+        return self._myers_decode(packed, caps)
+
+    def _myers_epilogue_retry(self, kout, caps):
+        from .pallas.myers_kernel import pallas_myers_epilogue
+
+        sl, ct, ntiles, ngroups, n = kout
+        return pallas_myers_epilogue(
+            sl, ct, ntiles=ntiles, ngroups=ngroups,
+            segc=self._MY_SEGC, slot_cap=caps[1],
+            pair_cap=caps[0], n=n)
 
     def _pairs_dispatch(self, codes: np.ndarray, caps):
         """Launch one kernel scan (no sync)."""
@@ -405,11 +492,16 @@ class SellersScanner:
             type(self)._pool = ThreadPoolExecutor(max_workers=1)
         pend = deque()
         for i, codes in enumerate(blocks):
-            caps = (self._sout_cap, self._soflow_cap)
-            res = self._pairs_dispatch(codes, caps)
+            if self.myers_available(len(codes)):
+                caps = ("my", self._my_pairs, self._my_slots)
+                res, kout = self._myers_dispatch(codes, caps[1:])
+            else:
+                caps = ("dp", self._sout_cap, self._soflow_cap)
+                res = self._pairs_dispatch(codes, caps[1:])
+                kout = None
             fut = self._pool.submit(
                 lambda r=res: np.asarray(jax.device_get(r)))
-            pend.append((i, codes, caps, fut))
+            pend.append((i, codes, caps, fut, kout))
             if len(pend) >= depth:
                 yield self._pairs_collect(*pend.popleft())
         while pend:
@@ -417,8 +509,22 @@ class SellersScanner:
 
     _pool = None
 
-    def _pairs_collect(self, i, codes, caps, fut):
+    def _pairs_collect(self, i, codes, caps, fut, kout=None):
         packed = fut.result()
+        kind, caps = caps[0], caps[1:]
+        if kind == "my":
+            npairs, nslots = int(packed[0]), int(packed[1])
+            while npairs > caps[0] or nslots > caps[1]:
+                cls = type(self)
+                cls._my_pairs = max(
+                    caps[0], 1 << (max(npairs, 1) - 1).bit_length())
+                cls._my_slots = max(
+                    caps[1], 1 << (max(nslots, 1) - 1).bit_length())
+                caps = (self._my_pairs, self._my_slots)
+                packed = np.asarray(jax.device_get(
+                    self._myers_epilogue_retry(kout, caps)))
+                npairs, nslots = int(packed[0]), int(packed[1])
+            return (i,) + self._myers_decode(packed, caps)
         total, oflow = int(packed[0]), int(packed[1])
         if total > caps[0] or oflow > caps[1]:
             cls = type(self)
@@ -431,12 +537,16 @@ class SellersScanner:
 
     def scan_pairs(self, codes: np.ndarray):
         """(ends [M] int64, pids [M] int64) — the full Sellers candidate
-        set {(b, p): mindist(b, p) <= k}, UNORDERED, via the Mosaic
-        kernel: per-position hit counts + top pattern compact in-kernel;
-        positions where several patterns fire (or whose per-row slots
-        overflowed) are re-solved by the exact numpy DP
-        (:meth:`rescan_boundaries`).  Candidate set identical to
+        set {(b, p): mindist(b, p) <= k}, UNORDERED.  Via the Myers
+        bit-parallel kernel when eligible (every hitting pattern rides
+        the per-position mask — no multi-pattern escapes at all), else
+        the row-DP Mosaic kernel: per-position hit counts + top pattern
+        compact in-kernel; positions where several patterns fire (or
+        whose per-row slots overflowed) are re-solved by the exact numpy
+        DP (:meth:`rescan_boundaries`).  Candidate set identical to
         :meth:`scan`'s."""
+        if self.myers_available(len(codes)):
+            return self._myers_pairs(codes)
         cls = type(self)
         while True:
             caps = (self._sout_cap, self._soflow_cap)

@@ -268,7 +268,8 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
     from ..ops.pallas.scan_kernel import pallas_scan_gated_slots
 
     t = scanner.tables
-    LgT, NW, lens, gtbl, wbits, use_wpack = scanner._slots_statics(gt)
+    LgT, NW, lens, gtbl, wbits, use_wpack, wcol = \
+        scanner._slots_statics(gt)
     if scanner._slots_fold_c is None:
         from ..ops.pallas.scan_kernel import slots_fold_ok
 
@@ -285,6 +286,7 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
         W, thr, classes = scanner._pallas_weights_exact()
         eos_esc = -1
         T = scanner._pallas_T_exact()
+    T = min(T, 32768)  # slots-kernel VMEM stack bound (see _slots_dispatch)
     U = T // 8
     segl = min(1024, U)
     scanner._slots_geom = (T, segl, U // segl)
@@ -294,11 +296,15 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
     shards = jnp.asarray(shards, jnp.uint8)
     n_local = int(shards.shape[1])
     cls = type(scanner)
+    cdev = scanner._chain_dev(gt)
+    chain, chain_Lg = cdev if cdev is not None else (None, 0)
+    chain_args = chain if chain is not None else ()
 
     while True:
         out_cap, oflow_cap = scanner._gslots_out, scanner._gslots_oflow
+        work_cap = scanner._gslots_work
 
-        def per_shard(codes_block, W, thr, gtbl):
+        def per_shard(codes_block, W, thr, gtbl, wcol, *chain_args):
             from ..ops.pallas.scan_kernel import wpack_transpose
 
             wpk = (wpack_transpose.__wrapped__(
@@ -306,28 +312,36 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
                 if use_wpack else None)
             row = pallas_scan_gated_slots.__wrapped__(
                 codes_block[0], W, thr, gtbl, wpk=wpk,
+                chain=chain_args if chain_args else None, wcol=wcol,
                 classes=classes, Lmax=t.Lmax, T=T, NW=NW,
                 cap=64 * (U // segl), LgT=LgT, kk=k, band=gt.band,
                 indels=indels, lens=lens, out_cap=out_cap,
-                oflow_cap=oflow_cap, interpret=interpret, n_pat=t.P,
+                oflow_cap=oflow_cap, work_cap=work_cap,
+                chain_Lg=chain_Lg, interpret=interpret, n_pat=t.P,
                 eos_esc=eos_esc, wbits=wbits)
             return jax.lax.all_gather(row, axis)[None]
 
         rows = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(axis, None), P(), P(), P()),
+            in_specs=(P(axis, None), P(), P(), P(), P())
+            + (P(),) * len(chain_args),
             out_specs=P(axis, None, None),
             check_vma=False,
-        )(shards, W, thr, gtbl)
+        )(shards, W, thr, gtbl, wcol, *chain_args)
         rows = np.asarray(jax.device_get(rows[0]))  # [n_dev, rowlen]
-        if (rows[:, 0] <= out_cap).all() and (rows[:, 1] <= oflow_cap).all():
+        if (rows[:, 0] <= out_cap).all() \
+                and (rows[:, 1] <= oflow_cap).all() \
+                and (rows[:, -1] <= work_cap).all():
             break
         cls._gslots_out = max(
             out_cap, 1 << (max(int(rows[:, 0].max()), 1) - 1).bit_length())
         cls._gslots_oflow = max(
             oflow_cap,
             1 << (max(int(rows[:, 1].max()), 1) - 1).bit_length())
+        cls._gslots_work = max(
+            work_cap,
+            1 << (max(int(rows[:, -1].max()), 1) - 1).bit_length())
 
     anchors_l, sids_l, multi_l = [], [], []
     lengths = t.lengths

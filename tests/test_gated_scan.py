@@ -164,16 +164,19 @@ def test_chain_expansion_duplicate_and_nested_seeds():
     sc = ConvScanner(tables, k=0)
     tab = sc._chain_table()
     assert tab is not None
-    keymap, groups = tab
+    keymap, groups, w, winv = tab
+    # this seed set has no colliding chain sums: the weight search keeps
+    # the identity permutation, so keys below are plain id sums
+    assert (w == np.arange(len(w))).all()
     # the chain of the duplicate pair + prefixes: matcher sids
-    # {0, 1, 2, 3}, so the device-observable top is max sid 3
-    g = keymap[3, 4]
+    # {0, 1, 2, 3}, so the device-observable id SUM is 6
+    g = keymap[6, 4]
     assert g >= 0 and list(groups[g]) == [0, 1, 2, 3]
-    # ambiguous: "AACCT" chain and "AACGT" chain are both (top, 2) with
-    # tops 5 and 6 — distinct tops, so actually unambiguous here; check
-    # they resolve to their own chains
-    g5 = keymap[5, 2]
-    g6 = keymap[6, 2]
+    # "AACCT" chain {4, 5} (sum 9) and "AACGT" chain {4, 6} (sum 10):
+    # distinct sums, so unambiguous; check they resolve to their own
+    # chains
+    g5 = keymap[9, 2]
+    g6 = keymap[10, 2]
     assert list(groups[g5]) == [4, 5] and list(groups[g6]) == [4, 6]
     # expansion matches the exact rescan at real multi positions
     pos = np.asarray([100, 5000], np.int64)
@@ -181,7 +184,7 @@ def test_chain_expansion_duplicate_and_nested_seeds():
     codes[100 : 107] = pat[0]
     codes[5000 : 5005] = pat[1]
     ep, es, unres = sc._expand_chains(
-        pos, np.asarray([3, 5], np.int64), np.asarray([4, 2], np.int64))
+        pos, np.asarray([6, 9], np.int64), np.asarray([4, 2], np.int64))
     assert not unres.any()
     want = {(100, 0), (100, 1), (100, 2), (100, 3), (5000, 4), (5000, 5)}
     assert set(zip(ep.tolist(), es.tolist())) == want

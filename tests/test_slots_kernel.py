@@ -34,7 +34,7 @@ def _mk(n, pats, seed=3, plant=()):
 
 
 def _brute_hits(codes, tables):
-    """hits[t] = (count, top_pid) per window-start position, zero-padded
+    """hits[t] = (count, pid_sum) per window-start position, zero-padded
     text past n (the kernel's phase-transpose pad)."""
     n = len(codes)
     P = tables.P
@@ -43,14 +43,14 @@ def _brute_hits(codes, tables):
     out = {}
     padded = np.concatenate([codes, np.zeros(tables.Lmax, np.uint8)])
     for t in range(n):
-        cnt, top = 0, -1
+        cnt, sm = 0, 0
         for p in range(P):
             L = int(lens[p])
             if all(m[p, j, padded[t + j]] for j in range(L)):
                 cnt += 1
-                top = p
+                sm += p
         if cnt:
-            out[t] = (cnt, top)
+            out[t] = (cnt, sm)
     return out
 
 
@@ -66,8 +66,8 @@ def _decode(slots, counts, T, cap, NW):
                 meta = int(slots[i, 0, r, s])
                 assert meta != 0
                 localpos = meta >> 15
-                sid = (meta >> 8) & 0x7F
-                cnt = meta & 0xFF
+                sid = (meta >> 5) & 1023  # the hitting-id SUM
+                cnt = meta & 31
                 assert localpos % 8 == r
                 win = []
                 for q in range(NW):
@@ -105,9 +105,9 @@ def test_slots_matches_bruteforce(seed):
     padded = np.concatenate(
         [np.asarray(db.codes), np.zeros(8 * NW, np.uint8)])
     for t, (cnt, sid, win) in got.items():
-        wcnt, wtop = want[t]
-        assert cnt == min(wcnt, 127)
-        assert sid == wtop
+        wcnt, wsum = want[t]
+        assert cnt == min(wcnt, 31)
+        assert sid == wsum
         # window plane q code b is codes[t - SLOT_WB + 8q + b]
         for c in range(8 * NW):
             src = t - SLOT_WB + c
