@@ -274,6 +274,34 @@ def pallas_sellers_scan(seg3, *, bits: tuple, lens: tuple, eos: int,
     ])
 
 
+@functools.partial(jax.jit, static_argnames=("pair_cap", "gcap"))
+def _pack_myers_group(stacked, *, pair_cap: int, gcap: int):
+    """Compact a stacked group of Myers packed rows to their live pair
+    entries (conv_scan._pack_group discipline: tunnel fetch cost scales
+    with BYTES, and the rows are almost entirely capacity padding).
+    Returns [g npairs][g nslots][gcap pos][gcap mask] — the pair
+    sections are each row's live prefix concatenated in row order; the
+    host re-segments with a cumsum of the clamped counts and falls back
+    to the full stacked fetch if the group total exceeds ``gcap``."""
+    g = stacked.shape[0]
+    npt = stacked[:, 0]
+    nst = stacked[:, 1]
+    cnt = jnp.minimum(npt, pair_cap)
+    cum = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)])
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (gcap,), 0)
+    row = jnp.clip(
+        jnp.searchsorted(cum, pos_iota, side="right") - 1, 0, g - 1)
+    off = pos_iota - cum[row]
+    valid = pos_iota < cum[g]
+    src = row * (2 + 2 * pair_cap) + 2 + jnp.minimum(off, pair_cap - 1)
+    flat = stacked.reshape(-1)
+    src = jnp.where(valid, src, 0)
+    pos_e = jnp.where(valid, flat[src], 0)
+    mask_e = jnp.where(valid, flat[src + pair_cap], 0)
+    return jnp.concatenate([npt, nst, pos_e, mask_e])
+
+
 _SEG_CACHE: dict = {}
 
 
@@ -440,6 +468,9 @@ class SellersScanner:
         npairs = int(packed[0])
         pos = packed[2 : 2 + npairs].astype(np.int64)
         mask = packed[2 + caps[0] : 2 + caps[0] + npairs].astype(np.int64)
+        return self._myers_pairs_from(pos, mask)
+
+    def _myers_pairs_from(self, pos, mask):
         P = self.tables.P
         sel = ((mask[:, None] >> np.arange(P)[None, :]) & 1) > 0
         mi, pi = np.nonzero(sel)
@@ -481,49 +512,121 @@ class SellersScanner:
             indels=self.indels, out_cap=caps[0], oflow_cap=caps[1],
             interpret=self.pallas_interpret, n=len(codes))
 
-    def scan_pairs_stream(self, blocks, depth: int = 4):
+    _my_gcap = 1 << 16  # group-pack entry capacity (grows on overflow)
+
+    def scan_pairs_stream(self, blocks, depth: int = 32):
         """Pipelined :meth:`scan_pairs` over an iterator of code arrays:
-        scan i+1 dispatches before scan i's packed row returns; fetches
-        ride a background thread.  Yields (i, ends, pids) in order."""
+        scan i+1 dispatches before scan i's packed row returns; rows are
+        fetched in same-caps STACKED groups on a background thread (a
+        solo fetch pays the ~34 ms tunnel round-trip per rep — the
+        scan_stream transport discipline).  Yields (i, ends, pids) in
+        order."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        import jax.numpy as jnp
+
         if self._pool is None:
             type(self)._pool = ThreadPoolExecutor(max_workers=1)
-        pend = deque()
+        pend = deque()  # (i, codes, caps, res)
+        inflight = None
+
+        def launch(take):
+            group = [pend.popleft()]
+            while pend and len(group) < take \
+                    and pend[0][2] == group[0][2]:
+                group.append(pend.popleft())
+            rs = [g[3] for g in group]
+            caps = group[0][2]
+            if len(rs) > 1 and caps[0] == "my":
+                # device-side live-prefix pack: fetch bytes scale with
+                # true pair counts, not the cap padding
+                stacked = jnp.stack(rs)
+                gcap = self._my_gcap
+                res = _pack_myers_group(stacked, pair_cap=caps[1],
+                                        gcap=gcap)
+                fut = self._pool.submit(
+                    lambda r=res: np.asarray(jax.device_get(r)))
+                return ("pk", group, stacked, fut, gcap)
+            stacked = jnp.stack(rs) if len(rs) > 1 else rs[0]
+            fut = self._pool.submit(
+                lambda r=stacked: np.asarray(jax.device_get(r)))
+            return ("raw", group, None, fut, 0)
+
+        def drain(inf):
+            kind, group, stacked, fut, gcap = inf
+            rows = fut.result()
+            if kind == "raw":
+                if rows.ndim == 1:
+                    rows = rows[None]
+                for (i, codes, caps, _res), row in zip(group, rows):
+                    yield self._pairs_collect(i, codes, caps, row)
+                return
+            g = len(group)
+            caps = group[0][2][1:]
+            npt = rows[:g]
+            nst = rows[g : 2 * g]
+            cnt = np.minimum(npt, caps[0])
+            if int(cnt.sum()) > gcap:
+                type(self)._my_gcap = max(
+                    gcap, 1 << (int(cnt.sum()) - 1).bit_length())
+                full = np.asarray(jax.device_get(stacked))
+                for (i, codes, capsr, _res), row in zip(group, full):
+                    yield self._pairs_collect(i, codes, capsr, row)
+                return
+            offs = np.zeros(g + 1, np.int64)
+            offs[1:] = np.cumsum(cnt)
+            pos_sec = rows[2 * g : 2 * g + gcap]
+            mask_sec = rows[2 * g + gcap :]
+            for gi, (i, codes, capsr, _res) in enumerate(group):
+                if npt[gi] > caps[0] or nst[gi] > caps[1]:
+                    cls = type(self)
+                    cls._my_pairs = max(
+                        caps[0],
+                        1 << (max(int(npt[gi]), 1) - 1).bit_length())
+                    cls._my_slots = max(
+                        caps[1],
+                        1 << (max(int(nst[gi]), 1) - 1).bit_length())
+                    yield (i,) + self._myers_pairs(codes)
+                    continue
+                pos = pos_sec[offs[gi] : offs[gi + 1]].astype(np.int64)
+                mask = mask_sec[offs[gi] : offs[gi + 1]].astype(np.int64)
+                yield (i,) + self._myers_pairs_from(pos, mask)
+
         for i, codes in enumerate(blocks):
             if self.myers_available(len(codes)):
                 caps = ("my", self._my_pairs, self._my_slots)
-                res, kout = self._myers_dispatch(codes, caps[1:])
+                res, _kout = self._myers_dispatch(codes, caps[1:])
             else:
                 caps = ("dp", self._sout_cap, self._soflow_cap)
                 res = self._pairs_dispatch(codes, caps[1:])
-                kout = None
-            fut = self._pool.submit(
-                lambda r=res: np.asarray(jax.device_get(r)))
-            pend.append((i, codes, caps, fut, kout))
+            pend.append((i, codes, caps, res))
             if len(pend) >= depth:
-                yield self._pairs_collect(*pend.popleft())
-        while pend:
-            yield self._pairs_collect(*pend.popleft())
+                if inflight is not None:
+                    yield from drain(inflight)
+                inflight = launch(max(depth // 2, 1))
+        while inflight is not None or pend:
+            if inflight is not None:
+                yield from drain(inflight)
+                inflight = None
+            if pend:
+                inflight = launch(len(pend))
 
     _pool = None
 
-    def _pairs_collect(self, i, codes, caps, fut, kout=None):
-        packed = fut.result()
+    def _pairs_collect(self, i, codes, caps, packed):
         kind, caps = caps[0], caps[1:]
         if kind == "my":
             npairs, nslots = int(packed[0]), int(packed[1])
-            while npairs > caps[0] or nslots > caps[1]:
+            if npairs > caps[0] or nslots > caps[1]:
+                # overflow: redo solo (grows the sticky class caps; the
+                # epilogue-only retry path lives in _myers_pairs)
                 cls = type(self)
                 cls._my_pairs = max(
                     caps[0], 1 << (max(npairs, 1) - 1).bit_length())
                 cls._my_slots = max(
                     caps[1], 1 << (max(nslots, 1) - 1).bit_length())
-                caps = (self._my_pairs, self._my_slots)
-                packed = np.asarray(jax.device_get(
-                    self._myers_epilogue_retry(kout, caps)))
-                npairs, nslots = int(packed[0]), int(packed[1])
+                return (i,) + self._myers_pairs(codes)
             return (i,) + self._myers_decode(packed, caps)
         total, oflow = int(packed[0]), int(packed[1])
         if total > caps[0] or oflow > caps[1]:
