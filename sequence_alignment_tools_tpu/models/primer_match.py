@@ -951,7 +951,11 @@ class PrimerMatchModel:
         2k+1 window may extend past the batch's scan position are deferred,
         and unprocessed candidates carry over (filter_bitvec.cc:88-181)."""
         scanner, _verifier = self._filter_ctx()
-        if self.indels and scanner.mesh is None and not self.use_host \
+        if self.indels and scanner._host_eligible(len(self.db.codes)):
+            # native Sellers row machine: the one-shot latency path (no
+            # device compile/upload; candidate set identical)
+            sends, spids = scanner.host_pairs(self.db.codes)
+        elif self.indels and scanner.mesh is None and not self.use_host \
                 and scanner.kernel_available(len(self.db.codes)):
             # Mosaic Sellers kernel: whole candidate set in one device
             # round trip (candidate SET identical to the block DP's)

@@ -51,7 +51,8 @@ def _load(name: str, src_name: str):
         if (not os.path.exists(out)
                 or os.path.getmtime(out) < os.path.getmtime(src)):
             r = subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", out + ".tmp", src],
+                ["g++", "-O3", "-shared", "-fPIC", "-pthread",
+                 "-o", out + ".tmp", src],
                 capture_output=True,
             )
             if r.returncode != 0:
@@ -166,6 +167,15 @@ def load_shift_and_lib():
         c_u64p, c_u64p,                        # s, e
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # k, poison, eos
         c_u64p,                                # rows scratch
+        c_i64p, c_i32p, c_i32p, ctypes.c_int64,  # out_end/bit/mism, cap
+    ]
+    lib.sat_sellers_scan.restype = ctypes.c_int64
+    lib.sat_sellers_scan.argtypes = [
+        c_u8p, ctypes.c_int64,                 # codes, n
+        c_u64p, ctypes.c_int32, ctypes.c_int32,  # u, alpha, nwords
+        c_u64p, c_u64p, c_u64p,                # s, e, init
+        ctypes.c_int32, ctypes.c_int32,        # k, eos
+        ctypes.c_int32, ctypes.c_int32,        # halo, nthreads
         c_i64p, c_i32p, c_i32p, ctypes.c_int64,  # out_end/bit/mism, cap
     ]
     lib._sat_bound = True

@@ -184,3 +184,112 @@ class HostShiftAnd:
         order = np.lexsort((pids, starts))
         for i in order:
             yield int(ends[i]), int(pids[i]), int(mism[i])
+
+
+class HostSellers:
+    """Native k-EDIT (indel) candidate scanner: the one-shot latency path
+    of the filter engine (``shift_and_inexact.cc:265-315`` semantics —
+    the level sets of the Sellers semi-global DP as k+1 bit rows).
+
+    Candidate-set identical to :class:`..sellers.SellersScanner` by
+    construction: each pattern contributes a dense run of ``lengths[p]``
+    bits whose accept sets are the conv table's columns (an
+    empty-accept column simply never matches — substitution/indel
+    only), so bit (p, j) of row i <=> the length-(j+1) prefix of p
+    aligns to some text substring ending at the current char with <= i
+    edits, and the minimal row whose END bit fires is mindist(b, p).
+    """
+
+    def __init__(self, tables, k: int):
+        from ..native import load_shift_and_lib
+
+        self.lib = load_shift_and_lib()
+        self.tables = tables
+        self.k = k
+        self._built = False
+
+    def available(self) -> bool:
+        if self.lib is None or self.tables.alpha > 256:
+            return False
+        t = self.tables
+        lengths = t.lengths.astype(np.int64)
+        if (lengths <= self.k).any():  # degenerate: hits everywhere
+            return False
+        # 24 words: the native template instantiation budget (the k-edit
+        # inner loop carries 3 shifted terms per row — big states belong
+        # on the device paths anyway)
+        return 0 < int(lengths.sum()) <= 24 * 64 and self.k <= 8
+
+    def _build(self):
+        t = self.tables
+        P = t.P
+        lengths = t.lengths.astype(np.int64)
+        nbits = int(lengths.sum())
+        nwords = (nbits + 63) // 64
+        nr = self.k + 1
+        u = np.zeros((t.alpha, nwords), dtype=np.uint64)
+        s = np.zeros(nwords, dtype=np.uint64)
+        e = np.zeros(nwords, dtype=np.uint64)
+        init = np.zeros((nr, nwords), dtype=np.uint64)
+        end_pid = np.full(nbits, -1, dtype=np.int64)
+        bit = 0
+        for p in range(P):
+            L = int(lengths[p])
+            s[bit // 64] |= np.uint64(1) << np.uint64(bit % 64)
+            for j in range(L):
+                w, m = bit // 64, np.uint64(1) << np.uint64(bit % 64)
+                for c in np.nonzero(t.match[p, j])[0]:
+                    u[c, w] |= m
+                # INIT_i: prefixes of length <= i deleted outright
+                for i in range(j + 1, nr):
+                    init[i, w] |= m
+                bit += 1
+            eb = bit - 1
+            e[eb // 64] |= np.uint64(1) << np.uint64(eb % 64)
+            end_pid[eb] = p
+        self._u, self._s, self._e, self._init = u, s, e, init
+        self._end_pid = end_pid
+        self._nwords = nwords
+        self._built = True
+
+    def pairs(self, codes: np.ndarray, cap_hint: int = 0):
+        """(ends, pids, mism) int64/int64/int64 arrays, UNORDERED —
+        the full candidate set {(b, p): mindist(b, p) <= k}."""
+        if not self._built:
+            self._build()
+        import ctypes
+
+        lib = self.lib
+        t = self.tables
+        codes = np.ascontiguousarray(np.asarray(codes, dtype=np.uint8))
+        n = len(codes)
+        cap = max(int(cap_hint), 1024)
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_u64p = ctypes.POINTER(ctypes.c_uint64)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        while True:
+            out_end = np.empty(cap, dtype=np.int64)
+            out_bit = np.empty(cap, dtype=np.int32)
+            out_mism = np.empty(cap, dtype=np.int32)
+            total = lib.sat_sellers_scan(
+                codes.ctypes.data_as(c_u8p), n,
+                self._u.ctypes.data_as(c_u64p), t.alpha, self._nwords,
+                self._s.ctypes.data_as(c_u64p),
+                self._e.ctypes.data_as(c_u64p),
+                self._init.ctypes.data_as(c_u64p),
+                self.k, t.eos_code,
+                int(t.Lmax) + self.k, 0,
+                out_end.ctypes.data_as(c_i64p),
+                out_bit.ctypes.data_as(c_i32p),
+                out_mism.ctypes.data_as(c_i32p), cap,
+            )
+            if total < 0:
+                raise RuntimeError("sellers state exceeds native budget")
+            if total <= cap:
+                break
+            cap = 1 << (int(total) - 1).bit_length()
+        total = int(total)
+        ends = out_end[:total]
+        pids = self._end_pid[out_bit[:total]]
+        return ends, pids, out_mism[:total].astype(np.int64)

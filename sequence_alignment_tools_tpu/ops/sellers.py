@@ -376,6 +376,39 @@ class SellersScanner:
     mesh = None
     pallas_interpret = False
 
+    # -- native host k-edit machine (one-shot latency path) ------------------
+
+    _host_scanner = None
+    # tri-state like ConvScanner.use_host: None = auto (route small/cold
+    # scans to the native machine), False = pin the device paths
+    use_host = None
+
+    def _host_eligible(self, n: int) -> bool:
+        """Route to the native Sellers row machine when fixed device
+        costs (Mosaic compile, upload, tunnel round-trips) dominate —
+        the one-shot CLI posture (select.cc:103-142 strategy-layer
+        spirit)."""
+        import os
+
+        if (self.use_host is False or self.pallas_interpret
+                or self.mesh is not None or not self.indels):
+            return False
+        if self.use_host is None and (self.k > 4 or n > (1 << 26)):
+            return False
+        if os.environ.get("SAT_HOST_SCAN", "1") == "0":
+            return False
+        if self._host_scanner is None:
+            from .host_scan import HostSellers
+
+            self._host_scanner = HostSellers(self.tables, self.k)
+        return self._host_scanner.available()
+
+    def host_pairs(self, codes: np.ndarray):
+        """(ends, pids) via the native machine (caller checked
+        :meth:`_host_eligible`)."""
+        ends, pids, _ = self._host_scanner.pairs(np.asarray(codes))
+        return ends, pids
+
     # sticky dense-pack caps (see ConvScanner's slots caps)
     _sout_cap = 1 << 12
     _soflow_cap = 64
@@ -765,6 +798,17 @@ class SellersScanner:
             from ..parallel.shard import sharded_sellers_scan
 
             yield from sharded_sellers_scan(self, codes, self.mesh)
+            if self.progress:
+                self.progress(1.0)
+            return
+        # explicit pin only: auto host routing happens at the filter
+        # engine (the XLA block DP below stays the parity oracle for the
+        # kernel tests)
+        if self.use_host is True and self._host_eligible(len(codes)):
+            ends, pids, dist = self._host_scanner.pairs(np.asarray(codes))
+            order = np.lexsort((pids, ends))
+            for i in order:
+                yield int(ends[i]), int(pids[i]), int(dist[i])
             if self.progress:
                 self.progress(1.0)
             return

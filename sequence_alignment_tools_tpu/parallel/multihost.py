@@ -38,7 +38,12 @@ def init_distributed() -> tuple[int, int]:
     """
     coord = os.environ.get("SAT_COORDINATOR") \
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord and jax.process_count() == 1:
+    # probe the service state, NOT jax.process_count(): the latter
+    # initializes the XLA backend, after which initialize() refuses
+    from jax._src import distributed as _dist
+
+    already = getattr(_dist.global_state, "client", None)
+    if coord and already is None:
         nproc = os.environ.get("SAT_NUM_PROCESSES")
         pid = os.environ.get("SAT_PROCESS_ID")
         jax.distributed.initialize(
@@ -79,6 +84,13 @@ def shard_codes_2d(codes: np.ndarray, mesh: Mesh, halo: int, eos_code: int):
         out[i] = padded[i * shard : i * shard + shard + halo]
     out = out.reshape(H, C, shard + halo)
     sharding = NamedSharding(mesh, P("host", "chip", None))
+    if jax.process_count() > 1:
+        # real multi-process runs: every process holds the full flat
+        # array (the reference's one-flat-coordinate-space model), each
+        # contributes only its addressable shards
+        arr = jax.make_array_from_callback(
+            out.shape, sharding, lambda idx: out[idx])
+        return arr, shard
     return jax.device_put(out, sharding), shard
 
 
