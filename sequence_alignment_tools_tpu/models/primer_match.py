@@ -318,6 +318,19 @@ class PrimerMatchModel:
 
 
     _tail_exec = None
+    _tailproc_c = None
+
+    def _filter_tailproc(self):
+        """Persistent out-of-process _filter_emit executor (built once
+        per model; None when spawning is unavailable)."""
+        if self._tailproc_c is None:
+            try:
+                from ..parallel.tailproc import FilterTailPool
+
+                self._tailproc_c = FilterTailPool(self)
+            except Exception:
+                self._tailproc_c = False
+        return self._tailproc_c or None
 
     @classmethod
     def _tail_pool(cls):
@@ -490,19 +503,44 @@ class PrimerMatchModel:
                 # the consumer-driven stream otherwise serializes
                 # device scan + host tail per rep (numpy and the native
                 # verify release the GIL)
+                # the tail is ~2.5 ms of GIL-held Python per rep: on a
+                # worker THREAD it strangles the dispatch loop (the GIL
+                # serializes them — measured e2e 12.5 ms/rep vs device
+                # 7.3 + tail 4.8), so it runs in a worker PROCESS with
+                # its own GIL (parallel.tailproc), thread pool fallback
+                tailp = self._filter_tailproc()
+                if tailp is not None:
+                    pend = 0
+                    for _i, sends, spids in scanner.scan_pairs_stream(
+                            codes for _ in range(reps)):
+                        tailp.submit(sends, spids)
+                        pend += 1
+                        while pend > 6:
+                            yield tailp.result()
+                            pend -= 1
+                    while pend:
+                        yield tailp.result()
+                        pend -= 1
+                    return
+                import sys as _sys
                 from collections import deque
 
                 pool = self._tail_pool()
                 futs = deque()
-                for _i, sends, spids in scanner.scan_pairs_stream(
-                        codes for _ in range(reps)):
-                    futs.append(pool.submit(
-                        lambda s=sends, p=spids:
-                        list(self._filter_emit(s, p))))
-                    while len(futs) > 4:
+                swi = _sys.getswitchinterval()
+                _sys.setswitchinterval(5e-4)
+                try:
+                    for _i, sends, spids in scanner.scan_pairs_stream(
+                            codes for _ in range(reps)):
+                        futs.append(pool.submit(
+                            lambda s=sends, p=spids:
+                            list(self._filter_emit(s, p))))
+                        while len(futs) > 4:
+                            yield futs.popleft().result()
+                    while futs:
                         yield futs.popleft().result()
-                while futs:
-                    yield futs.popleft().result()
+                finally:
+                    _sys.setswitchinterval(swi)
                 return
             for _ in range(reps):
                 yield list(self.engine_hits())
@@ -971,10 +1009,19 @@ class PrimerMatchModel:
         yield from self._filter_emit(sends, spids)
 
     def _filter_emit(self, sends, spids):
+        """Tuple-stream form of :meth:`_filter_emit_rounds` (the
+        engine_hits contract)."""
+        for ea, pa, va in self._filter_emit_rounds(sends, spids):
+            yield from zip(ea.tolist(), pa.tolist(), va.tolist())
+
+    def _filter_emit_rounds(self, sends, spids):
         """filter_bitvec host tail from an UNORDERED candidate array
         pair — the reference's batch/cluster/defer state machine
         (filter_bitvec.cc:88-181) VECTORIZED (the per-candidate Python
-        loop was 47 ms per 16 MB rep vs 3 ms of native verify):
+        loop was 47 ms per 16 MB rep vs 3 ms of native verify).
+        Yields one (ends, pids_1based, values) array triple per
+        emission round; concatenated in round order they are exactly
+        the engine's hit stream:
 
         - batch formation: the incremental find_patterns break (>= minka
           new candidates AND a 2-position silence) is the first index
@@ -1058,12 +1105,9 @@ class PrimerMatchModel:
                     pid_c[emit_cids].astype(np.int32),
                     firstpos[emit_cids], pos_c[emit_cids])
                 fi = np.flatnonzero(found)
-                # batch the scalar conversions: per-yield numpy indexing
-                # was the residual 25 ms of this tail
-                for tup in zip(aend[fi].tolist(),
-                               (pid_c[emit_cids[fi]] + 1).tolist(),
-                               aval[fi].tolist()):
-                    yield tup
+                if len(fi):
+                    yield (aend[fi], pid_c[emit_cids[fi]] + 1,
+                           aval[fi].astype(np.int64))
             emitted = np.zeros(nclust, bool)
             emitted[emit_cids] = True
             liveA = np.empty(n_l, bool)

@@ -11,8 +11,13 @@
 // Built as a plain C-ABI shared library (no pybind11 on this image); loaded
 // via ctypes from engine/native.py with the pure-Python DP as fallback.
 
+#include <atomic>
+#include <condition_variable>
+#include <mutex>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -505,6 +510,113 @@ inline const unsigned char* make_window(const uint8_t* codes, int64_t n,
   return w;
 }
 
+// Persistent worker pool for the batched DP entry points.  Workers are
+// created ONCE (their thread_local Scratch/window buffers then persist
+// and stay warm — spawning fresh std::threads per call re-allocates all
+// scratch and measured 4x SLOWER than single-thread); work is claimed
+// in fixed grains off an atomic cursor, and the caller participates.
+class BatchPool {
+ public:
+  static BatchPool& inst() {
+    // intentionally leaked: a static instance's destructor would tear
+    // down mutexes while detached workers wait on them (aborts at exit)
+    static BatchPool* p = new BatchPool();
+    return *p;
+  }
+
+  bool run(int64_t n, bool (*fn)(int64_t, void*), void* ctx) {
+    std::unique_lock<std::mutex> lk(caller_);
+    cursor_.store(0, std::memory_order_relaxed);
+    ok_.store(true, std::memory_order_relaxed);
+    n_ = n;
+    fn_ = fn;
+    ctx_ = ctx;
+    done_.store(0, std::memory_order_relaxed);
+    {
+      std::lock_guard<std::mutex> g(m_);
+      ++epoch_;
+    }
+    cv_.notify_all();
+    work();  // caller participates
+    std::unique_lock<std::mutex> g(m_);
+    fin_.wait(g, [&] { return done_.load() == (int)workers_.size(); });
+    return ok_.load();
+  }
+
+ private:
+  BatchPool() {
+    int nw = (int)std::thread::hardware_concurrency() - 1;
+    // SAT_VERIFY_THREADS caps total participants (tail worker processes
+    // set it to 1 so children don't thrash the shared cores)
+    if (const char* env = std::getenv("SAT_VERIFY_THREADS")) {
+      const int cap = std::atoi(env);
+      if (cap >= 1 && cap - 1 < nw) nw = cap - 1;
+    }
+    if (nw > 3) nw = 3;
+    if (nw < 0) nw = 0;
+    for (int i = 0; i < nw; ++i)
+      workers_.emplace_back([this] { loop(); });
+  }
+
+  void loop() {
+    uint64_t seen = 0;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> g(m_);
+        cv_.wait(g, [&] { return epoch_ != seen; });
+        seen = epoch_;
+      }
+      work();
+      {
+        std::lock_guard<std::mutex> g(m_);
+        ++done_;
+      }
+      fin_.notify_one();
+    }
+  }
+
+  void work() {
+    const int64_t grain = 64;
+    for (;;) {
+      const int64_t lo = cursor_.fetch_add(grain, std::memory_order_relaxed);
+      if (lo >= n_) return;
+      const int64_t hi = lo + grain < n_ ? lo + grain : n_;
+      for (int64_t i = lo; i < hi; ++i) {
+        if (!ok_.load(std::memory_order_relaxed)) return;
+        if (!fn_(i, ctx_)) ok_.store(false, std::memory_order_relaxed);
+      }
+    }
+  }
+
+  std::mutex caller_;  // one batch at a time
+  std::mutex m_;
+  std::condition_variable cv_, fin_;
+  std::vector<std::thread> workers_;
+  uint64_t epoch_ = 0;
+  std::atomic<int> done_{0};
+  std::atomic<int64_t> cursor_{0};
+  std::atomic<bool> ok_{true};
+  int64_t n_ = 0;
+  bool (*fn_)(int64_t, void*) = nullptr;
+  void* ctx_ = nullptr;
+};
+
+// Run fn(i) over [0, ncand) — threaded through the persistent pool when
+// the batch is big enough to amortize the handoff.
+template <class F>
+bool run_batch(int64_t ncand, F fn) {
+  const int64_t kMinPer = 384;
+  if (ncand < 2 * kMinPer) {
+    for (int64_t i = 0; i < ncand; i++)
+      if (!fn(i)) return false;
+    return true;
+  }
+  auto tramp = [](int64_t i, void* ctx) -> bool {
+    return (*static_cast<F*>(ctx))(i);
+  };
+  return BatchPool::inst().run(ncand, tramp, &fn);
+}
+
 }  // namespace
 
 extern "C" {
@@ -526,7 +638,7 @@ int sat_extend_align_batch(
     int32_t k, uint8_t eos, int32_t wc, int32_t textn, int32_t indels,
     int32_t dna_mut, const uint8_t* compat, const int8_t* aasub,
     int32_t* ok_out, int64_t* end_out, int32_t* val_out) {
-  for (int64_t i = 0; i < ncand; i++) {
+  return run_batch(ncand, [&](int64_t i) {
     const int32_t s = sids[i];
     const int64_t anchor = anchors[i];
     int64_t start, buflen;
@@ -545,12 +657,12 @@ int sat_extend_align_batch(
         w, (int32_t)buflen, expats + ext_off[s], ext_len[s], dirs[s],
         la[s], ra[s], k, eos, wc, textn, indels, dna_mut, compat, aasub,
         &ok, &matchlen, &value);
-    if (r != 1) return 0;
+    if (r != 1) return false;
     ok_out[i] = ok;
     end_out[i] = dirs[s] > 0 ? anchor + matchlen : anchor;
     val_out[i] = value;
-  }
-  return 1;
+    return true;
+  }) ? 1 : 0;
 }
 
 // Batched yes/no verify (EditDistAligner.align semantics: right-anchored
@@ -568,7 +680,7 @@ int sat_verify_align_batch(
     int32_t dna_mut, const uint8_t* compat, const int8_t* aasub,
     int32_t* found_out, int64_t* start_out, int64_t* end_out,
     int32_t* val_out) {
-  for (int64_t i = 0; i < ncand; i++) {
+  return run_batch(ncand, [&](int64_t i) {
     const int32_t s = sids[i];
     const int64_t end = poslb[i];
     const int32_t patlen = pat_len[s];
@@ -585,20 +697,20 @@ int sat_verify_align_batch(
         esb[s], eeb[s], posub[i] - end, compat, aasub, nullptr,
         &found, &bestval, &beststart, &endt,
         nullptr, 0, &ncodes, stats);
-    if (r != 1) return 0;
+    if (r != 1) return false;
     if (beststart < 0) {  // early exit / out-of-band: not found
       found_out[i] = 0;
       start_out[i] = end;
       end_out[i] = end;
       val_out[i] = 0;
-      continue;
+      return true;
     }
     found_out[i] = found;
     start_out[i] = posub[i] - beststart;
     end_out[i] = start_out[i] + (beststart - endt);
     val_out[i] = bestval;
-  }
-  return 1;
+    return true;
+  }) ? 1 : 0;
 }
 
 }  // extern "C"
