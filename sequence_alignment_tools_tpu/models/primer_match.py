@@ -562,6 +562,10 @@ class PrimerMatchModel:
                 and scanner.mesh.devices.size > 1):
             # (multi-device runs go through the sharded gated path
             # per run; no cross-run stream there yet)
+            scanner._route(
+                "gated slots pipeline DECLINED (P=%d, Lmax=%d, k=%d): "
+                "per-run engine fallback" % (
+                    scanner.tables.P, scanner.tables.Lmax, self.k))
             for _ in range(reps):
                 yield list(self.engine_hits())
             return
@@ -992,6 +996,8 @@ class PrimerMatchModel:
         if self.indels and scanner._host_eligible(len(self.db.codes)):
             # native Sellers row machine: the one-shot latency path (no
             # device compile/upload; candidate set identical)
+            scanner._route("native Sellers row machine "
+                           "(one-shot latency path)")
             sends, spids = scanner.host_pairs(self.db.codes)
         elif self.indels and scanner.mesh is None and not self.use_host \
                 and scanner.kernel_available(len(self.db.codes)):

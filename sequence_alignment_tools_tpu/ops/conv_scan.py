@@ -261,6 +261,31 @@ class ConvScanner:
         self._pallas_wt = None
         self._dispatch_cache = {}
 
+    # -- route announcements (VERDICT r2 item 10) ----------------------------
+
+    _routes_done = None
+
+    def _route(self, msg: str) -> None:
+        """Name the kernel route actually taken, once per scanner, as a
+        reference-style '-v' strategy line (select.cc announcement
+        spirit) — so degraded fallbacks are visible.  'Route:' lines
+        are framework-native (the reference has none); parity harnesses
+        filter them like Progress lines.  Verbose mode (progress
+        reporter attached) or SAT_ROUTE_VERBOSE=1 enables them."""
+        import os
+
+        if self.progress is None and not os.environ.get(
+                "SAT_ROUTE_VERBOSE"):
+            return
+        if self._routes_done is None:
+            self._routes_done = set()
+        if msg in self._routes_done:
+            return
+        self._routes_done.add(msg)
+        from ..utils.log import timestamp
+
+        timestamp("Route: " + msg)
+
     # -- multi-chip routing ---------------------------------------------------
 
     # a jax.sharding.Mesh attached by the model layer (parallel.shard.
@@ -556,8 +581,10 @@ class ConvScanner:
             T = self._pallas_T_exact()
         # the slots kernel's VMEM stack peaks at scores [8*plive, U] int32
         # plus the matmul-reduce operand planes: T = 64K overflows the
-        # 16 MB scoped-vmem limit at plive = 128
-        T = min(T, 32768)
+        # 16 MB scoped-vmem limit even at plive = 40 (measured 18.07 M);
+        # T = 48K fits and shaves ~7% off the k=1 pipeline (fewer
+        # per-tile fixed costs), parity-checked on-chip
+        T = min(T, 49152 if t.P <= 64 else 32768)
         LgT, NW, lens, gtbl, wbits, use_wpack, wcol = \
             self._slots_statics(gt)
         U = T // 8
@@ -1394,7 +1421,19 @@ class ConvScanner:
                         drop = None
 
         nblocks = -(-n // B)
-        for i, hits in self.scan_stream(blocks(), depth=4):
+        if self._sharded_capable():
+            # DB >> RAM *and* a mesh: every streamed block is itself
+            # position-sharded over the chips (the multi-host north
+            # star's memory model — the DB is big BECAUSE there are
+            # many chips); ownership/rebase rules are identical
+            from ..parallel.shard import sharded_scan_stream
+
+            stream = sharded_scan_stream(
+                self, blocks(), self.mesh, depth=4,
+                interpret=self._mesh_interpret())
+        else:
+            stream = self.scan_stream(blocks(), depth=4)
+        for i, hits in stream:
             base = i * B
             for end, pid, m in hits:
                 if end - int(lengths[pid]) < B:  # halo-started: next block's
@@ -1404,7 +1443,11 @@ class ConvScanner:
 
     def scan(self, codes: np.ndarray):
         """Iterate candidate tuples over the whole array (host generator)."""
-        if self._stream_whole(codes) and self.mesh is None:
+        if self._stream_whole(codes):
+            self._route(
+                "streamed block scan (DB >> RAM)"
+                + (", sharded over %d devices" % self.mesh.devices.size
+                   if self._sharded_capable() else ""))
             yield from self._scan_flat_stream(codes)
             return
         if self._sharded_capable():
@@ -1413,6 +1456,8 @@ class ConvScanner:
             # through the fused pipeline, hit rows ride one all_gather
             from ..parallel.shard import sharded_pallas_scan_hits
 
+            self._route("fused Mosaic pipeline sharded over %d devices"
+                        % self.mesh.devices.size)
             yield from sharded_pallas_scan_hits(
                 self, codes, self.mesh, interpret=self._mesh_interpret())
             if self.progress:
@@ -1427,6 +1472,8 @@ class ConvScanner:
         # goes first; radix remains the huge-pattern-set dense-seed path
         # (hash/xmers seeds overflow the 4096-bit shift-and state)
         if self._host_eligible(len(codes)):
+            self._route("native shift-and host machine "
+                        "(one-shot latency path)")
             yield from self._host_scanner.scan(
                 codes, cap_hint=int(est * 4) + 1024)
             if self.progress:
@@ -1444,6 +1491,7 @@ class ConvScanner:
             # the device paths here (no transfers, no compiles).  Huge
             # pattern sets with no device path also land here: the XLA
             # block fallback pays O(B * P) dense scores
+            self._route("host radix census (dense exact seeds)")
             yield from self._scan_radix(codes)
             if self.progress:
                 self.progress(1.0)
@@ -1454,14 +1502,23 @@ class ConvScanner:
             # small inputs aren't worth the Mosaic compile; the XLA block
             # path below is already instant there
             if self.tables.P > self._PBLOCK:
+                self._route(
+                    "pattern-blocked Mosaic pipeline (%d patterns, "
+                    "%d blocks)" % (self.tables.P,
+                                    -(-self.tables.P // self._PBLOCK)))
                 yield from self._scan_pblocked(codes, self.pallas_interpret)
             else:
+                self._route("fused Mosaic scan pipeline")
                 yield from self._scan_pallas(codes, self.pallas_interpret)
             if self.progress:
                 self.progress(1.0)
             return
         Lmax = self.tables.Lmax
         P = self.tables.P
+        self._route(
+            "XLA block-scan fallback (Lmax=%d%s, P=%d, k=%d, n=%d)"
+            % (Lmax, " > 128: no Mosaic kernel" if Lmax > 128 else "",
+               P, self.k, len(codes)))
         n = len(codes)
         eos = self.tables.eos_code
         lengths = self.tables.lengths

@@ -38,7 +38,10 @@ vs some window ending here), per text char:
     Pv = Mh | ~(Xv | Ph);  Mv = Ph & Xv
 
 The int32 add in Xh carries within the word — which is the algorithm's
-point — so each pattern owns a full word (no multi-pattern packing).
+point — so packing two patterns into one word needs a zero GUARD bit
+between the fields: both addend bits are 0 there, so the carry dies at
+the guard and the fields stay independent (see :func:`myers_eqbits`).
+Pairing compatible patterns nearly halves the per-char word count.
 """
 
 from __future__ import annotations
@@ -61,68 +64,123 @@ def _lsr(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
+def _s32(v: int) -> int:
+    """Wrap an unsigned 32-bit mask to the signed value jnp.int32 takes
+    (packed fields legitimately reach bit 31)."""
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
 def _myers_kernel(x_ref, out_ref, cnt_ref, pv_ref, mv_ref, sc_ref, *,
-                  eqbits: tuple, lens: tuple, classes: tuple, eos: int,
-                  k: int, ngroups: int, cap: int):
+                  eqwords: tuple, wordspec: tuple, lens: tuple,
+                  classes: tuple, eos: int, k: int, ngroups: int,
+                  cap: int):
     """One 32-char group for all 1024 segments of a tile.
 
     x_ref: [1, 256, 128] uint8 — rows 8c..8c+7 = char c's [8, 128] code
-    plane.  Scratch: pv/mv/sc [P * 8, 128] int32 (pattern p at rows
-    8p..8p+7), persisting across the group axis (grid innermost).
+    plane.  State is per WORD, not per pattern: wordspec[w] = (pA, pB)
+    packs up to two patterns into one int32 word (field A at bits
+    [0, mA), a zero GUARD bit at mA — the ``(Eq & Pv) + Pv`` carry dies
+    there because both addend bits are 0 — and field B at bits
+    [mA+1, mA+1+mB); pB = -1 for singletons).  Scratch: pv/mv
+    [NW * 8, 128] int32, sc [P * 8, 128] (scores stay per pattern),
+    persisting across the group axis (grid innermost).
     out_ref: [1, 33 * 8, 128] int32 — plane 0 = compacted slot meta
     ``(lane << 8) | sublane`` + 1 marker, planes 1 + c = char c's P-bit
     hit mask, each row-compacted to the row front.  cnt_ref: [1, 8, 128]
     — per-sublane-row compacted slot count (never exceeds 128: the
     "slots" are lanes, so overflow is impossible)."""
-    P = len(eqbits)
+    P = len(lens)
+    NW = len(wordspec)
     g = pl.program_id(1)
+
+    def word_ones(w):
+        pa, pb = wordspec[w]
+        ones = (1 << lens[pa]) - 1
+        if pb >= 0:
+            ones |= ((1 << lens[pb]) - 1) << (lens[pa] + 1)
+        return _s32(ones)
 
     @pl.when(g == 0)
     def _():
+        for w in range(NW):
+            pv_ref[8 * w : 8 * w + 8, :] = jnp.full(
+                (8, 128), word_ones(w), jnp.int32)
+            mv_ref[8 * w : 8 * w + 8, :] = jnp.zeros((8, 128), jnp.int32)
         for p in range(P):
-            pv_ref[8 * p : 8 * p + 8, :] = jnp.full(
-                (8, 128), (1 << lens[p]) - 1, jnp.int32)
-            mv_ref[8 * p : 8 * p + 8, :] = jnp.zeros((8, 128), jnp.int32)
             sc_ref[8 * p : 8 * p + 8, :] = jnp.full(
                 (8, 128), lens[p], jnp.int32)
 
-    pv = [pv_ref[8 * p : 8 * p + 8, :] for p in range(P)]
-    mv = [mv_ref[8 * p : 8 * p + 8, :] for p in range(P)]
+    pv = [pv_ref[8 * w : 8 * w + 8, :] for w in range(NW)]
+    mv = [mv_ref[8 * w : 8 * w + 8, :] for w in range(NW)]
     sc = [sc_ref[8 * p : 8 * p + 8, :] for p in range(P)]
+
+    # DNA fast path: classes are exactly codes (0, 1, 2, 3) — eq comes
+    # from a 2-level select tree over the code's bit planes (3 selects
+    # per word vs 2 ops per live class).  At EOS the tree yields class
+    # 0's bits, which is harmless: the per-word EOS reset overrides the
+    # state and the hit test uses the reset score.
+    tree_eq = classes == (0, 1, 2, 3)
 
     words = []
     for c in range(MY_GROUP):
         x = x_ref[0, 0, 8 * c : 8 * c + 8, :].astype(jnp.int32)
         at_eos = x == eos
-        sel = [x == cls for cls in classes]
-        w = jnp.zeros((8, 128), jnp.int32)
-        for p in range(P):
-            m = lens[p]
-            ones = jnp.int32((1 << m) - 1)
-            eq = jnp.zeros((8, 128), jnp.int32)
-            for ci, cls in enumerate(classes):
-                b = eqbits[p][ci]
-                if b:
-                    eq = eq | jnp.where(sel[ci], jnp.int32(b), 0)
-            xv = eq | mv[p]
-            xh = (((eq & pv[p]) + pv[p]) ^ pv[p]) | eq
-            ph = mv[p] | ~(xh | pv[p])
-            mh = pv[p] & xh
-            s = sc[p] + (_lsr(ph, m - 1) & 1) - (_lsr(mh, m - 1) & 1)
+        if tree_eq:
+            x0 = (x & 1) > 0
+            x1 = (x & 2) > 0
+        else:
+            sel = [x == cls for cls in classes]
+        w_hits = jnp.zeros((8, 128), jnp.int32)
+        for w in range(NW):
+            pa, pb = wordspec[w]
+            ones = jnp.int32(word_ones(w))
+            if tree_eq:
+                b0, b1, b2, b3 = (jnp.int32(eqwords[w][ci])
+                                  for ci in range(4))
+                eq = jnp.where(x1, jnp.where(x0, b3, b2),
+                               jnp.where(x0, b1, b0))
+            else:
+                eq = jnp.zeros((8, 128), jnp.int32)
+                for ci in range(len(classes)):
+                    b = eqwords[w][ci]
+                    if b:
+                        eq = eq | jnp.where(sel[ci], jnp.int32(b), 0)
+            xv = eq | mv[w]
+            xh = (((eq & pv[w]) + pv[w]) ^ pv[w]) | eq
+            ph = mv[w] | ~(xh | pv[w])
+            mh = pv[w] & xh
+            tops = [(pa, lens[pa] - 1)]
+            if pb >= 0:
+                tops.append((pb, lens[pa] + lens[pb]))
+            svals = []
+            for p, top in tops:
+                svals.append(
+                    (p, sc[p] + (_lsr(ph, top) & 1) - (_lsr(mh, top) & 1)))
             ph = ph << 1
             mh = mh << 1
+            if pb >= 0:
+                # zero the bit shifted into field B's start (field A's
+                # guard content — the semi-global free start shifts 0 in)
+                smask = jnp.int32(_s32(~(1 << (lens[pa] + 1))))
+                ph = ph & smask
+                mh = mh & smask
             npv = (mh | ~(xv | ph)) & ones
             nmv = (ph & xv) & ones
-            pv[p] = jnp.where(at_eos, ones, npv)
-            mv[p] = jnp.where(at_eos, 0, nmv)
-            sc[p] = jnp.where(at_eos, m, s)
-            hit = (s <= k) & ~at_eos
-            w = w | jnp.where(hit, jnp.int32(1 << p), 0)
-        words.append(w)
+            pv[w] = jnp.where(at_eos, ones, npv)
+            mv[w] = jnp.where(at_eos, 0, nmv)
+            for p, s in svals:
+                sc[p] = jnp.where(at_eos, lens[p], s)
+                # lens[p] > k always, so the reset score also encodes
+                # the EOS hit suppression
+                hit = sc[p] <= k
+                w_hits = w_hits | jnp.where(hit, jnp.int32(1 << p), 0)
+        words.append(w_hits)
 
+    for w in range(NW):
+        pv_ref[8 * w : 8 * w + 8, :] = pv[w]
+        mv_ref[8 * w : 8 * w + 8, :] = mv[w]
     for p in range(P):
-        pv_ref[8 * p : 8 * p + 8, :] = pv[p]
-        mv_ref[8 * p : 8 * p + 8, :] = mv[p]
         sc_ref[8 * p : 8 * p + 8, :] = sc[p]
 
     # compact lanes with any hit this group; payload = meta + 32 words
@@ -150,11 +208,11 @@ def _myers_kernel(x_ref, out_ref, cnt_ref, pv_ref, mv_ref, sc_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eqbits", "lens", "classes", "eos", "k",
-                     "interpret"),
+    static_argnames=("eqwords", "wordspec", "lens", "classes", "eos",
+                     "k", "interpret"),
 )
-def pallas_myers_kernel(x4, *, eqbits: tuple, lens: tuple,
-                        classes: tuple, eos: int, k: int,
+def pallas_myers_kernel(x4, *, eqwords: tuple, wordspec: tuple,
+                        lens: tuple, classes: tuple, eos: int, k: int,
                         interpret: bool = False):
     """The Mosaic half of the Myers scan: (slots, counts) raw kernel
     outputs.  SEPARATE jit from the cap-dependent epilogue
@@ -163,11 +221,13 @@ def pallas_myers_kernel(x4, *, eqbits: tuple, lens: tuple,
     they re-run only the tiny XLA gather over the SAME kernel outputs."""
     ntiles = x4.shape[0]
     ngroups = x4.shape[1]
-    P = len(eqbits)
+    P = len(lens)
+    NW = len(wordspec)
     slots, counts = pl.pallas_call(
         functools.partial(
-            _myers_kernel, eqbits=eqbits, lens=lens, classes=classes,
-            eos=eos, k=k, ngroups=ngroups, cap=128,
+            _myers_kernel, eqwords=eqwords, wordspec=wordspec,
+            lens=lens, classes=classes, eos=eos, k=k, ngroups=ngroups,
+            cap=128,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(
@@ -188,8 +248,8 @@ def pallas_myers_kernel(x4, *, eqbits: tuple, lens: tuple,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((8 * P, 128), jnp.int32),
-            pltpu.VMEM((8 * P, 128), jnp.int32),
+            pltpu.VMEM((8 * NW, 128), jnp.int32),
+            pltpu.VMEM((8 * NW, 128), jnp.int32),
             pltpu.VMEM((8 * P, 128), jnp.int32),
         ],
         interpret=interpret,
@@ -298,23 +358,49 @@ def myers_transpose(codes: np.ndarray, eos_code: int, segc: int):
 
 
 def myers_eqbits(tables):
-    """(eqbits, lens, classes): per-pattern per-class accept bitmasks
-    (bit j = pattern position j accepts the class) for live classes."""
+    """(eqwords, wordspec, lens, classes): the packed word layout for
+    :func:`_myers_kernel`.
+
+    Patterns pair greedily (longest-first first-fit) into int32 words
+    when ``mA + 1 + mB <= 32`` — field A at bits [0, mA), a zero guard
+    bit at mA, field B at [mA+1, mA+1+mB).  The kernel's per-char cost
+    scales with WORDS, so pairing short patterns nearly halves it.
+    eqwords[w][ci] is the combined accept mask of both fields for live
+    class ci; wordspec[w] = (pA, pB) with pB = -1 for singletons."""
     t = tables
     classes = tuple(
         c for c in range(t.alpha)
         if c != t.eos_code and bool(np.any(t.match[:, :, c])))
-    eqbits = []
-    lens = []
-    for p in range(t.P):
-        m = int(t.lengths[p])
+    lens = tuple(int(t.lengths[p]) for p in range(t.P))
+
+    def bits(p, c):
+        b = 0
+        for j in range(lens[p]):
+            if t.match[p, j, c]:
+                b |= 1 << j
+        return b
+
+    order = sorted(range(t.P), key=lambda p: -lens[p])
+    used = [False] * t.P
+    wordspec = []
+    for i, pa in enumerate(order):
+        if used[pa]:
+            continue
+        used[pa] = True
+        mate = -1
+        for pb in order[i + 1:]:
+            if not used[pb] and lens[pa] + 1 + lens[pb] <= 32:
+                mate = pb
+                used[pb] = True
+                break
+        wordspec.append((pa, mate))
+    eqwords = []
+    for pa, pb in wordspec:
         row = []
         for c in classes:
-            b = 0
-            for j in range(m):
-                if t.match[p, j, c]:
-                    b |= 1 << j
-            row.append(b)
-        eqbits.append(tuple(row))
-        lens.append(m)
-    return tuple(eqbits), tuple(lens), classes
+            b = bits(pa, c)
+            if pb >= 0:
+                b |= bits(pb, c) << (lens[pa] + 1)
+            row.append(_s32(b))
+        eqwords.append(tuple(row))
+    return tuple(eqwords), tuple(wordspec), lens, classes

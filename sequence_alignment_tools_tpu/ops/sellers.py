@@ -376,6 +376,25 @@ class SellersScanner:
     mesh = None
     pallas_interpret = False
 
+    _routes_done = None
+
+    def _route(self, msg: str) -> None:
+        """Reference-style '-v' route announcement (see
+        ConvScanner._route): names the k-edit kernel actually used."""
+        import os
+
+        if self.progress is None and not os.environ.get(
+                "SAT_ROUTE_VERBOSE"):
+            return
+        if self._routes_done is None:
+            self._routes_done = set()
+        if msg in self._routes_done:
+            return
+        self._routes_done.add(msg)
+        from ..utils.log import timestamp
+
+        timestamp("Route: " + msg)
+
     # -- native host k-edit machine (one-shot latency path) ------------------
 
     _host_scanner = None
@@ -467,6 +486,7 @@ class SellersScanner:
             and t.P <= 30 and t.Lmax <= 31
             and t.Lmax + self.k <= MY_HALO + 1
             and t.alpha <= 16 and self.k <= 8
+            and int(t.lengths.min()) > self.k  # reset-score hit gate
             and n >= self._MY_SEGC)
 
     def _myers_cfg(self):
@@ -485,12 +505,13 @@ class SellersScanner:
                                           pallas_myers_epilogue,
                                           pallas_myers_kernel)
 
-        eqbits, lens, classes = self._myers_cfg()
+        eqwords, wordspec, lens, classes = self._myers_cfg()
         t = self.tables
         x4 = myers_transpose(np.asarray(codes), t.eos_code, self._MY_SEGC)
         sl, ct = pallas_myers_kernel(
-            x4, eqbits=eqbits, lens=lens, classes=classes,
-            eos=t.eos_code, k=self.k, interpret=self.pallas_interpret)
+            x4, eqwords=eqwords, wordspec=wordspec, lens=lens,
+            classes=classes, eos=t.eos_code, k=self.k,
+            interpret=self.pallas_interpret)
         row = pallas_myers_epilogue(
             sl, ct, ntiles=x4.shape[0], ngroups=x4.shape[1],
             segc=self._MY_SEGC, slot_cap=caps[1], pair_cap=caps[0],
@@ -682,7 +703,10 @@ class SellersScanner:
         DP (:meth:`rescan_boundaries`).  Candidate set identical to
         :meth:`scan`'s."""
         if self.myers_available(len(codes)):
+            self._route("Myers bit-parallel k-edit kernel "
+                        "(packed pattern pairs)")
             return self._myers_pairs(codes)
+        self._route("row-DP Sellers Mosaic kernel")
         cls = type(self)
         while True:
             caps = (self._sout_cap, self._soflow_cap)
@@ -805,6 +829,7 @@ class SellersScanner:
         # engine (the XLA block DP below stays the parity oracle for the
         # kernel tests)
         if self.use_host is True and self._host_eligible(len(codes)):
+            self._route("native Sellers row machine (host)")
             ends, pids, dist = self._host_scanner.pairs(np.asarray(codes))
             order = np.lexsort((pids, ends))
             for i in order:
@@ -813,6 +838,8 @@ class SellersScanner:
                 self.progress(1.0)
             return
         t = self.tables
+        self._route("XLA Sellers block DP (Lmax=%d, P=%d, k=%d)"
+                    % (t.Lmax, t.P, self.k))
         halo = t.Lmax + self.k
         n = len(codes)
         W = self.block + halo

@@ -110,6 +110,82 @@ def main():
     assert got == want and got, ("shard_map-1dev", len(got), len(want))
     print(f"shard_map 1-dev: {len(got)} hits OK", flush=True)
 
+    # --- Myers bit-parallel k-edit kernel (packed pattern pairs) -------
+    # every BENCH_r* k-edit row rides this; the parity oracle is the XLA
+    # Sellers block DP (an independent formulation)
+    from sequence_alignment_tools_tpu.ops.sellers import SellersScanner
+
+    mpats = [take(2000 + 7919 * i, L)
+             for i, L in enumerate((13, 13, 16, 18, 17, 15, 14, 17))]
+    mps = build_pattern_set(mpats, rev_comp=True)
+    mtables = build_tables(mps, db, wc=False, textn=False)
+    for k in (1, 2):
+        dev = SellersScanner(mtables, k=k, indels=True)
+        assert dev.myers_available(n)
+        ends, pids = dev.scan_pairs(np.asarray(db.codes))
+        got = sorted(zip(ends.tolist(), pids.tolist()))
+        ref = SellersScanner(mtables, k=k, indels=True, block=1 << 18)
+        want = sorted((e, p) for e, p, _ in ref.scan(db.codes))
+        assert got == want and got, ("myers", k, len(got), len(want))
+        print(f"myers k={k}: {len(got)} hits OK", flush=True)
+
+    # --- Sellers row-DP kernel (Lmax > 31: Myers ineligible) -----------
+    lpats = [take(3000 + 7919 * i, 40) for i in range(4)]
+    lps = build_pattern_set(lpats, rev_comp=True)
+    ltables = build_tables(lps, db, wc=False, textn=False)
+    dev = SellersScanner(ltables, k=2, indels=True)
+    assert not dev.myers_available(n) and dev.kernel_available(n)
+    ends, pids = dev.scan_pairs(np.asarray(db.codes))
+    got = sorted(zip(ends.tolist(), pids.tolist()))
+    ref = SellersScanner(ltables, k=2, indels=True, block=1 << 18)
+    want = sorted((e, p) for e, p, _ in ref.scan(db.codes))
+    assert got == want and got, ("sellers-dp", len(got), len(want))
+    print(f"sellers row-DP k=2: {len(got)} hits OK", flush=True)
+
+    # --- wide-alphabet WILDCARD config (IUPAC classes in the weights) --
+    wpats = [take(5000 + 9103 * i, 16) for i in range(6)]
+    wpats = [p[:6] + "N" + p[7:12] + "R" + p[13:] for p in wpats]
+    wps = build_pattern_set(wpats, rev_comp=True)
+    wtables = build_tables(wps, db, wc=True, textn=False)
+    got = sorted(ConvScanner(wtables, k=0, use_pallas=True).scan(db.codes))
+    want = sorted(_xla_scanner(wtables, 0).scan(db.codes))
+    assert got == want and got, ("wildcard", len(got), len(want))
+    print(f"wildcard k=0: {len(got)} hits OK", flush=True)
+
+    # --- the k>0 gated slots pipeline (halves engine, wpack form) ------
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set \
+        as _bps
+    from sequence_alignment_tools_tpu.models.primer_match import (
+        PrimerMatchModel,
+    )
+
+    gdb = SeqDB(codes=db.codes, table=table, entry_starts=np.array([0]),
+                entry_lengths=np.array([n]), headers=["e1"])
+    gpats = [take(8000 + 10007 * i, 16) for i in range(8)]
+    gps = _bps(gpats, rev_comp=True)
+    mg = PrimerMatchModel(gdb, gps, k=1, mesh=None)
+    mg.use_host = False
+    assert mg.engine == "halves", mg.engine
+    got = sorted(mg.engine_hits())
+    mh = PrimerMatchModel(gdb, gps, k=1, mesh=None)
+    mh.use_host = True
+    want = sorted(mh.engine_hits())
+    assert got == want and got, ("gated-slots", len(got), len(want))
+    print(f"gated slots k=1: {len(got)} hits OK", flush=True)
+
+    # --- pattern-blocked exact path (P > _PBLOCK device passes) --------
+    bpats = [take(1000 + 997 * i, 14) for i in range(1200)]
+    bpats = list(dict.fromkeys(bpats))
+    bps2 = _bps(bpats, rev_comp=True)  # P > 2048 -> 2 pattern blocks
+    btables = build_tables(bps2, db, wc=False, textn=False)
+    bsc = ConvScanner(btables, k=0, use_pallas=True)
+    bsc.use_host = False
+    assert btables.P > bsc._PBLOCK
+    got = sorted(bsc.scan(db.codes))
+    want = sorted(_xla_scanner(btables, 0).scan(db.codes))
+    assert got == want and got, ("pattern-blocked", len(got), len(want))
+    print(f"pattern-blocked P={btables.P}: {len(got)} hits OK", flush=True)
+
     print("ONCHIP OK", flush=True)
 
 

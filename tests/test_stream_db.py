@@ -85,6 +85,43 @@ def test_streamed_scan_matches_resident(tmp_path):
     assert keyed == sorted(keyed)
 
 
+def test_streamed_scan_composes_with_mesh(tmp_path):
+    """DB >> RAM *and* a device mesh (VERDICT r2 item 9): the streamed
+    block path routes each block through the sharded pipelined scan —
+    1 == N byte parity on the 8-device CPU mesh, straddles included."""
+    import jax
+
+    from sequence_alignment_tools_tpu.parallel.shard import make_mesh
+
+    base = str(tmp_path / "mesh.fa")
+    B = 1 << 16
+    n = 4 * B
+    planted = [B - 7, 2 * B - 7, 3 * B - 1, 500]
+    _write_sqn(base, n, planted, seed=13)
+
+    os.environ["SAT_STREAM_DB"] = "1"
+    try:
+        db = load_db(base)
+    finally:
+        del os.environ["SAT_STREAM_DB"]
+    assert isinstance(db.codes, np.memmap)
+
+    ps = build_pattern_set([PAT], rev_comp=True)
+    tables = build_tables(ps, db, wc=False, textn=False)
+
+    resident = ConvScanner(tables, k=0)
+    want = sorted(resident.scan(np.asarray(db.codes)))
+    assert len(want) >= len(planted)
+
+    meshed = ConvScanner(tables, k=0, use_pallas=True)
+    meshed.pallas_interpret = True
+    meshed.mesh = make_mesh(jax.devices()[:8])
+    meshed._STREAM_BLOCK = B
+    assert meshed._stream_whole(db.codes) and meshed._sharded_capable()
+    got = list(meshed.scan(db.codes))
+    assert sorted(got) == want
+
+
 _RSS_SCRIPT = r"""
 import os, resource, sys
 import numpy as np

@@ -53,12 +53,16 @@ def _ours(cfg):
 
 
 def _clean(stderr_text):
-    """Strip asctime prefixes, drop progress lines; assert line format."""
+    """Strip asctime prefixes, drop progress lines; assert line format.
+
+    'Route:' lines are framework-native kernel-route announcements
+    (VERDICT r2 item 10) — the reference has none, so they filter out
+    of the parity comparison exactly like throttled Progress lines."""
     msgs = []
     for line in stderr_text.splitlines():
         assert TS.match(line), f"untimestamped stderr line: {line!r}"
         msg = TS.sub("", line)
-        if not msg.startswith("Progress:"):
+        if not msg.startswith(("Progress:", "Route:")):
             msgs.append(msg)
     return msgs
 
@@ -87,6 +91,16 @@ def test_verbose_stderr_parity(oracle, corpus, cfg):
     ref_msgs = [TS.sub("", l) for l in ref.stderr.splitlines()
                 if not TS.sub("", l).startswith("Progress:")]
     assert _clean(got_err) == ref_msgs
+
+
+def test_route_lines(corpus):
+    """-v names the actual kernel route taken (VERDICT r2 item 10): the
+    route announcement appears once per scanner, timestamped."""
+    _, err = _ours(["-i", corpus, "-P", PAT, "-v", "-r", "-k", "2"])
+    routes = [TS.sub("", l) for l in err.splitlines()
+              if TS.sub("", l).startswith("Route:")]
+    assert routes, "no Route: line under -v"
+    assert len(routes) == len(set(routes))  # once per route
 
 
 def test_progress_lines(oracle, corpus):
