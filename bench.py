@@ -317,8 +317,9 @@ def bench_k_edit(db, k, indels=True):
 
 def bench_xmers_p50k(db, codes):
     """50,000-pattern exact batch (xmers.cc:821 phase-1 geometry): every
-    pattern drawn from the corpus, scanned via the pattern-blocked fused
-    Mosaic pipeline."""
+    pattern drawn from the corpus.  Auto-routes to the native threaded
+    mer-hash census (the dense correlation is MXU-FLOP-bound at this P;
+    see the bench notes)."""
     from sequence_alignment_tools_tpu.io.patterns import PatternSet
     from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
     from sequence_alignment_tools_tpu.ops.tables import build_tables
@@ -373,6 +374,9 @@ def validate_xmers(db, codes, xp):
     sub = np.ascontiguousarray(codes[: 1 << 21])
     dev = ConvScanner(tables, k=0)
     dev.use_host = False
+    dev._mer_lib_ok = lambda: False  # pin the DEVICE pipeline: the
+    # check must compare two independent algorithms, and the full-size
+    # row now rides the native mer census
     got = Counter((e, p) for e, p, _ in dev.scan(sub))
     host = ConvScanner(tables, k=0, use_pallas=False)
     host.use_host = True
@@ -670,10 +674,12 @@ def main():
             "not lift this bound",
             "xmers_p50k_bound": "dense MXU correlation is O(n*P*K): "
             "50k patterns x 16 Mbases x 128-wide contraction = 210 "
-            "TFLOP/scan =~ 0.5 s at v5e int8 peak - the row sits near "
-            "the achievable bound for a correlation design; a "
-            "hash-join design is gather-bound on this backend "
-            "(>=0.5M-element gathers measured 20-80 ms)",
+            "TFLOP/scan =~ 0.5 s at v5e int8 peak, and a device "
+            "hash-join is gather-bound (>=0.5M-element gathers measured "
+            "20-80 ms) - so this row rides the native threaded mer-hash "
+            "census (shift_and.cpp::sat_mer_scan, the reference's own "
+            "xmers design): one rolling base-alpha probe per position, "
+            "~15x the pattern-blocked device pipeline it replaced",
         },
     }))
 

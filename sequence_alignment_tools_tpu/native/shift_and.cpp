@@ -229,6 +229,106 @@ SellersRangeFn pick_sellers(int32_t nwords, std::integer_sequence<int, NW...>) {
 
 extern "C" {
 
+// Exact multi-pattern mer scan: rolling base-alpha window codes probed
+// against an open-addressing hash of the pattern codes — the reference's
+// xmers / hash_table mer lookup (hash_table.cc:144-226) as a native
+// threaded pass.  This is the huge-P exact regime where ANY dense
+// correlation design is MXU-FLOP-bound (O(n * P * K): 50k patterns over
+// 16 Mbases is ~210 TFLOP on the MXU, =~ 0.5 s at v5e int8 peak), so
+// the speed-of-light here is a memory-bound hash probe per position.
+//
+// Table: tsize power-of-2 slots; keys[slot] uint64 (~0ULL = empty),
+// head[slot] = first entry index; duplicate pattern codes chain through
+// enext[]; epid[] maps entries to pattern ids.  EOS needs no special
+// case: it is a live alphabet digit that no pattern contains, so any
+// window crossing an entry boundary rolls to a code that cannot match.
+namespace {
+
+inline int64_t mer_hash(uint64_t code, int64_t tmask) {
+  return (int64_t)((code * 0x9E3779B97F4A7C15ULL) >> 32) & tmask;
+}
+
+// second independent hash for the L1-resident bloom prefilter: most
+// positions miss, and testing one bit in a 64 KB bitmap beats loading
+// from the (L2-sized) slot table
+inline int64_t mer_bloom_bit(uint64_t code) {
+  return (int64_t)((code * 0xC2B2AE3D27D4EB4FULL) >> 45);  // 19 bits
+}
+
+void mer_scan_range(const uint8_t* codes, int64_t lo, int64_t hi, int32_t L,
+                    uint64_t alpha, uint64_t topmul, const uint64_t* keys,
+                    const int32_t* head, const int32_t* enext,
+                    const int32_t* epid, int64_t tmask,
+                    const uint64_t* bloom,
+                    int64_t* out_start, int32_t* out_pid, int64_t cap,
+                    std::atomic<int64_t>* nhits) {
+  // window [s, s + L) for s in [lo, hi)
+  uint64_t code = 0;
+  for (int64_t j = lo; j < lo + L; ++j) code = code * alpha + codes[j];
+  for (int64_t s = lo;; ++s) {
+    const int64_t b = mer_bloom_bit(code);
+    if (!((bloom[b >> 6] >> (b & 63)) & 1)) {
+      if (s + 1 >= hi) break;
+      code = (code - codes[s] * topmul) * alpha + codes[s + L];
+      continue;
+    }
+    int64_t slot = mer_hash(code, tmask);
+    while (true) {
+      const uint64_t k = keys[slot];
+      if (k == ~0ULL) break;
+      if (k == code) {
+        for (int32_t e = head[slot]; e >= 0; e = enext[e]) {
+          const int64_t at = nhits->fetch_add(1, std::memory_order_relaxed);
+          if (at < cap) {
+            out_start[at] = s;
+            out_pid[at] = epid[e];
+          }
+        }
+        break;
+      }
+      slot = (slot + 1) & tmask;
+    }
+    if (s + 1 >= hi) break;
+    code = (code - codes[s] * topmul) * alpha + codes[s + L];
+  }
+}
+
+}  // namespace
+
+int64_t sat_mer_scan(const uint8_t* codes, int64_t n, int32_t L,
+                     int64_t alpha, const uint64_t* keys,
+                     const int32_t* head, const int32_t* enext,
+                     const int32_t* epid, int64_t tsize,
+                     const uint64_t* bloom, int32_t nthreads,
+                     int64_t* out_start, int32_t* out_pid, int64_t cap) {
+  if (n < L || L <= 0 || tsize <= 0 || (tsize & (tsize - 1))) return -1;
+  const int64_t nstarts = n - L + 1;
+  uint64_t topmul = 1;
+  for (int32_t j = 0; j < L - 1; ++j) topmul *= (uint64_t)alpha;
+  std::atomic<int64_t> nhits{0};
+  int32_t nt = nthreads > 0 ? nthreads
+                            : (int32_t)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  const int64_t min_chunk = 1 << 16;
+  const int64_t tmask = tsize - 1;
+  if (nstarts < 2 * min_chunk || nt == 1) {
+    mer_scan_range(codes, 0, nstarts, L, alpha, topmul, keys, head, enext,
+                   epid, tmask, bloom, out_start, out_pid, cap, &nhits);
+    return nhits.load();
+  }
+  int64_t chunk = (nstarts + nt - 1) / nt;
+  if (chunk < min_chunk) chunk = min_chunk;
+  std::vector<std::thread> threads;
+  for (int64_t lo = 0; lo < nstarts; lo += chunk) {
+    const int64_t hi = std::min(lo + chunk, nstarts);
+    threads.emplace_back(mer_scan_range, codes, lo, hi, L, alpha, topmul,
+                         keys, head, enext, epid, tmask, bloom, out_start,
+                         out_pid, cap, &nhits);
+  }
+  for (auto& th : threads) th.join();
+  return nhits.load();
+}
+
 // Threaded k-edit scan.  halo = Lmax + k (the maximum text span of a
 // <= k-edit alignment); nthreads <= 0 picks the hardware count.
 // Returns the TOTAL hit count (> cap => caller retries with larger cap),

@@ -1011,34 +1011,161 @@ class ConvScanner:
         except OverflowError:
             return 0.0
 
+    _mer_tables_c = None
+    _by_len_c = None
+
+    @staticmethod
+    def _mer_lib_ok() -> bool:
+        """The native mer-hash machine is loadable: past _PBLOCK the
+        dense device correlation is FLOP-bound (O(n * P * K)) and the
+        threaded hash probe beats it outright, so huge-P exact scans
+        prefer the census even when a device path exists."""
+        from ..native import load_shift_and_lib
+
+        lib = load_shift_and_lib()
+        return lib is not None and hasattr(lib, "sat_mer_scan")
+
+    def _mer_native(self, by_len: dict, codes: np.ndarray, n: int):
+        """Generator of (end, pid, 0) via the native threaded mer-hash
+        scan (``native/shift_and.cpp::sat_mer_scan``), or None when the
+        library is unavailable.  Open-addressing tables (4x load factor
+        headroom, duplicate codes chained) build once per scanner."""
+        import ctypes
+
+        from ..native import load_shift_and_lib
+
+        lib = load_shift_and_lib()
+        if lib is None or not hasattr(lib, "sat_mer_scan"):
+            return None
+        t = self.tables
+        if self._mer_tables_c is None:
+            tabs = {}
+            for L, entries in by_len.items():
+                P_L = len(entries)
+                tsize = 1 << max(int(np.ceil(np.log2(4 * P_L + 1))), 4)
+                keys = np.full(tsize, ~np.uint64(0), np.uint64)
+                head = np.full(tsize, -1, np.int32)
+                enext = np.full(P_L, -1, np.int32)
+                epid = np.zeros(P_L, np.int32)
+                GOLD = 0x9E3779B97F4A7C15
+                U64 = (1 << 64) - 1
+                mask = tsize - 1
+                # 64 KB (2^19-bit) bloom prefilter: most positions
+                # miss, and one L1 bit test beats the L2 slot load
+                bloom = np.zeros(1 << 13, np.uint64)
+                GOLD2 = 0xC2B2AE3D27D4EB4F
+                for e, (c, pi) in enumerate(entries):
+                    epid[e] = pi
+                    b = ((c * GOLD2) & U64) >> 45
+                    bloom[b >> 6] |= np.uint64(1 << (b & 63))
+                    slot = (((c * GOLD) & U64) >> 32) & mask
+                    while keys[slot] != ~np.uint64(0) \
+                            and keys[slot] != np.uint64(c):
+                        slot = (slot + 1) & mask
+                    if keys[slot] == ~np.uint64(0):
+                        keys[slot] = np.uint64(c)
+                        head[slot] = e
+                    else:  # duplicate code: push onto the chain
+                        enext[e] = head[slot]
+                        head[slot] = e
+                tabs[L] = (keys, head, enext, epid, tsize, bloom)
+            self._mer_tables_c = tabs
+        tabs = self._mer_tables_c
+        codes8 = np.ascontiguousarray(np.asarray(codes, np.uint8))
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_u64p = ctypes.POINTER(ctypes.c_uint64)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        all_s, all_p = [], []
+        for L, (keys, head, enext, epid, tsize, bloom) in tabs.items():
+            if n < L:
+                continue
+            cap = max(4 * len(epid) + (n >> 6), 1 << 14)
+            while True:
+                out_s = np.empty(cap, np.int64)
+                out_p = np.empty(cap, np.int32)
+                total = lib.sat_mer_scan(
+                    codes8.ctypes.data_as(c_u8p), n, L, t.alpha,
+                    keys.ctypes.data_as(c_u64p),
+                    head.ctypes.data_as(c_i32p),
+                    enext.ctypes.data_as(c_i32p),
+                    epid.ctypes.data_as(c_i32p), tsize,
+                    bloom.ctypes.data_as(c_u64p), 0,
+                    out_s.ctypes.data_as(c_i64p),
+                    out_p.ctypes.data_as(c_i32p), cap)
+                if total < 0:
+                    return None
+                if total <= cap:
+                    break
+                cap = 1 << (int(total) - 1).bit_length()
+            all_s.append(out_s[: int(total)])
+            all_p.append(out_p[: int(total)].astype(np.int64))
+
+        def gen():
+            if not all_s:
+                return
+            starts = np.concatenate(all_s)
+            pids = np.concatenate(all_p)
+            order = np.lexsort((pids, starts))
+            lengths = t.lengths
+            ends = starts + lengths[pids].astype(np.int64)
+            e_l = ends[order].tolist()
+            p_l = pids[order].tolist()
+            yield from zip(e_l, p_l, [0] * len(e_l))
+
+        return gen()
+
+    _radix_ok_c = None
+
     def _radix_eligible(self) -> bool:
         """Radix lookup needs literal (wildcard-free) patterns and codes
-        that fit an int64 base-alpha register."""
+        that fit an int64 base-alpha register.  Cached: the per-pattern
+        sweep costs ~0.15 s at P = 50k and tables never change."""
+        if self._radix_ok_c is not None:
+            return self._radix_ok_c
         t = self.tables
-        if t.Lmax * np.log2(max(t.alpha, 2)) >= 62:
-            return False
-        for pi in range(t.P):
-            L = int(t.lengths[pi])
-            if (t.pat_codes[pi, :L] < 0).any():
-                return False
-        return True
+        ok = t.Lmax * np.log2(max(t.alpha, 2)) < 62
+        if ok:
+            cols = np.arange(t.pat_codes.shape[1])[None, :]
+            live = cols < t.lengths[:, None]
+            ok = not bool((np.asarray(t.pat_codes) < 0)[live].any())
+        self._radix_ok_c = ok
+        return ok
 
     def _scan_radix(self, codes: np.ndarray):
         """Exact multi-pattern scan as a host radix-code census: rolling
         base-alpha window codes per distinct pattern length, matched by
         binary search against the sorted pattern codes.  The hash_table
         engine's direct-indexed lookup (hash_table.cc:144-226) as a
-        whole-array vector pass."""
+        whole-array vector pass.  When the native threaded mer-hash
+        machine is available it takes over (one rolling probe per
+        position instead of L numpy passes — the huge-P regime where a
+        dense MXU correlation is FLOP-bound at O(n * P * K))."""
         t = self.tables
         n = len(codes)
         alpha = t.alpha
-        by_len: dict[int, list] = {}
-        for pi in range(t.P):
-            L = int(t.lengths[pi])
-            c = 0
-            for j in range(L):
-                c = c * alpha + int(t.pat_codes[pi, j])
-            by_len.setdefault(L, []).append((c, pi))
+        if self._by_len_c is None:
+            # vectorized per-length code build, cached per scanner: the
+            # per-pattern python loop costs ~0.35 s at P = 50k PER SCAN
+            by_len: dict[int, list] = {}
+            lens = t.lengths.astype(np.int64)
+            pc = np.asarray(t.pat_codes, np.int64)
+            for L in np.unique(lens):
+                L = int(L)
+                sel = np.flatnonzero(lens == L)
+                codes_L = np.zeros(len(sel), np.int64)
+                for j in range(L):
+                    codes_L = codes_L * alpha + pc[sel, j]
+                by_len[L] = list(zip(codes_L.tolist(), sel.tolist()))
+            self._by_len_c = by_len
+        by_len = self._by_len_c
+        native = self._mer_native(by_len, codes, n)
+        if native is not None:
+            self._route("native threaded mer-hash census "
+                        "(%d patterns)" % t.P)
+            yield from native
+            return
+        self._route("host radix-code census (numpy)")
         # int32 rolling codes when they fit (alpha^Lmax < 2^31) — halves the
         # memory traffic of the dominant update loop; in-place ops avoid
         # reallocating the 4n-byte id array per pattern position
@@ -1483,7 +1610,8 @@ class ConvScanner:
             self.pallas_interpret or len(codes) >= (1 << 20))
         if (self.k == 0 and len(codes) >= (1 << 18)
                 and (est * 4 >= nmb
-                     or (self.tables.P > self._PBLOCK and not dev_ok))
+                     or (self.tables.P > self._PBLOCK
+                         and (not dev_ok or self._mer_lib_ok())))
                 and self._radix_eligible()):
             # dense exact seeds (pigeonhole halves/bases/hash engines):
             # nearly every microblock fires, which degenerates the
