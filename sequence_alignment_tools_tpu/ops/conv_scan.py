@@ -521,7 +521,11 @@ class ConvScanner:
         if self._gtbl_cache is not None and self._gtbl_cache[0] is gt:
             return self._gtbl_cache[1]
         t = self.tables
-        LgT = max(1, min(8, int(np.max(gt.glen_np, initial=1))))
+        # LgT clamp 6 (was 8): the gate evaluates a PREFIX of each
+        # extension — any clamp is a superset filter — and 6 keeps the
+        # whole window in NW = 2 packed planes (see SLOT_WB); the few
+        # extra escapes ride the overlapped host extend
+        LgT = max(1, min(6, int(np.max(gt.glen_np, initial=1))))
         maxlen = int(t.lengths.max(initial=1))
         # 2-bit window packing when text codes beyond 3 can only be EOS
         # and the gate never accepts them (pure relaxation otherwise)

@@ -457,7 +457,13 @@ def _microhits_impl(codes, W, thr, *, classes, Lmax, T, MB, interpret,
 # which never travels since its d is 0).
 
 SLOT_CAP = 256  # compacted hits kept per (tile, phase row); excess rows escape
-SLOT_WB = 16    # window codes kept LEFT of each hit position (2 lanes)
+SLOT_WB = 8     # window codes kept LEFT of each hit position (1 lane).
+# The gate reads at most LgT + band codes left of the anchor (rmatch
+# walks from pstart - 1), so 8 suffices at the LgT <= 6 clamp — and with
+# the 12-code packed-window planes the whole gate window then fits
+# NW = 2 planes (8 left + 9 seed + 6 LgT + 1 band = 24): one fewer
+# plane through the in-kernel compaction network, which is the gated
+# pipeline's dominant VPU cost (measured ~0.25 ms/16 MB at k=1).
 
 
 def slot_cpp(wbits: int) -> int:
