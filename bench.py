@@ -575,7 +575,8 @@ def main():
     # pays ~2.3 s of interpreter+jax startup (image floor) plus load
     # before the first scan.  vs_baseline here is ref_s / ours_s
     # (bigger is better, like the throughput rows).
-    for name, k in (("oneshot_exact", 0), ("oneshot_k1", 1)):
+    for name, k in (("oneshot_exact", 0), ("oneshot_k1", 1),
+                    ("oneshot_k2", 2)):
         ours_s = bench_oneshot(k)
         ref_s = ref_anchor(name, lambda k=k: ref_oneshot(k))
         matrix[name] = {

@@ -667,6 +667,13 @@ class PrimerMatchModel:
                 return self._gated_post(
                     scanner, codes, anchors, sids0, multi,
                     self._hid_lut(scanner, hid_of))
+        arrays = scanner.scan_seed_arrays(codes)
+        if arrays is not None:
+            # array-native census (mer hash / numpy radix): skip the
+            # per-hit tuple stream — at xmers scale the generator hops
+            # cost more than the census
+            ends, pids0 = arrays
+            return ends, self._hid_lut(scanner, hid_of)[pids0]
         ends_l = []
         hids_l = []
         for end, p0, _ in scanner.scan(codes):
@@ -695,10 +702,15 @@ class PrimerMatchModel:
 
     @staticmethod
     def _hid_lut(scanner, hid_of):
-        # vectorize the p0 -> engine seed id map as a small LUT
-        return np.fromiter(
-            (hid_of(p) for p in range(scanner.tables.P)), np.int64,
-            scanner.tables.P)
+        # vectorize the p0 -> engine seed id map as a small LUT, cached
+        # on the scanner (rebuilding cost ~50 ms PER REP at P = 100k)
+        lut = getattr(scanner, "_hid_lut_c", None)
+        if lut is None:
+            lut = np.fromiter(
+                (hid_of(p) for p in range(scanner.tables.P)), np.int64,
+                scanner.tables.P)
+            scanner._hid_lut_c = lut
+        return lut
 
     def _gated_post(self, scanner, codes, anchors, sids0, multi, hid_lut):
         """(ends, hids) from one gated scan's survivors + escape list:

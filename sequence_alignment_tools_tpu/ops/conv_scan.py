@@ -1030,8 +1030,8 @@ class ConvScanner:
         return lib is not None and hasattr(lib, "sat_mer_scan")
 
     def _mer_native(self, by_len: dict, codes: np.ndarray, n: int):
-        """Generator of (end, pid, 0) via the native threaded mer-hash
-        scan (``native/shift_and.cpp::sat_mer_scan``), or None when the
+        """(ends, pids0) arrays via the native threaded mer-hash scan
+        (``native/shift_and.cpp::sat_mer_scan``), or None when the
         library is unavailable.  Open-addressing tables (4x load factor
         headroom, duplicate codes chained) build once per scanner."""
         import ctypes
@@ -1105,21 +1105,39 @@ class ConvScanner:
             all_s.append(out_s[: int(total)])
             all_p.append(out_p[: int(total)].astype(np.int64))
 
-        def gen():
-            if not all_s:
-                return
-            starts = np.concatenate(all_s)
-            pids = np.concatenate(all_p)
-            order = np.lexsort((pids, starts))
-            lengths = t.lengths
-            ends = starts + lengths[pids].astype(np.int64)
-            e_l = ends[order].tolist()
-            p_l = pids[order].tolist()
-            yield from zip(e_l, p_l, [0] * len(e_l))
-
-        return gen()
+        if not all_s:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        starts = np.concatenate(all_s)
+        pids = np.concatenate(all_p)
+        order = np.lexsort((pids, starts))
+        starts, pids = starts[order], pids[order]
+        ends = starts + t.lengths[pids].astype(np.int64)
+        return ends, pids
 
     _radix_ok_c = None
+
+    def scan_seed_arrays(self, codes: np.ndarray):
+        """(ends, pids0) int64 arrays when an array-native host census
+        serves this scan (the same routing test as :meth:`scan`'s radix
+        branch); None otherwise — callers fall back to iterating
+        :meth:`scan`.  Skips the per-hit tuple stream entirely: at
+        xmers scale (100k seeds, ~10^5 hits) the generator hops cost
+        more than the census itself."""
+        n = len(codes)
+        if self._stream_whole(codes) or self._sharded_capable() \
+                or self._host_eligible(n):
+            return None
+        est = self._expected_hits(n)
+        nmb = max(n // self._MB, 1)
+        dev_ok = self.use_pallas and (
+            self.pallas_interpret or n >= (1 << 20))
+        if not (self.k == 0 and n >= (1 << 18)
+                and (est * 4 >= nmb
+                     or (self.tables.P > self._PBLOCK
+                         and (not dev_ok or self._mer_lib_ok())))
+                and self._radix_eligible()):
+            return None
+        return self._scan_radix_arrays(self._by_len(), codes, n)
 
     def _radix_eligible(self) -> bool:
         """Radix lookup needs literal (wildcard-free) patterns and codes
@@ -1145,12 +1163,19 @@ class ConvScanner:
         machine is available it takes over (one rolling probe per
         position instead of L numpy passes — the huge-P regime where a
         dense MXU correlation is FLOP-bound at O(n * P * K))."""
-        t = self.tables
-        n = len(codes)
-        alpha = t.alpha
+        ends, pids = self._scan_radix_arrays(self._by_len(), codes,
+                                             len(codes))
+        e_l = ends.tolist()
+        p_l = pids.tolist()
+        yield from zip(e_l, p_l, [0] * len(e_l))
+
+    def _by_len(self):
+        """{length: [(code, pid0)]} — vectorized per-length base-alpha
+        code build, cached per scanner (the per-pattern python loop
+        costs ~0.35 s at P = 50k PER SCAN)."""
         if self._by_len_c is None:
-            # vectorized per-length code build, cached per scanner: the
-            # per-pattern python loop costs ~0.35 s at P = 50k PER SCAN
+            t = self.tables
+            alpha = t.alpha
             by_len: dict[int, list] = {}
             lens = t.lengths.astype(np.int64)
             pc = np.asarray(t.pat_codes, np.int64)
@@ -1162,13 +1187,18 @@ class ConvScanner:
                     codes_L = codes_L * alpha + pc[sel, j]
                 by_len[L] = list(zip(codes_L.tolist(), sel.tolist()))
             self._by_len_c = by_len
-        by_len = self._by_len_c
+        return self._by_len_c
+
+    def _scan_radix_arrays(self, by_len, codes, n):
+        """(ends, pids0) int64 arrays in (window-start, pattern) order —
+        the array core of :meth:`_scan_radix`."""
+        t = self.tables
+        alpha = t.alpha
         native = self._mer_native(by_len, codes, n)
         if native is not None:
             self._route("native threaded mer-hash census "
                         "(%d patterns)" % t.P)
-            yield from native
-            return
+            return native
         self._route("host radix-code census (numpy)")
         # int32 rolling codes when they fit (alpha^Lmax < 2^31) — halves the
         # memory traffic of the dominant update loop; in-place ops avoid
@@ -1209,14 +1239,13 @@ class ConvScanner:
                     np.fromiter((entries[i][1] for i in idx), np.int64,
                                 len(idx)))
         if not all_starts:
-            return
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
         starts = np.concatenate(all_starts)
         pids = np.concatenate(all_pids)
         order = np.lexsort((pids, starts))
-        lengths = t.lengths
-        for i in order:
-            s0, p0 = int(starts[i]), int(pids[i])
-            yield s0 + int(lengths[p0]), p0, 0
+        starts, pids = starts[order], pids[order]
+        ends = starts + t.lengths[pids].astype(np.int64)
+        return ends, pids
 
     # -- pattern-blocked outer loop (P > _PBLOCK) ----------------------------
 

@@ -272,25 +272,50 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
                 preferred_element_type=jnp.int32,
             )
         scores = acc_ref[:]
-    cnt, sm = _pattern_matmul_reduce(scores, mlive, U, et)
+
+    def pattern_tree(s, op):
+        # reduce the (pattern, phase) rows to the 8 phase rows; plive is
+        # the EXACT live pattern count (not a power of two — pad rows
+        # would cost tree work), so odd counts peel one 8-row block into
+        # the head; every slice stays 8-row aligned.  The occupancy /
+        # counts emits keep this VPU tree: at small plive it beats the
+        # matmul reduce's fixed costs (the matmul swap cost the exact
+        # headline ~10%), and neither needs the pos path's id-SUM key.
+        r = plive
+        while r > 1:
+            if r % 2:
+                s = jnp.concatenate(
+                    [op(s[:8, :], s[(r - 1) * 8 : r * 8, :]),
+                     s[8 : (r - 1) * 8, :]], axis=0)
+                r -= 1
+            else:
+                r //= 2
+                s = op(s[: r * 8, :], s[r * 8 : 2 * r * 8, :])
+        return s
 
     if emit == "occupancy":
-        out_ref[0, 0] = (cnt > 0).astype(jnp.bfloat16)
-    elif emit == "counts":
+        # margins: max over patterns first, sign check last
+        s = pattern_tree(scores, jnp.maximum)
+        out_ref[0, 0] = (s >= 0).astype(jnp.bfloat16)
+        return
+    if emit == "counts":
         # per-(phase, position) hit counts <= P <= 128: exact in bf16
-        out_ref[0, 0] = cnt.astype(jnp.bfloat16)
-    else:  # emit == "pos": packed per-position (sid sum, hit count)
-        # EXACT in-kernel hit extraction (requires unfolded weights, see
-        # :func:`pos_exact_ok`): per position, the number of patterns
-        # whose window starting there is a true hit and the SUM of their
-        # pattern ids, packed as (sid_sum << 8) | cnt (no hit -> -256).
-        # When cnt == 1 the sum IS the pattern id; multi-hit positions
-        # resolve through the sum-keyed static chain table or escape to
-        # the exact host rescan.  The host consumes candidates straight
-        # from this word — no second-level rescore pass exists in this
-        # mode.
-        out_ref[0, 0] = jnp.where(
-            cnt > 0, (sm << 8) | jnp.minimum(cnt, 255), jnp.int32(-256))
+        hit = (scores >= 0).astype(jnp.bfloat16)
+        out_ref[0, 0] = pattern_tree(hit, jnp.add)
+        return
+    # emit == "pos": packed per-position (sid sum, hit count)
+    cnt, sm = _pattern_matmul_reduce(scores, mlive, U, et)
+    # EXACT in-kernel hit extraction (requires unfolded weights, see
+    # :func:`pos_exact_ok`): per position, the number of patterns
+    # whose window starting there is a true hit and the SUM of their
+    # pattern ids, packed as (sid_sum << 8) | cnt (no hit -> -256).
+    # When cnt == 1 the sum IS the pattern id; multi-hit positions
+    # resolve through the sum-keyed static chain table or escape to
+    # the exact host rescan.  The host consumes candidates straight
+    # from this word — no second-level rescore pass exists in this
+    # mode.
+    out_ref[0, 0] = jnp.where(
+        cnt > 0, (sm << 8) | jnp.minimum(cnt, 255), jnp.int32(-256))
 
 
 def phase_transpose(codes, T: int = 8192):
