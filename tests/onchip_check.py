@@ -173,6 +173,20 @@ def main():
     assert got == want and got, ("gated-slots", len(got), len(want))
     print(f"gated slots k=1: {len(got)} hits OK", flush=True)
 
+    # --- gapped-seed engine (gs_hash_table): the sparse template
+    # correlation's COMPILED device route vs the full host engine ------
+    gspats = [take(11000 + 10009 * i, 20) for i in range(5)]
+    gs_ps = _bps(gspats, rev_comp=False)
+    m15 = PrimerMatchModel(gdb, gs_ps, k=1, node=15, mesh=None)
+    m15.use_host = False
+    assert m15.engine == "gs"
+    got = sorted(m15.engine_hits())
+    m15h = PrimerMatchModel(gdb, gs_ps, k=1, node=15, mesh=None)
+    m15h.use_host = True
+    want = sorted(m15h.engine_hits())
+    assert got == want and got, ("gs-engine", len(got), len(want))
+    print(f"gs engine k=1: {len(got)} hits OK", flush=True)
+
     # --- pattern-blocked exact path (P > _PBLOCK device passes) --------
     bpats = [take(1000 + 997 * i, 14) for i in range(1200)]
     bpats = list(dict.fromkeys(bpats))
