@@ -157,11 +157,15 @@ def make_slice(bases=2_000_000):
 
 def validate_row(name, extra, pats=None, corpus=None, prog="primer_match",
                  flags=("-r", "-c")):
-    """Row-output insurance (VERDICT r2 item 7): OUR CLI's output (the
-    per-pattern count vector by default) must byte-match the
+    """Row-output insurance (VERDICT r2 item 7, r3 item 6): OUR CLI's
+    output (the per-pattern count vector by default) must byte-match the
     reference's on a bounded slice of the bench corpus — a
-    silently-wrong kernel can't post a good number.  Failures raise
-    (bench dies loudly)."""
+    silently-wrong kernel can't post a good number.  The CLI run pins
+    the DEVICE posture (``SAT_HOST_SCAN=0`` disables the native host
+    router, matching the timed rows' ``use_host=False``), so the
+    byte-check exercises the same Mosaic kernels that posted the
+    number, not the host fallback.  Failures raise (bench dies
+    loudly)."""
     if not _have_ref(prog):
         return
     make_slice()
@@ -176,7 +180,8 @@ def validate_row(name, extra, pats=None, corpus=None, prog="primer_match",
     args = ["-i", corpus, "-P", patfile] + list(flags) + extra
     ours = subprocess.run(
         ["python", "-m", f"sequence_alignment_tools_tpu.apps.{prog}"]
-        + args, capture_output=True, timeout=1200)
+        + args, capture_output=True, timeout=1200,
+        env={**os.environ, "SAT_HOST_SCAN": "0"})
     for _try in range(3):
         ref = subprocess.run([os.path.join(REF, prog)] + args,
                              capture_output=True, timeout=1200)

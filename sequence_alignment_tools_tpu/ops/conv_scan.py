@@ -17,6 +17,7 @@ boundary).  Candidate extraction is a device-side compaction
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -417,6 +418,9 @@ class ConvScanner:
         if slots_gated_ok(self.tables, gt, self.k):
             return self._scan_gated_slots(codes_dev, len(codes), gt,
                                           indels, k)
+        self._route(
+            "gated pos-words pipeline (P=%d, Lmax=%d, k=%d): slots "
+            "ineligible" % (self.tables.P, self.tables.Lmax, self.k))
         # NO _expected_hits presizing here: the pigeonhole estimate is off
         # by ~10x for mixed-length seed sets (it assumes every seed is
         # Lmin long), and oversized caps cost a giant rescore im2col every
@@ -468,6 +472,21 @@ class ConvScanner:
     _gslots_out = 1 << 9
     _gslots_oflow = 64
     _gslots_work = 1 << 11
+    # compaction-network geometry (see pallas_scan_gated_slots): short
+    # segments cut the shift-network stage count (the gated pipeline's
+    # dominant VPU cost); capg slots per segment absorb local clusters,
+    # denser ones escape via the per-segment overflow list.  Env
+    # overrides are the measurement harness's A/B knob.
+    _SLOTS_SEGL = int(os.environ.get("SAT_SLOTS_SEGL", "1024"))
+    _SLOTS_CAPG = int(os.environ.get("SAT_SLOTS_CAPG", "64"))
+    # PERF-DEBUG ONLY ("scan" | "nocompact" | "nogate"): truncate the
+    # gated kernel after the named stage (outputs become empty) so the
+    # measurement harness can attribute time; never set in production
+    _SLOTS_ABLATE = os.environ.get("SAT_SLOTS_ABLATE", "")
+    # 2:1 half-fold ahead of the compaction network (see
+    # scan_kernel._slots_kernel pair_fold): halves the network's plane
+    # width; paired-lane collisions escape to the exact host rescan
+    _SLOTS_PAIR = os.environ.get("SAT_SLOTS_PAIR", "1") == "1"
     _gtbl_cache = None
     _chain_dev_c = None
 
@@ -549,11 +568,14 @@ class ConvScanner:
         lens = tuple(sorted(set(int(x) for x in t.lengths)))
         w, _winv = self._slots_w()
         gtbl = jnp.asarray(slots_gate_table(gt, t.lengths, LgT, w)[None])
-        # per-score-row chain-weight column (row m = p*8 + r -> w[p]);
-        # padded to a (8, 128)-tiled block for the VMEM block spec
-        wcol_np = np.zeros((8 * 128, 128), np.int8)
+        # weight-folded selection matrix Sw[r, m] = w[m // 8] at
+        # r == m % 8 (zero elsewhere): the kernel's pattern reduce
+        # contracts ONE hit plane against both S and Sw — see
+        # scan_kernel._pattern_matmul_reduce
+        wcol_np = np.zeros((8, 8 * 128), np.int8)
         for p in range(t.P):
-            wcol_np[p * 8 : (p + 1) * 8, 0] = np.int8(w[p])
+            for r in range(8):
+                wcol_np[r, p * 8 + r] = np.int8(w[p])
         wcol = jnp.asarray(wcol_np)
         cfg = (LgT, NW, lens, gtbl, wbits, use_wpack, wcol)
         self._gtbl_cache = (gt, cfg)
@@ -566,6 +588,9 @@ class ConvScanner:
         """Launch the all-Pallas gated pipeline (no sync).  Uses the
         FOLDED weights (one fewer one-hot plane) with EOS-window escapes
         when that stays exact (scan_kernel.slots_fold_ok)."""
+        self._route(
+            "all-Pallas gated slots pipeline (P=%d, Lmax=%d, k=%d)"
+            % (self.tables.P, self.tables.Lmax, k))
         from .pallas.scan_kernel import (pallas_scan_gated_slots,
                                          slots_fold_ok)
 
@@ -592,8 +617,11 @@ class ConvScanner:
         LgT, NW, lens, gtbl, wbits, use_wpack, wcol = \
             self._slots_statics(gt)
         U = T // 8
-        segl = min(1024, U)
-        self._slots_geom = (T, segl, U // segl)
+        pair = self._SLOTS_PAIR
+        Ueff = U // 2 if pair else U
+        segl = min(self._SLOTS_SEGL, Ueff)
+        capg = self._SLOTS_CAPG
+        self._slots_geom = (T, segl, Ueff // segl, pair)
         t3 = self._t3_for(codes_dev, T)
         wpk = (_wpk_form(codes_dev, T, t.eos_code) if use_wpack else None)
         cdev = self._chain_dev(gt)
@@ -601,11 +629,12 @@ class ConvScanner:
         return pallas_scan_gated_slots(
             codes_dev, W, thr, gtbl, t3, wpk, chain, wcol,
             classes=classes,
-            Lmax=t.Lmax, T=T, NW=NW, cap=64 * (U // segl), LgT=LgT, kk=k,
-            band=gt.band, indels=indels, lens=lens, out_cap=caps[0],
+            Lmax=t.Lmax, T=T, NW=NW, cap=capg * (Ueff // segl), LgT=LgT,
+            kk=k, band=gt.band, indels=indels, lens=lens, out_cap=caps[0],
             oflow_cap=caps[1], work_cap=caps[2], chain_Lg=chain_Lg,
             interpret=self.pallas_interpret,
-            n_pat=t.P, eos_esc=eos_esc, wbits=wbits)
+            n_pat=t.P, eos_esc=eos_esc, wbits=wbits, segl=segl,
+            ablate=self._SLOTS_ABLATE, pair_fold=pair)
 
     _chain_tab_c = False  # False = unbuilt, None = inapplicable (wc seeds)
     _CHAIN_MAX = 8
@@ -713,7 +742,7 @@ class ConvScanner:
         candidates join the survivor arrays; the host extension validates
         them exactly); the rest land on the rescan list."""
         t = self.tables
-        T, segl, nsegs = self._slots_geom
+        T, segl, nsegs, pairfold = self._slots_geom
         total, oflow = int(packed[0]), int(packed[1])
         pos = packed[2 : 2 + total].astype(np.int64)
         meta = packed[2 + out_cap : 2 + out_cap + total]
@@ -727,13 +756,19 @@ class ConvScanner:
         surv_sid = sid1[~esc]
         cnts = (meta & 31).astype(np.int64)
         # tail windows (possible zero-pad overread) always rescan; other
-        # escapes are cnt>1 multi-seed positions: expand via the chain
+        # escapes are cnt>1 multi-seed positions: expand via the chain.
+        # cnt marker 30 = a pair-fold lane collision (both of the two
+        # half-folded lanes hit): rescan BOTH window starts exactly —
+        # pos and its fold partner pos + T/2 (scan_kernel pair_fold).
         tail = esc & (pos > n - t.Lmax)
-        mul = esc & ~tail & (cnts < 31)
+        pairesc = (esc & ~tail & (cnts == 30)) if pairfold \
+            else np.zeros_like(esc)
+        mul = esc & ~tail & ~pairesc & (cnts < 31)
         epos, esid, unres = self._expand_chains(
             pos[mul], sums[mul], cnts[mul])
-        multi = [pos[tail], pos[esc & ~tail & (cnts >= 31)],
-                 pos[mul][unres]]
+        ppart = pos[pairesc] + T // 2
+        multi = [pos[tail], pos[esc & ~tail & ~pairesc & (cnts >= 31)],
+                 pos[mul][unres], pos[pairesc], ppart[ppart < n]]
         if len(epos):
             surv_anchor = np.concatenate(
                 [surv_anchor, epos + t.lengths[esid]])
@@ -749,6 +784,9 @@ class ConvScanner:
             lanes = g * segl + np.arange(segl, dtype=np.int64)
             starts = tile * T + 8 * lanes + r
             multi.append(starts[starts < n])
+            if pairfold:  # folded segments cover both half-tile lanes
+                starts2 = starts + T // 2
+                multi.append(starts2[starts2 < n])
         multi = np.concatenate(multi)
         return surv_anchor, surv_sid.astype(np.int32), multi
 

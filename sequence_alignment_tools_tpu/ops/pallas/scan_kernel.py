@@ -173,19 +173,27 @@ def _pattern_matmul_reduce(scores, mlive: int, U: int, et, wcol=None):
     ``wcol`` (optional, [mlive, 1] int8) replaces the id contributions
     with per-pattern WEIGHTS — a permutation of 0..plive-1 chosen by
     the host so that chain keys are injective (a plain id sum collides
-    whenever two same-size chains share a total)."""
-    hit = scores >= 0
+    whenever two same-size chains share a total).
+
+    The weights FOLD INTO the selection matrix (S_w[r, m] = w[m] at
+    r == m % 8): both reductions then contract the same single hit
+    plane — the old ``x_sid = where(hit, pw, 0)`` built and re-read a
+    second [mlive, U] operand plane per tile, a pure VPU-traffic loss
+    (ids/weights <= 127 stay exact in int8 either way).  ``wcol`` here
+    is that matrix, prebuilt host-side ([8, mlive] int8 slice of the
+    kernel input — building it in-kernel would need a sublane<->lane
+    transpose of the weight column)."""
     ri = jax.lax.broadcasted_iota(jnp.int32, (8, mlive), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (8, mlive), 1)
-    S = (ri == (ci & 7)).astype(et)
+    sel = ri == (ci & 7)
+    S = sel.astype(et)
     if wcol is None:
-        pw = jax.lax.broadcasted_iota(jnp.int32, (mlive, U), 0) >> 3
+        Sw = jnp.where(sel, ci >> 3, 0).astype(et)
     else:
-        pw = jnp.broadcast_to(wcol.astype(jnp.int32), (mlive, U))
-    x_cnt = jnp.where(hit, 1, 0).astype(et)
-    x_sid = jnp.where(hit, pw, 0).astype(et)
-    cnt = jnp.dot(S, x_cnt, preferred_element_type=jnp.int32)
-    sm = jnp.dot(S, x_sid, preferred_element_type=jnp.int32)
+        Sw = wcol
+    hit8 = (scores >= 0).astype(et)
+    cnt = jnp.dot(S, hit8, preferred_element_type=jnp.int32)
+    sm = jnp.dot(Sw, hit8, preferred_element_type=jnp.int32)
     return cnt, sm
 
 
@@ -501,7 +509,10 @@ def slot_cpp(wbits: int) -> int:
 def _row_compact(planes, hit, rowcnt, U: int, cap: int):
     """Route each row's hits to its front lanes (rank order), in place on
     a list of int32 [8, U] payload planes.  Returns the compacted planes
-    with void lanes zeroed.  ``hit`` bool [8, U]; ``rowcnt`` [8, 1]."""
+    with void lanes zeroed.  ``hit`` bool [8, U]; ``rowcnt`` [8, 1]
+    (unused — kept for signature stability; stale-copy cleanup uses the
+    d == 0 finality test, see :func:`_seg_compact`)."""
+    del rowcnt
     li = jax.lax.broadcasted_iota(jnp.int32, (8, U), 1)
     hit32 = hit.astype(jnp.int32)
     # inclusive lane prefix sum per row (Hillis-Steele)
@@ -524,8 +535,8 @@ def _row_compact(planes, hit, rowcnt, U: int, cap: int):
             for x in planes
         ]
         s *= 2
-    valid = li < jnp.minimum(rowcnt, cap)
-    return [jnp.where(valid, x, 0) for x in planes]
+    fin = d == 0
+    return [jnp.where(fin, x, 0) for x in planes]
 
 
 WPACK_CPP = 12     # codes per int32 in the packed-window form (2-bit)
@@ -565,8 +576,17 @@ def _seg_compact(planes, hit, U: int, segl: int, capg: int):
     segment of each row compacts to its own ``capg``-slot block —
     shorter shift networks (displacements bounded by the segment), and
     the packed [8, nsegs * capg] result assembles from STATIC slices of
-    the segment fronts.  Returns (packed planes, segcnt [8, U] — the
-    per-segment true count broadcast over its lanes)."""
+    the segment fronts.  Returns (packed planes, p [8, U] — the
+    inclusive per-segment hit prefix; its last lane per segment is the
+    segment's TRUE hit count).
+
+    Void cleanup rides the displacement plane: after the last stride, a
+    lane holds a FINAL element iff d == 0 — a mover's source lane keeps
+    its old d (bit ``s`` set, nonzero) when vacated, pre-zeroed voids
+    start at d == 0, and every kept element's d reaches 0 at its
+    destination.  The former per-lane segment-total backward max-fill
+    (log2(segl) more stages over the full tile) is thereby dropped —
+    measured at ~10% of the whole gated k=1 kernel."""
     li = jax.lax.broadcasted_iota(jnp.int32, (8, U), 1)
     lm = li & (segl - 1)
     hit32 = hit.astype(jnp.int32)
@@ -576,15 +596,6 @@ def _seg_compact(planes, hit, U: int, segl: int, capg: int):
         p = p + jnp.where(lm >= s, pltpu.roll(p, shift=s, axis=1), 0)
         s *= 2
     rank = p - hit32
-    # per-segment total at every lane: backward max-fill of the
-    # (monotone within segment) inclusive prefix
-    b = p
-    s = segl // 2
-    while s >= 1:
-        b = jnp.maximum(
-            b, jnp.where(lm < segl - s, pltpu.roll(b, shift=U - s, axis=1),
-                         0))
-        s //= 2
     keep = hit & (rank < capg)
     d = jnp.where(keep, lm - rank, 0)
     planes = [jnp.where(keep, x, 0) for x in planes]
@@ -598,8 +609,8 @@ def _seg_compact(planes, hit, U: int, segl: int, capg: int):
             for x in planes
         ]
         s *= 2
-    valid = lm < jnp.minimum(b, capg)
-    planes = [jnp.where(valid, x, 0) for x in planes]
+    fin = d == 0
+    planes = [jnp.where(fin, x, 0) for x in planes]
     nsegs = U // segl
     packed = [
         jnp.concatenate(
@@ -607,14 +618,15 @@ def _seg_compact(planes, hit, U: int, segl: int, capg: int):
             axis=1)
         for x in planes
     ]
-    return packed, b
+    return packed, p
 
 
 def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
                   classes: tuple, U: int, na: int, plive: int, NW: int,
                   cap: int, gate_cfg: tuple | None = None,
                   eos_esc: int = -1, Lmax: int = 0,
-                  use_wpack: bool = False, use_wcol: bool = False):
+                  use_wpack: bool = False, use_wcol: bool = False,
+                  ablate: str = "", pair_fold: bool = False):
     """Scan + in-kernel hit extraction for one text tile (kchunks == 1,
     ptiles == 1 — enforced by :func:`pallas_scan_slots`).
 
@@ -672,7 +684,7 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
                      preferred_element_type=jnp.int32)
 
     # pattern reduce as two MXU matmuls (see :func:`_pattern_matmul_reduce`)
-    wcol = wcol_ref[:mlive, 0:1] if use_wcol else None
+    wcol = wcol_ref[:, :mlive] if use_wcol else None
     cntp, smp = _pattern_matmul_reduce(scores, mlive, U, et, wcol)
 
     # text window planes: wq[r, u] packs codes[t - SLOT_WB + 8q .. +7]
@@ -714,6 +726,19 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
 
     hit = cntp > 0
     li = jax.lax.broadcasted_iota(jnp.int32, (8, U), 1)
+
+    def _ablate_out(dep):
+        # PERF-DEBUG early-out (see pallas_scan_gated_slots ``ablate``):
+        # writes zero-shaped outputs with a non-eliminable dependency on
+        # the work done so far (a `* 0` dependency would be algebraically
+        # removed by Mosaic; the compare survives)
+        big = jnp.int32(1 << 30)
+        out_ref[0] = jnp.where(dep[:, :cap] < big, 0, 1)
+        ocnt_ref[0] = jnp.where(dep[:, :LANE] < big, 0, 1)
+
+    if gate_cfg is not None and ablate == "scan":
+        _ablate_out(cntp + smp)
+        return
 
     # meta layout: (localpos << 15) | (sid_sum << 5) | cnt — localpos
     # (< T <= 65536) bits 15..30, the 10-bit id sum (<= 8 * 127 for any
@@ -791,9 +816,42 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
             slots_ref[0, q] = out[q][:, :cap]
         cnt_ref[0] = jnp.broadcast_to(rowcnt, (8, LANE))
         return
+    if ablate == "nocompact":
+        dep = planes[0]
+        for q in range(1, 1 + NW):
+            dep = dep + planes[q]
+        _ablate_out(dep)
+        return
     # fused extension gate on the compacted slots (windows stay in VMEM)
     LgT, kk, band, indels, lens, T, n, Lmax, wbits, segl, capg = gate_cfg
-    packed, segcnt = _seg_compact(planes, hit, U, segl, capg)
+    Ueff = U
+    if pair_fold:
+        # 2:1 HALF-FOLD before the compaction network: lane u of the
+        # folded planes carries the hit of lane u OR lane u + U/2 (the
+        # two halves of the tile), so the prefix + shift network — the
+        # gated kernel's dominant VPU cost — runs on HALF-width planes.
+        # Hits land on both paired lanes with probability ~density^2
+        # (~5e-6 at the k=1 seed density): those pairs emit an ESCAPE
+        # slot (cnt marker 30) and the host rescans both window starts
+        # exactly (conv_scan._slots_decode), so the fold is lossless.
+        # The meta plane carries the ORIGINAL localpos either way.
+        H = U // 2
+        hitA, hitB = hit[:, :H], hit[:, H:]
+        both = hitA & hitB
+        escmeta = (localpos[:, :H] << 15) | 30
+        m = jnp.where(hitA, planes[0][:, :H], planes[0][:, H:])
+        folded = [jnp.where(both, escmeta, m)]
+        for q in range(1, 1 + NW):
+            folded.append(
+                jnp.where(hitA, planes[q][:, :H], planes[q][:, H:]))
+        planes, hit, Ueff = folded, hitA | hitB, H
+    packed, segcnt = _seg_compact(planes, hit, Ueff, segl, capg)
+    if ablate == "nogate":
+        dep = packed[0]
+        for q in range(1, 1 + NW):
+            dep = dep + packed[q]
+        _ablate_out(dep + segcnt[:, :cap])
+        return
     meta_c = packed[0]
     wp = packed[1:]
     emeta, keep = _gate_body(
@@ -801,6 +859,9 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
         NW=NW, LgT=LgT, kk=kk, band=band, indels=indels, lens=lens,
         n=n, Lmax=Lmax, wbits=wbits,
         cpp=WPACK_CPP if use_wpack else None)
+    if ablate == "aftergate":
+        _ablate_out(emeta + keep.astype(jnp.int32))
+        return
     kept32 = keep.astype(jnp.int32)
     li2 = jax.lax.broadcasted_iota(jnp.int32, (8, cap), 1)
     pfx = kept32
@@ -812,12 +873,14 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     fin = _row_compact([emeta], keep, rowcnt2, cap, cap)
     out_ref[0] = fin[0]
     # lane 0: kept count; lanes 8..8+nsegs: RAW per-segment hit counts
-    # (slot overflow detection at segment granularity)
-    nsegs = U // segl
+    # (slot overflow detection at segment granularity; the inclusive
+    # prefix's LAST lane per segment is that segment's true count)
+    nsegs = Ueff // segl
     segcounts = jnp.concatenate(
         [rowcnt2]
         + [jnp.zeros((8, 7), jnp.int32)]
-        + [segcnt[:, g * segl : g * segl + 1] for g in range(nsegs)]
+        + [segcnt[:, (g + 1) * segl - 1 : (g + 1) * segl]
+           for g in range(nsegs)]
         + [jnp.zeros((8, LANE - 8 - nsegs), jnp.int32)], axis=1)
     ocnt_ref[0] = segcounts
 
@@ -869,7 +932,7 @@ def pallas_scan_slots(codes, W, thr, t3=None, wcol=None, *, classes: tuple,
     ]
     args = [prev, t3, t3, W4]
     if wcol is not None:
-        in_specs.append(pl.BlockSpec((8 * LANE, LANE), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((8, 8 * LANE), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(wcol)
 
@@ -1115,7 +1178,7 @@ def pallas_gate_slots(slots, counts, gtbl, *, NW: int, cap: int, LgT: int,
     static_argnames=("classes", "Lmax", "T", "NW", "cap", "LgT", "kk",
                      "band", "indels", "lens", "out_cap", "oflow_cap",
                      "interpret", "n_pat", "eos_esc", "wbits", "work_cap",
-                     "chain_Lg"),
+                     "chain_Lg", "segl", "ablate", "pair_fold"),
 )
 def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
                             chain=None, wcol=None, *,
@@ -1126,7 +1189,8 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
                             oflow_cap: int = 64, interpret: bool = False,
                             n_pat: int | None = None, eos_esc: int = -1,
                             wbits: int = 4, work_cap: int | None = None,
-                            chain_Lg: int = 0):
+                            chain_Lg: int = 0, segl: int | None = None,
+                            ablate: str = "", pair_fold: bool = False):
     """The whole k>0 pigeonhole front-end in Pallas: scan + in-kernel hit
     extraction (:func:`pallas_scan_slots`) -> slotted extension gate
     (:func:`pallas_gate_slots`) -> tiny XLA dense-pack.  The only XLA
@@ -1169,8 +1233,15 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
     if W.shape[0] != 8 * LANE or W.shape[1] != LANE:
         raise NotImplementedError("slots kernel needs ptiles=kchunks=1")
     plive = min(max(n_pat or LANE, 1), LANE)
-    segl = min(1024, U)
-    nsegs = U // segl
+    # segment length of the in-kernel compaction network: the shift
+    # network's stage count is log2(segl), so SHORTER segments cut the
+    # dominant VPU cost (stages x planes over the full tile) — at the
+    # price of per-segment slot caps (capg = cap // nsegs) that overflow
+    # (-> escape) on locally dense hit clusters.  With ``pair_fold`` the
+    # network runs on the half-folded planes (see _slots_kernel).
+    Ueff = U // 2 if pair_fold else U
+    segl = min(segl or 1024, Ueff)
+    nsegs = Ueff // segl
     if cap % nsegs:
         raise ValueError("cap must divide into the segment count")
     capg = cap // nsegs
@@ -1192,7 +1263,7 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
     args = [prev, t3, t3, W4]
     if wcol is not None:
         # per-score-row chain weights, read by the kernel right after wt
-        in_specs.append(pl.BlockSpec((8 * LANE, LANE), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((8, 8 * LANE), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(wcol)
     in_specs.append(pl.BlockSpec((1, 32, LANE), lambda i: (0, 0, 0),
@@ -1216,7 +1287,7 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
             gate_cfg=(LgT, kk, band, indels, lens, T, n, Lmax, wbits,
                       segl, capg),
             eos_esc=eos_esc, Lmax=Lmax, use_wpack=use_wpack,
-            use_wcol=wcol is not None,
+            use_wcol=wcol is not None, ablate=ablate, pair_fold=pair_fold,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, 8, cap), jnp.int32),
@@ -1265,19 +1336,34 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
         sums = (val >> 5) & 1023
         is_chain = (valid & esc & (cnts >= 2) & (cnts <= 1 + CKR)
                     & (pstart <= n - Lmax) & (sums < KS))
-        key_s = jnp.where(is_chain, sums, 0)
-        key_c = jnp.clip(cnts - 2, 0, CKR - 1)
+        # COMPACT the chain-escape rows before the member gates: escapes
+        # are a tiny fraction of the work row, and each member gate
+        # gathers a text window per row — running CM gates over all
+        # ``wcap`` rows cost ~0.4 ms/scan (ablated), ~8x the compacted
+        # form.  Rows past ``ecap`` (never seen in practice) simply stay
+        # kept: the host chain-expands them exactly, output identical.
+        ecap = min(256, wcap)
+        _ecount, eidx = compact_mask(is_chain, ecap)
+        ev = eidx < wcap
+        ei = jnp.minimum(eidx, wcap - 1)
+        key_s = jnp.where(ev, sums[ei], 0)
+        key_c = jnp.clip(cnts[ei] - 2, 0, CKR - 1)
         resolved = mtab[key_s, key_c, 0] >= 0
-        any_ok = jnp.zeros_like(is_chain)
+        any_ok = jnp.zeros((ecap,), jnp.bool_)
         for m in range(CM):
             sid_m = mtab[key_s, key_c, m]
             sid_c = jnp.clip(sid_m, 0, slen.shape[0] - 1)
-            anch = (pstart + slen[sid_c]).astype(jnp.int32)
+            anch = (pstart[ei] + slen[sid_c]).astype(jnp.int32)
             okm = _gate_ok.__wrapped__(
                 codes, anch, sid_c, gaccept, gglen, ggdir,
                 Lg=chain_Lg, k=kk, band=band, indels=indels, n=n)
             any_ok = any_ok | ((sid_m >= 0) & okm)
-        keep2 = valid & ~(is_chain & resolved & ~any_ok)
+        drop_c = ev & resolved & ~any_ok
+        # scatter the verdicts back to the work row (add: clamped pad
+        # indices carry False and never flip a real row)
+        dropmask = jnp.zeros((wcap,), jnp.int32).at[ei].add(
+            drop_c.astype(jnp.int32)) > 0
+        keep2 = valid & ~dropmask
 
     total, sel = compact_mask(keep2, out_cap)
     fvalid = sel < wcap

@@ -288,8 +288,11 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
         T = scanner._pallas_T_exact()
     T = min(T, 32768)  # slots-kernel VMEM stack bound (see _slots_dispatch)
     U = T // 8
-    segl = min(1024, U)
-    scanner._slots_geom = (T, segl, U // segl)
+    pair = scanner._SLOTS_PAIR
+    Ueff = U // 2 if pair else U
+    segl = min(scanner._SLOTS_SEGL, Ueff)
+    capg = scanner._SLOTS_CAPG
+    scanner._slots_geom = (T, segl, Ueff // segl, pair)
     halo = 64  # covers Lmax - 1 + the gate window span (<= ~40)
     shards, shard_len = shard_codes(
         np.asarray(codes), mesh, halo, t.eos_code, axis)
@@ -314,11 +317,11 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
                 codes_block[0], W, thr, gtbl, wpk=wpk,
                 chain=chain_args if chain_args else None, wcol=wcol,
                 classes=classes, Lmax=t.Lmax, T=T, NW=NW,
-                cap=64 * (U // segl), LgT=LgT, kk=k, band=gt.band,
+                cap=capg * (Ueff // segl), LgT=LgT, kk=k, band=gt.band,
                 indels=indels, lens=lens, out_cap=out_cap,
                 oflow_cap=oflow_cap, work_cap=work_cap,
                 chain_Lg=chain_Lg, interpret=interpret, n_pat=t.P,
-                eos_esc=eos_esc, wbits=wbits)
+                eos_esc=eos_esc, wbits=wbits, segl=segl, pair_fold=pair)
             return jax.lax.all_gather(row, axis)[None]
 
         rows = jax.shard_map(

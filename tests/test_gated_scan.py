@@ -276,3 +276,54 @@ def test_slot_overflow_segment_escape_parity():
     want = sorted(m2.engine_hits())
     assert got == want
     assert len(want) >= 80  # the planted cluster is all found
+
+
+def test_pair_fold_lane_collisions(planted_db):
+    """The 2:1 half-fold in front of the compaction network
+    (scan_kernel._slots_kernel pair_fold) pairs lane u with lane
+    u + U/2, i.e. positions t and t + T/2 of a tile.  Plant seed hits
+    on BOTH sides of several pairs — including pairs whose extensions
+    fail — and require output identity with the host engine: collided
+    pairs must come back through the cnt=30 escape + exact rescan
+    (conv_scan._slots_decode)."""
+    db, pats = planted_db
+    rng = np.random.default_rng(31)
+    codes = np.concatenate(
+        [db.codes, rng.integers(0, 4, size=50000).astype(np.uint8)])
+    table = b"ACGT\n"
+    dbc = SeqDB(
+        codes=codes, table=table,
+        entry_starts=np.array([0]), entry_lengths=np.array([len(codes)]),
+        headers=["e1"],
+    )
+
+    def plant(at, s):
+        for j, ch in enumerate(s):
+            if at + j < len(codes):
+                dbc.codes[at + j] = table.index(ch.encode())
+
+    # T = 49152 for this geometry (conv_scan._slots_dispatch); the fold
+    # partner of position t is t + T/2
+    half = 49152 // 2
+    p0 = pats[0]
+    # true hit on both sides of a pair (same phase r = t % 8)
+    plant(1608, p0)
+    plant(1608 + half, p0)
+    # true hit paired with a seed-only hit (failing extension)
+    seedlike = p0[: len(p0) // 2] + "A" * (len(p0) - len(p0) // 2 - 4)
+    plant(3208, p0)
+    plant(3208 + half, seedlike)
+    # collision in the second tile as well
+    plant(49152 + 808, p0)
+    plant(49152 + 808 + half, p0)
+
+    ps = build_pattern_set(pats, rev_comp=True)
+    host = PrimerMatchModel(dbc, ps, k=1, node=11, indels=True)
+    host.use_host = True
+    want = list(host.engine_hits())
+    gated = PrimerMatchModel(dbc, ps, k=1, node=11, indels=True)
+    gated.pallas_interpret = True
+    got = list(gated.engine_hits())
+    assert got == want
+    ends = [e for e, _p, _v in got]
+    assert 1608 + len(p0) in ends and 1608 + half + len(p0) in ends
