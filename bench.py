@@ -349,11 +349,16 @@ def bench_xmers_p50k(db, codes):
     tables = build_tables(ps, db, wc=False, textn=False)
     sc = ConvScanner(tables, k=0)
     sc.use_host = False
-    assert tables.P > sc._PBLOCK  # really the pattern-blocked path
+    assert tables.P > sc._PBLOCK  # really the huge-P census path
 
     def run():
-        for _ in sc.scan(codes):
-            pass
+        # array-native consumption (scan_seed_arrays) — the serving
+        # posture at P=50k: the reference's xmers phase 1 likewise
+        # consumes hits as in-process arrays, and a per-hit Python
+        # tuple stream costs ~1.5x the census itself at this rate
+        # (validate_xmers still checks the tuple path's multiset)
+        ends, _pids = sc.scan_seed_arrays(codes)
+        assert len(ends) >= 1
 
     return len(codes) / _best_rep(run), pats
 

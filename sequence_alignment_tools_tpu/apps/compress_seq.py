@@ -53,6 +53,8 @@ def parse_args(argv):
         "binindex": True,
         "suffix_tree": False,
         "check_only": False,
+        "tableonly": False,
+        "guard": False,
         "force": False,
         "cleanup": True,
         "verbose": False,
@@ -91,8 +93,12 @@ def parse_args(argv):
             opts["cleanup"] = _bool(val)
         elif flag == "-t":
             opts["suffix_tree"] = _bool(val)
-        elif flag in ("-B", "-T", "-G"):
-            pass  # I/O hint / table-only: not yet wired
+        elif flag == "-T":
+            opts["tableonly"] = _bool(val)
+        elif flag == "-G":
+            opts["guard"] = _bool(val)
+        elif flag == "-B":
+            pass  # buffered-I/O hint
         elif flag == "-v":
             opts["verbose"] = True
         elif flag == "-h":
@@ -121,6 +127,8 @@ def main(argv=None) -> int:
         cleanup=opts["cleanup"],
         force=opts["force"],
         check_only=opts["check_only"],
+        tableonly=opts["tableonly"],
+        guard=opts["guard"],
         verbose=opts["verbose"],
     )
     if opts["check_only"]:

@@ -84,6 +84,7 @@ def parse_args(argv):
         "alignments": True,
         "counts": False,
         "aggregate": False,
+        "translate": False,
         "verbose": False,
         "node": 0,
         "dbind": 0,
@@ -162,8 +163,10 @@ def parse_args(argv):
             opts["verbose"] = True
         elif flag == "-B":
             opts["memmap"] = False  # buffered I/O mode (verbose msg only)
-        elif flag in ("-I", "-T"):
-            pass  # I/O strategy hints; -T (translate) handled in peptide tools
+        elif flag == "-T":
+            opts["translate"] = True
+        elif flag == "-I":
+            pass  # I/O strategy hint
         elif flag == "-h":
             sys.stdout.write(USAGE)
             raise SystemExit(0)
@@ -218,6 +221,7 @@ def run(opts, out) -> None:
     ps = build_pattern_set(
         pats,
         rev_comp=opts["rev_comp"],
+        translate=opts["translate"],
         uppercase=opts["ucdict"],
         stlen=opts["stlen"],
         edlen=opts["edlen"],
@@ -238,8 +242,19 @@ def run(opts, out) -> None:
     if v:
         for line in db_pick_report(db, opts["memmap"]):
             timestamp(line)
+    # -T: peptide patterns against the 6-frame translation
+    # (primer_match.cc:229-230 option, :1026-1031 reversed patterns,
+    # :1161-1232 frame + coordinate math).  The reference requires a
+    # normalized database for translation (select.t:163-164); the
+    # translated flat AA space comes from io/translate.py, shared with
+    # peptide_scan.
+    tdb = None
+    if opts["translate"]:
+        from ..io.translate import translate_db
+
+        tdb = translate_db(db, all_frames=True)
     model = PrimerMatchModel(
-        db,
+        tdb.aa_db if tdb is not None else db,
         ps,
         k=opts["k"],
         indels=opts["indels"],
@@ -277,7 +292,58 @@ def run(opts, out) -> None:
             continue
         rc = pid > n
         ind = pid - (n if rc else 0)
-        if opts["alignments"]:
+        if opts["alignments"] and tdb is not None:
+            # translated coordinates (primer_match.cc:1160-1232): map the
+            # AA end position to bases, frame = base seq pos % 3 + 1
+            # (negated for reversed patterns), seq coords in AA units,
+            # %n = the matched DNA codons (revcomp'd for R)
+            from ..utils.iupac import reverse_comp
+
+            p_aa = a.end
+            bp, _f0 = tdb.getbasepos(p_aa)
+            spe = int(db.get_seq_pos(bp))
+            frame = spe % 3 + 1
+            spe = spe // 3
+            sps = spe - a.length + 1
+            pe = a.end
+            pstart = pe - a.length + 1
+            pat = ps.pattern(pid)
+            header = db.get_header_data(bp)
+            entry_idx = int(db.entry_of(bp)) + 1
+            bps, _f1 = tdb.getbasepos(pstart)
+            buffer = tdb.base_decode(bps, (a.length - 1) * 3)
+            if rc:
+                rec = AlignRecord(
+                    s=sps, e=spe, five=spe, three=sps, S=pstart, E=pe,
+                    i=ind, d=ed, p=ps.pattern(ind),
+                    P=deflines[ind - 1] if deflines else "",
+                    q=pat[::-1], Q=a.alignment_pattern(pat)[::-1],
+                    r="R", R=" REVSTRAND",
+                    t=a.matching_text[::-1], T=a.alignment_text()[::-1],
+                    A=a.alignment_string()[::-1],
+                    h=header,
+                    H=header.split()[0] if header.split() else "",
+                    f=entry_idx,
+                    sts=sts[(ind + 1) // 2 - 1] if sts else null_sts,
+                    frame=-frame, buffer=reverse_comp(buffer),
+                )
+            else:
+                rec = AlignRecord(
+                    s=sps, e=spe, five=sps, three=spe, S=pstart, E=pe,
+                    i=ind, d=ed, p=ps.pattern(ind),
+                    P=deflines[ind - 1] if deflines else "",
+                    q=pat, Q=a.alignment_pattern(pat),
+                    r="F", R="",
+                    t=a.matching_text, T=a.alignment_text(),
+                    A=a.alignment_string(),
+                    h=header,
+                    H=header.split()[0] if header.split() else "",
+                    f=entry_idx,
+                    sts=sts[(ind + 1) // 2 - 1] if sts else null_sts,
+                    frame=frame, buffer=buffer,
+                )
+            out.write(alignformat(opts["alignformat"], rec))
+        elif opts["alignments"]:
             p = a.end
             spe = int(model.db.get_seq_pos(p))
             sps = spe - a.length + 1
@@ -328,7 +394,9 @@ def run(opts, out) -> None:
                                 ps.pattern(i), "F", "", total, c, k, gtmax,
                                 stsref)
                 )
-            if opts["rev_comp"]:
+            if opts["rev_comp"] or opts["translate"]:
+                # translate also carries reversed patterns
+                # (primer_match.cc:1296: rev_comp || translate)
                 if not opts["aggregate"]:
                     c = [0] * (k + 1)
                     total = 0

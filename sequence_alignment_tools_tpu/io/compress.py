@@ -105,13 +105,25 @@ def compress(
     cleanup: bool = True,
     force: bool = False,
     check_only: bool = False,
+    tableonly: bool = False,
+    guard: bool = False,
     verbose: bool = False,
 ) -> bool:
     """Build compress_seq artifacts next to ``fasta_path``.
 
     Returns True if (re)build work was needed.  ``check_only`` reports without
     writing (reference ``-c``, exit status semantics at compress_seq.cc:371-373).
+
+    ``tableonly`` (reference ``-T``, compress_seq.cc:213-218,365,690): scan
+    the FASTA for its observed-character census and write ONLY the ``.tbl``
+    (dna-optimized order), no .seq/.hdr/index artifacts.  ``guard``
+    (reference ``-G``, compress_seq.cc:267,336-345,676): explicit crash
+    guard — this implementation always writes the transient ``.grd``
+    marker (a strict superset of the reference's opt-in guard: artifact
+    bytes are identical, and a stale marker from a crashed build forces a
+    rebuild whether or not -G was given).
     """
+    del guard  # always-on here (see docstring); flag accepted for parity
     base = fasta_path
     src_time = os.path.getmtime(fasta_path)
 
@@ -128,6 +140,9 @@ def compress(
     need_pass1 = need_pass1 or not have_seq_form
     need_norm = normalize and (force or stale(".sqn") or stale(".tbl"))
     need_comp = compress_bits and (force or stale(".sqz") or stale(".tbz"))
+    if tableonly:
+        need_pass1 = force or stale(".tbl")
+        need_norm = need_comp = False
     if os.path.exists(base + ".grd"):
         need_pass1 = True
 
@@ -143,6 +158,20 @@ def compress(
     # pass 1: flat .seq + .hdr + index; census
     from_raw = _read_raw(fasta_path, eos, init_eos, eos_char, uppercase)
     raw, headers, entry_keys, hdr_offsets, raw_positions = from_raw
+
+    if tableonly:
+        # census + .tbl only (compress_seq.cc:690-722 with !normalize)
+        obs = np.zeros(256, dtype=bool)
+        obs[raw] = True
+        obs[eos_char] = True
+        order = np.arange(256)
+        if dna_optimized:
+            for i, ch in enumerate(b"ACGT"):
+                order[i], order[ch] = ch, i
+        with open(base + ".tbl", "wb") as f:
+            f.write(bytes(int(b) for b in order if obs[b]))
+        os.unlink(base + ".grd")
+        return True
 
     with open(base + ".seq", "wb") as f:
         f.write(raw.tobytes())

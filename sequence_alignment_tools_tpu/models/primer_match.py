@@ -454,12 +454,16 @@ class PrimerMatchModel:
         array pair."""
         ps, k = self.ps, self.k
         owner, scanner, batch, dirs, ext_pats, geomB = self._halves_ctx()
-        order = np.lexsort((-hids, ends))  # (pos asc, half-id desc)
-        ends, hids = ends[order], hids[order]
+        # the batched native extension is per-candidate independent, so
+        # it runs on the UNSORTED candidate array; only the (rare)
+        # SURVIVORS need the (pos asc, half-id desc) dedup order — at
+        # xmers scale that replaces a 200k-row lexsort with a ~10k one
         ok, hend, value = batch(ends, hids.astype(np.int32))
+        okidx = np.flatnonzero(ok)
+        sub = okidx[np.lexsort((-hids[okidx], ends[okidx]))]
         lasthit = [0] * (ps.n_total + 1)
         dedup = 2 * k if self.indels else 0
-        for i in np.flatnonzero(ok):
+        for i in sub:
             pid = owner[int(hids[i])]
             he = int(hend[i])
             if he > lasthit[pid] + dedup:
@@ -667,11 +671,13 @@ class PrimerMatchModel:
                 return self._gated_post(
                     scanner, codes, anchors, sids0, multi,
                     self._hid_lut(scanner, hid_of))
-        arrays = scanner.scan_seed_arrays(codes)
+        arrays = scanner.scan_seed_arrays(codes, sort=False)
         if arrays is not None:
             # array-native census (mer hash / numpy radix): skip the
             # per-hit tuple stream — at xmers scale the generator hops
-            # cost more than the census
+            # cost more than the census.  UNSORTED: the emit tails
+            # re-order anyway (the 200k-candidate lexsort measured 7x
+            # the census itself)
             ends, pids0 = arrays
             return ends, self._hid_lut(scanner, hid_of)[pids0]
         ends_l = []
@@ -808,17 +814,20 @@ class PrimerMatchModel:
         owner, seeds, scanner, batch, dirs, ext_pats, geomB = \
             self._bases_ctx()
         S = len(seeds)
+        # extension first (order-independent), emission order restored
+        # on the SURVIVORS only (see _halves_emit)
+        ok, hend, value = batch(ends, sids.astype(np.int32))
+        okidx = np.flatnonzero(ok)
         if self.node == 10:
             # shift_and inner engine emits in registration (bit) order
-            order = np.lexsort((sids, ends))
+            sub = okidx[np.lexsort((sids[okidx], ends[okidx]))]
         else:
             # keyword-tree order: end asc, longer seed first, duplicates
             # in reverse registration order
             slen = np.fromiter((len(s) for s in seeds), np.int64, S)
-            order = np.lexsort((-sids, -slen[sids], ends))
-        ends, sids = ends[order], sids[order]
-        ok, hend, value = batch(ends, sids.astype(np.int32))
-        for i in np.flatnonzero(ok):
+            sub = okidx[np.lexsort(
+                (-sids[okidx], -slen[sids[okidx]], ends[okidx]))]
+        for i in sub:
             yield int(hend[i]), owner[int(sids[i])], int(value[i])
 
     def _hash_engine(self):

@@ -174,7 +174,8 @@ def load_shift_and_lib():
         c_u8p, ctypes.c_int64, ctypes.c_int32,  # codes, n, L
         ctypes.c_int64,                         # alpha
         c_u64p, c_i32p, c_i32p, c_i32p,         # keys, head, enext, epid
-        ctypes.c_int64, c_u64p, ctypes.c_int32,  # tsize, bloom, nthreads
+        ctypes.c_int64, c_u64p,                 # tsize, bloom
+        ctypes.c_int32, ctypes.c_int32,         # bloom_bits, nthreads
         c_i64p, c_i32p, ctypes.c_int64,         # out_start/pid, cap
     ]
     lib.sat_sellers_scan.restype = ctypes.c_int64

@@ -348,8 +348,13 @@ int sat_extend_align(
   int64_t* dp = s.dp.data();
   int32_t* best = s.best.data();
   const int64_t INF = 1ll << 30;
-  for (int64_t i = 0; i < (int64_t)P * T; i++) dp[i] = INF;
-  std::memset(best, 0, sizeof(int32_t) * (size_t)P * T);
+  // LAZY banded initialization: the DP only ever reads cells inside the
+  // band plus a one-cell frame around it, and the batched pigeonhole
+  // callers run ~10^5 short candidates per scan — the former whole
+  // P*T INF fill + best memset dominated their cost (the row loop
+  // early-exits after ~k+2 rows on random candidates).  The frame cells
+  // are pinned per row below: (p, lb-1) and (p-1, ub) when they fall
+  // outside the previously computed region.
 #define EDP(p, t) dp[(int64_t)(p) * T + (t)]
 #define EBEST(p, t) best[(int64_t)(p) * T + (t)]
 
@@ -388,6 +393,11 @@ int sat_extend_align(
     if (lb < 1) lb = 1;
     int ub = p + band;
     if (ub > textlen) ub = textlen;
+    // banded-frame pins (see the lazy-init note above): the horizontal
+    // arm reads (p, lb-1) and the vertical arm (p-1, ub), which the
+    // previous rows never wrote when the band slides right
+    if (lb > 1) EDP(p, lb - 1) = INF;
+    if (ub > (p - 1) + band) EDP(p - 1, ub) = INF;
     int64_t bestrow = cvp;
     for (int t = lb; t <= ub; t++) {
       unsigned char tc, pc;
@@ -649,6 +659,59 @@ int sat_extend_align_batch(
       start = anchor > geomA[s] ? anchor - geomA[s] : 0;
       buflen = anchor - geomB[s] - start;
       if (buflen < 0) buflen = 0;
+    }
+    // Banded PREFIX pre-gate straight off the text (no window copy, no
+    // general-DP setup): a full <= k-edit extension implies its prefix
+    // aligns within k under a cost model that never overcharges (sub/
+    // indel cost 1 <= the true arm, constraint/eos penalties ignored —
+    // both only WEAKEN the gate), so a prefix minimum > k soundly
+    // rejects.  At pigeonhole candidate rates (~10^5 random half-hits
+    // per scan, xmers.cc:821 phase-2 geometry) this kills ~90% of the
+    // batch before the full-DP path.
+    const int32_t band0 = indels ? (dna_mut ? 1 : k) : 0;
+    const int32_t G0 = ext_len[s] < k + 4 ? ext_len[s] : k + 4;
+    if (!wc && !textn && !dna_mut && G0 >= 1 && k >= 1 && k <= 8 &&
+        buflen >= G0 + band0) {
+      const unsigned char* pp = expats + ext_off[s];
+      const int32_t plen = ext_len[s];
+      int64_t row[2 * 8 + 1];  // diagonals d = t - p in [-band, band]
+      const int32_t band = band0;
+      for (int32_t d = 0; d <= 2 * band; ++d)
+        row[d] = d >= band ? d - band : band - d;  // row-0 indel ramp
+      bool dead = true;
+      for (int32_t p = 1; p <= G0; ++p) {
+        const unsigned char pc =
+            dirs[s] > 0 ? pp[p - 1] : pp[plen - p];
+        int64_t prev_d = 1 << 20, rowmin = 1 << 20;
+        for (int32_t d = 0; d <= 2 * band; ++d) {
+          const int64_t t = (int64_t)p + d - band;
+          int64_t v = 1 << 20;
+          if (t >= 1 && t <= buflen) {
+            const int64_t pos = dirs[s] > 0
+                ? start + t - 1
+                : anchor - geomB[s] - t;
+            const unsigned char tc =
+                (pos >= 0 && pos < n) ? ch_of[codes[pos]] : eos;
+            v = row[d] + (tc == pc ? 0 : 1);
+            if (d + 1 <= 2 * band && row[d + 1] + 1 < v)
+              v = row[d + 1] + 1;  // text gap
+            if (prev_d + 1 < v) v = prev_d + 1;  // pattern gap
+          } else if (t == 0 && d + 1 <= 2 * band) {
+            v = row[d + 1] + 1;
+          }
+          prev_d = v;
+          row[d] = v;
+          if (v < rowmin) rowmin = v;
+        }
+        if (rowmin > k) { dead = true; break; }
+        dead = false;
+      }
+      if (dead) {
+        ok_out[i] = 0;
+        end_out[i] = anchor;
+        val_out[i] = 0;
+        return true;
+      }
     }
     const unsigned char* w =
         make_window(codes, n, ch_of, eos, start, buflen);

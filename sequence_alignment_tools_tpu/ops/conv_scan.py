@@ -87,9 +87,11 @@ def _shared_scan_jit(classes, alpha, Lmax, eos_code, T, MB,
     from .pallas.scan_kernel import pallas_scan_hits
 
     @jax.jit
-    def jfn(codes_dev, t3, W, thr, weights, thresholds, lengths):
+    def jfn(codes_dev, t3, W, thr, weights, thresholds, lengths,
+            feed=None):
         return pallas_scan_hits(
             codes_dev, W, thr, weights, thresholds, lengths, t3,
+            feed=feed,
             classes=classes, alpha=alpha, Lmax=Lmax, eos_code=eos_code,
             T=T, MB=MB, cap_mb=cap_mb, hit_cap=hit_cap,
             interpret=interpret,
@@ -140,6 +142,29 @@ def _wpk_form(codes_dev, T: int, eos: int):
     weakref.finalize(codes_dev, _WPK_CACHE.pop, key, None)
     _WPK_CACHE[key] = (ref, wpk)
     return wpk
+
+
+_IMCOL_CACHE: dict = {}
+
+
+def _imcol_form(codes_dev, T: int, classes: tuple, na: int, KPAD: int):
+    """Precomputed im2col feed (scan_kernel.imcol_transpose), cached
+    across scanner instances by device-array identity + class geometry.
+    ~KPAD/8 bytes per base of HBM — the caller bounds eligibility."""
+    import weakref
+
+    key = (id(codes_dev), T, classes, na, KPAD)
+    ent = _IMCOL_CACHE.get(key)
+    if ent is not None and ent[0]() is codes_dev:
+        return ent[1]
+    from .pallas.scan_kernel import imcol_transpose
+
+    feed = imcol_transpose(codes_dev, T=T, classes=classes, na=na,
+                           KPAD=KPAD)
+    ref = weakref.ref(codes_dev)
+    weakref.finalize(codes_dev, _IMCOL_CACHE.pop, key, None)
+    _IMCOL_CACHE[key] = (ref, feed)
+    return feed
 
 
 def _t3_form(codes_dev, T: int):
@@ -370,9 +395,22 @@ class ConvScanner:
         jfn = _shared_scan_jit(
             classes, t.alpha, t.Lmax, t.eos_code, T, self._MB,
             cap_mb, hit_cap, interpret)
+        KPAD = W.shape[1]
+        from .pallas.scan_kernel import _na
+
+        na = _na(t.Lmax)
 
         def fn(codes_dev, t3):
-            return jfn(codes_dev, t3, W, thr, weights, thresholds, lengths)
+            feed = None
+            # default OFF here: on the EXACT kernel the feed's 16 B/base
+            # DMA outweighs the in-kernel build it replaces (measured
+            # 1.01 vs 0.91 ms/16 MB on-chip) — the win is k>0 slots
+            # (higher compute/byte + it frees VMEM for T=64K tiles)
+            if self._IMCOL_FEED_EXACT and \
+                    codes_dev.shape[0] * KPAD // 8 <= self._IMCOL_MAX * 16:
+                feed = _imcol_form(codes_dev, T, classes, na, KPAD)
+            return jfn(codes_dev, t3, W, thr, weights, thresholds,
+                       lengths, feed)
 
         self._dispatch_cache[(cap_mb, hit_cap, interpret)] = fn
         return fn
@@ -487,6 +525,13 @@ class ConvScanner:
     # scan_kernel._slots_kernel pair_fold): halves the network's plane
     # width; paired-lane collisions escape to the exact host rescan
     _SLOTS_PAIR = os.environ.get("SAT_SLOTS_PAIR", "1") == "1"
+    # precomputed im2col HBM feed (scan_kernel.imcol_transpose): skips
+    # the in-kernel one-hot/im2col build — 16 bytes/base of HBM, so
+    # bounded to databases where that is cheap relative to 16 GB
+    _IMCOL_FEED = os.environ.get("SAT_IMCOL_FEED", "1") == "1"
+    _IMCOL_FEED_EXACT = os.environ.get("SAT_IMCOL_FEED_EXACT", "0") == "1"
+    _IMCOL_MAX = 1 << 26
+    _SLOTS_T = int(os.environ.get("SAT_SLOTS_T", "65536"))
     _gtbl_cache = None
     _chain_dev_c = None
 
@@ -609,11 +654,19 @@ class ConvScanner:
             eos_esc = -1
             T = self._pallas_T_exact()
         # the slots kernel's VMEM stack peaks at scores [8*plive, U] int32
-        # plus the matmul-reduce operand planes: T = 64K overflows the
-        # 16 MB scoped-vmem limit even at plive = 40 (measured 18.07 M);
-        # T = 48K fits and shaves ~7% off the k=1 pipeline (fewer
-        # per-tile fixed costs), parity-checked on-chip
-        T = min(T, 49152 if t.P <= 64 else 32768)
+        # plus the matmul-reduce operand planes: with the in-kernel
+        # im2col build, T = 64K overflows the 16 MB scoped-vmem limit
+        # even at plive = 40 (measured 18.07 M) and T = 48K is the
+        # plateau.  The HBM im2col feed frees the build scratches, and
+        # T = 64K then fits UP TO plive = 48 (scores 12.6 M + 2 x 1 M
+        # feed blocks) and measures ~9% faster (fewer per-tile fixed
+        # costs + epilogue rows), parity-checked on-chip.
+        use_feed = (self._IMCOL_FEED
+                    and codes_dev.shape[0] <= self._IMCOL_MAX)
+        if use_feed and t.P <= 48:
+            T = min(T, self._SLOTS_T)
+        else:
+            T = min(T, 49152 if t.P <= 64 else 32768)
         LgT, NW, lens, gtbl, wbits, use_wpack, wcol = \
             self._slots_statics(gt)
         U = T // 8
@@ -621,13 +674,23 @@ class ConvScanner:
         Ueff = U // 2 if pair else U
         segl = min(self._SLOTS_SEGL, Ueff)
         capg = self._SLOTS_CAPG
+        # cap = capg * nsegs must stay a LANE multiple: the post-gate
+        # re-compaction's lane rotates on a non-128-multiple plane
+        # lower to multi-op shuffles (~0.8 ms/scan measured at cap=192)
+        while (capg * (Ueff // segl)) % 128:
+            capg += 1
         self._slots_geom = (T, segl, Ueff // segl, pair)
         t3 = self._t3_for(codes_dev, T)
         wpk = (_wpk_form(codes_dev, T, t.eos_code) if use_wpack else None)
+        feed = None
+        if use_feed:
+            from .pallas.scan_kernel import _na
+
+            feed = _imcol_form(codes_dev, T, classes, _na(t.Lmax), 128)
         cdev = self._chain_dev(gt)
         chain, chain_Lg = cdev if cdev is not None else (None, 0)
         return pallas_scan_gated_slots(
-            codes_dev, W, thr, gtbl, t3, wpk, chain, wcol,
+            codes_dev, W, thr, gtbl, t3, wpk, chain, wcol, feed,
             classes=classes,
             Lmax=t.Lmax, T=T, NW=NW, cap=capg * (Ueff // segl), LgT=LgT,
             kk=k, band=gt.band, indels=indels, lens=lens, out_cap=caps[0],
@@ -1067,7 +1130,8 @@ class ConvScanner:
         lib = load_shift_and_lib()
         return lib is not None and hasattr(lib, "sat_mer_scan")
 
-    def _mer_native(self, by_len: dict, codes: np.ndarray, n: int):
+    def _mer_native(self, by_len: dict, codes: np.ndarray, n: int,
+                    sort: bool = True):
         """(ends, pids0) arrays via the native threaded mer-hash scan
         (``native/shift_and.cpp::sat_mer_scan``), or None when the
         library is unavailable.  Open-addressing tables (4x load factor
@@ -1092,13 +1156,17 @@ class ConvScanner:
                 GOLD = 0x9E3779B97F4A7C15
                 U64 = (1 << 64) - 1
                 mask = tsize - 1
-                # 64 KB (2^19-bit) bloom prefilter: most positions
-                # miss, and one L1 bit test beats the L2 slot load
-                bloom = np.zeros(1 << 13, np.uint64)
+                # bloom prefilter sized to the pattern count (a fixed
+                # 2^19-bit filter saturates to ~17% false positives at
+                # P = 100k half-seeds): ~2^5 bits per key caps the FP
+                # rate at ~3% while staying cache-resident
+                bloom_bits = min(max(19, P_L.bit_length() + 5), 26)
+                bloom = np.zeros(1 << (bloom_bits - 6), np.uint64)
                 GOLD2 = 0xC2B2AE3D27D4EB4F
+                bshift = 64 - bloom_bits
                 for e, (c, pi) in enumerate(entries):
                     epid[e] = pi
-                    b = ((c * GOLD2) & U64) >> 45
+                    b = ((c * GOLD2) & U64) >> bshift
                     bloom[b >> 6] |= np.uint64(1 << (b & 63))
                     slot = (((c * GOLD) & U64) >> 32) & mask
                     while keys[slot] != ~np.uint64(0) \
@@ -1110,7 +1178,8 @@ class ConvScanner:
                     else:  # duplicate code: push onto the chain
                         enext[e] = head[slot]
                         head[slot] = e
-                tabs[L] = (keys, head, enext, epid, tsize, bloom)
+                tabs[L] = (keys, head, enext, epid, tsize, bloom,
+                           bloom_bits)
             self._mer_tables_c = tabs
         tabs = self._mer_tables_c
         codes8 = np.ascontiguousarray(np.asarray(codes, np.uint8))
@@ -1119,7 +1188,8 @@ class ConvScanner:
         c_i32p = ctypes.POINTER(ctypes.c_int32)
         c_i64p = ctypes.POINTER(ctypes.c_int64)
         all_s, all_p = [], []
-        for L, (keys, head, enext, epid, tsize, bloom) in tabs.items():
+        for L, (keys, head, enext, epid, tsize, bloom,
+                bloom_bits) in tabs.items():
             if n < L:
                 continue
             cap = max(4 * len(epid) + (n >> 6), 1 << 14)
@@ -1132,7 +1202,7 @@ class ConvScanner:
                     head.ctypes.data_as(c_i32p),
                     enext.ctypes.data_as(c_i32p),
                     epid.ctypes.data_as(c_i32p), tsize,
-                    bloom.ctypes.data_as(c_u64p), 0,
+                    bloom.ctypes.data_as(c_u64p), bloom_bits, 0,
                     out_s.ctypes.data_as(c_i64p),
                     out_p.ctypes.data_as(c_i32p), cap)
                 if total < 0:
@@ -1147,14 +1217,15 @@ class ConvScanner:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         starts = np.concatenate(all_s)
         pids = np.concatenate(all_p)
-        order = np.lexsort((pids, starts))
-        starts, pids = starts[order], pids[order]
+        if sort:
+            order = np.lexsort((pids, starts))
+            starts, pids = starts[order], pids[order]
         ends = starts + t.lengths[pids].astype(np.int64)
         return ends, pids
 
     _radix_ok_c = None
 
-    def scan_seed_arrays(self, codes: np.ndarray):
+    def scan_seed_arrays(self, codes: np.ndarray, sort: bool = True):
         """(ends, pids0) int64 arrays when an array-native host census
         serves this scan (the same routing test as :meth:`scan`'s radix
         branch); None otherwise — callers fall back to iterating
@@ -1175,7 +1246,7 @@ class ConvScanner:
                          and (not dev_ok or self._mer_lib_ok())))
                 and self._radix_eligible()):
             return None
-        return self._scan_radix_arrays(self._by_len(), codes, n)
+        return self._scan_radix_arrays(self._by_len(), codes, n, sort=sort)
 
     def _radix_eligible(self) -> bool:
         """Radix lookup needs literal (wildcard-free) patterns and codes
@@ -1227,12 +1298,14 @@ class ConvScanner:
             self._by_len_c = by_len
         return self._by_len_c
 
-    def _scan_radix_arrays(self, by_len, codes, n):
+    def _scan_radix_arrays(self, by_len, codes, n, sort=True):
         """(ends, pids0) int64 arrays in (window-start, pattern) order —
-        the array core of :meth:`_scan_radix`."""
+        the array core of :meth:`_scan_radix`.  ``sort=False`` skips the
+        final (start, pattern) lexsort for callers that re-order anyway
+        (the pigeonhole emit tails) — ~20 ms per 200k hits."""
         t = self.tables
         alpha = t.alpha
-        native = self._mer_native(by_len, codes, n)
+        native = self._mer_native(by_len, codes, n, sort=sort)
         if native is not None:
             self._route("native threaded mer-hash census "
                         "(%d patterns)" % t.P)

@@ -197,9 +197,10 @@ def _pattern_matmul_reduce(scores, mlive: int, U: int, et, wcol=None):
     return cnt, sm
 
 
-def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
-                 oh_ref, *, classes: tuple, U: int, na: int, kchunks: int,
-                 plive: int, ptiles: int, emit: str):
+def _scan_kernel(codes_ref, next_ref, wt_ref, *refs,
+                 classes: tuple, U: int, na: int, kchunks: int,
+                 plive: int, ptiles: int, emit: str,
+                 use_feed: bool = False):
     # codes_ref/next_ref: [1, 8, U] uint8 (phase-transposed text tiles i
     # and i+1 of the SAME padded array — sublane r, lane u is position
     # t = 8*(i*U + u) + r; the lane halo is read in-kernel from the next
@@ -226,7 +227,17 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
     Scratch reuse across the grid (TPU grids run sequentially,
     pattern-tile axis innermost): the bias ones-row and the K-pad zero
     rows of ``yt`` are written once at the first step, and with several
-    pattern tiles the im2col build runs only at pattern-tile 0."""
+    pattern tiles the im2col build runs only at pattern-tile 0.
+
+    With ``use_feed`` the whole build is skipped: the operand arrives
+    per tile from the precomputed HBM feed (:func:`imcol_transpose`) —
+    the DMA overlaps the matmul/reduce where the in-kernel build
+    serialized with them."""
+    if use_feed:
+        feed_ref, out_ref, yt_ref, acc_ref, oh_ref = refs
+    else:
+        feed_ref = None
+        out_ref, yt_ref, acc_ref, oh_ref = refs
     nc = len(classes)
     K = nc * 8 * na + 1
     KPAD = kchunks * LANE
@@ -238,45 +249,49 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, out_ref, yt_ref, acc_ref,
     et = jnp.int8
     pet = jnp.int32
 
-    @pl.when(jnp.logical_and(pl.program_id(0) == 0,
-                             pl.program_id(1) == 0))
-    def _():
-        # static yt content, never written again: bias ones + K-pad zeros
-        yt_ref[K - 1 : K, :] = jnp.ones((1, U), et)
-        if K < KPAD:
-            yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, U), et)
-
-    def build():
-        # widen once: int8/uint8 equality compares are unsupported by
-        # this Mosaic target
-        blk = jnp.concatenate(
-            [codes_ref[0], next_ref[0][:, :HU]], axis=1
-        ).astype(jnp.int32)
-        for ci, c in enumerate(classes):
-            oh_ref[ci * 8 : (ci + 1) * 8, :] = (blk == c).astype(et)
-        for ci in range(nc):
-            for a in range(na):
-                row = (ci * na + a) * 8
-                yt_ref[row : row + 8, :] = \
-                    oh_ref[ci * 8 : (ci + 1) * 8, a : a + U]
-
-    if ptiles == 1:
-        build()
-    else:
-        # im2col depends only on the text tile; rebuild at pattern-tile 0
-        @pl.when(pl.program_id(1) == 0)
+    if not use_feed:
+        @pl.when(jnp.logical_and(pl.program_id(0) == 0,
+                                 pl.program_id(1) == 0))
         def _():
+            # static yt content, never written again: bias + K-pad zeros
+            yt_ref[K - 1 : K, :] = jnp.ones((1, U), et)
+            if K < KPAD:
+                yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, U), et)
+
+        def build():
+            # widen once: int8/uint8 equality compares are unsupported
+            # by this Mosaic target
+            blk = jnp.concatenate(
+                [codes_ref[0], next_ref[0][:, :HU]], axis=1
+            ).astype(jnp.int32)
+            for ci, c in enumerate(classes):
+                oh_ref[ci * 8 : (ci + 1) * 8, :] = (blk == c).astype(et)
+            for ci in range(nc):
+                for a in range(na):
+                    row = (ci * na + a) * 8
+                    yt_ref[row : row + 8, :] = \
+                        oh_ref[ci * 8 : (ci + 1) * 8, a : a + U]
+
+        if ptiles == 1:
             build()
+        else:
+            # im2col depends only on the text tile; rebuild at tile 0
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                build()
+
+    def ysrc(lo, hi):
+        return feed_ref[0][lo:hi] if use_feed else yt_ref[lo:hi]
 
     if kchunks == 1:
-        scores = jnp.dot(wt_ref[0, 0, :mlive, :], yt_ref[:],
+        scores = jnp.dot(wt_ref[0, 0, :mlive, :], ysrc(0, KPAD),
                          preferred_element_type=pet)
     else:
         acc_ref[:] = jnp.zeros((mlive, U), jnp.int32)
         for kc in range(kchunks):
             acc_ref[:] += jnp.dot(
                 wt_ref[0, kc, :mlive, :],
-                yt_ref[kc * LANE : (kc + 1) * LANE],
+                ysrc(kc * LANE, (kc + 1) * LANE),
                 preferred_element_type=jnp.int32,
             )
         scores = acc_ref[:]
@@ -351,6 +366,46 @@ _phase_transpose_jit = jax.jit(phase_transpose, static_argnames=("T",))
 
 
 @functools.partial(
+    jax.jit, static_argnames=("T", "classes", "na", "KPAD"))
+def imcol_transpose(codes, *, T: int, classes: tuple, na: int, KPAD: int):
+    """Precomputed im2col feed: [ntiles, KPAD, T // 8] int8 where row
+    (ci*na + a)*8 + bp, lane u of tile i holds
+    ``codes[T*i + 8*(u + a) + bp] == classes[ci]`` — exactly the ``yt``
+    operand the scan kernels otherwise build in VMEM per tile (compare
+    passes + lane-shifted block copies, the measured VPU bound of the
+    exact scan, see README roofline).  Row K-1 = the bias ones-row,
+    rows K..KPAD zero.  Built ONCE per resident DB + class geometry
+    (compress_seq-style preprocessing, ~KPAD/8 bytes/base of HBM): the
+    kernel then reads its operand straight from HBM — DMA overlaps the
+    matmul/reduce compute, where the in-kernel build serialized with it.
+
+    The class-plane rows are the strided byte planes of the SHIFTED code
+    array, so the whole build is XLA slices + compares (no gathers)."""
+    U = T // 8
+    nc = len(classes)
+    K = nc * 8 * na + 1
+    if K > KPAD:
+        raise ValueError(f"K {K} exceeds KPAD {KPAD}")
+    n = codes.shape[0]
+    ntiles = max((n + T - 1) // T, 1)
+    ext = jnp.concatenate([
+        codes.astype(jnp.int32),
+        jnp.zeros(ntiles * T + 8 * na - n, jnp.int32),
+    ])
+    rows = []
+    for c in classes:
+        for a in range(na):
+            for bp in range(8):
+                b0 = 8 * a + bp
+                rows.append(ext[b0 : b0 + ntiles * T : 8] == c)
+    m = jnp.stack(rows, axis=0).astype(jnp.int8)  # [K-1, ntiles*U]
+    bias = jnp.ones((1, ntiles * U), jnp.int8)
+    pad = jnp.zeros((KPAD - K, ntiles * U), jnp.int8)
+    yt = jnp.concatenate([m, bias, pad], axis=0)
+    return yt.reshape(KPAD, ntiles, U).transpose(1, 0, 2)
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("classes", "Lmax", "T", "MB", "interpret", "n_pat",
                      "occupancy"),
@@ -367,7 +422,7 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
 def _kernel_out(codes, W, thr, *, classes: tuple, Lmax: int,
                 T: int = 8192, MB: int = 32, interpret: bool = False,
                 n_pat: int | None = None, emit: str = "counts",
-                t3=None):
+                t3=None, feed=None):
     """Microblock candidate counts over the whole code array.
 
     codes: [n] uint8/int device array (EOS-padded is fine).
@@ -416,36 +471,48 @@ def _kernel_out(codes, W, thr, *, classes: tuple, Lmax: int,
     W4 = W.reshape(ptiles, 8 * LANE, kchunks, LANE).swapaxes(1, 2)
     et = jnp.int8
 
+    in_specs = [
+        pl.BlockSpec((1, 8, U), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, U), lambda i, j: (i + 1, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kchunks, 8 * LANE, LANE),
+                     lambda i, j: (j, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [t3, t3, W4]
+    if feed is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, kchunks * LANE, U), lambda i, j: (i, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(feed)
+
     out = pl.pallas_call(
         functools.partial(
             _scan_kernel, classes=classes, U=U, na=na, kchunks=kchunks,
             plive=plive, ptiles=ptiles, emit=emit,
+            use_feed=feed is not None,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (ntiles, ptiles, 8, U),
             jnp.int32 if emit == "pos" else jnp.bfloat16),
         grid=(ntiles, ptiles),
-        in_specs=[
-            pl.BlockSpec((1, 8, U), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, U), lambda i, j: (i + 1, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kchunks, 8 * LANE, LANE),
-                         lambda i, j: (j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 8, U), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((kchunks * LANE, U), et),
+            # with an HBM feed the build scratches shrink to dummies
+            pltpu.VMEM((kchunks * LANE, U) if feed is None else (8, LANE),
+                       et),
             # single-chunk kernels feed the matmul output straight into
             # the reduce; the accumulator scratch shrinks to a dummy tile
             pltpu.VMEM((8 * plive, U) if kchunks > 1 else (8, LANE),
                        jnp.int32),
-            pltpu.VMEM((8 * len(classes), U + na - 1), et),
+            pltpu.VMEM((8 * len(classes), U + na - 1) if feed is None
+                       else (8, LANE), et),
         ],
         interpret=interpret,
-    )(t3, t3, W4)
+    )(*args)
     if emit == "pos":
         return out
     # microblock m covers positions [MB*m, MB*(m+1)) = all 8 phases of G
@@ -458,13 +525,13 @@ def _kernel_out(codes, W, thr, *, classes: tuple, Lmax: int,
 
 
 def _microhits_impl(codes, W, thr, *, classes, Lmax, T, MB, interpret,
-                    n_pat=None, occupancy=False, t3=None):
+                    n_pat=None, occupancy=False, t3=None, feed=None):
     """Non-jitted body of :func:`pallas_microhits` for fusion into larger
     jitted pipelines."""
     return _kernel_out(
         codes, W, thr, classes=classes, Lmax=Lmax, T=T, MB=MB,
         interpret=interpret, n_pat=n_pat,
-        emit="occupancy" if occupancy else "counts", t3=t3,
+        emit="occupancy" if occupancy else "counts", t3=t3, feed=feed,
     )
 
 
@@ -626,7 +693,8 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
                   cap: int, gate_cfg: tuple | None = None,
                   eos_esc: int = -1, Lmax: int = 0,
                   use_wpack: bool = False, use_wcol: bool = False,
-                  ablate: str = "", pair_fold: bool = False):
+                  ablate: str = "", pair_fold: bool = False,
+                  use_feed: bool = False):
     """Scan + in-kernel hit extraction for one text tile (kchunks == 1,
     ptiles == 1 — enforced by :func:`pallas_scan_slots`).
 
@@ -645,9 +713,11 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     the re-compacted survivor/escape meta [1, 8, cap] and a counts plane
     (lane 0: kept count, lane LANE//2: raw hit count for overflow
     detection)."""
-    wprev_ref = wcur_ref = wnext_ref = wcol_ref = None
+    wprev_ref = wcur_ref = wnext_ref = wcol_ref = feed_ref = None
+    if use_feed:
+        feed_ref, *refs = refs  # inserted right after wt_ref by callers
     if use_wcol:
-        wcol_ref, *refs = refs  # inserted right after wt_ref by callers
+        wcol_ref, *refs = refs  # next after the feed
     if gate_cfg is None:
         slots_ref, cnt_ref, yt_ref, oh_ref = refs
         gt_ref = out_ref = ocnt_ref = None
@@ -663,24 +733,28 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     HU = na - 1
     et = jnp.int8
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        yt_ref[K - 1 : K, :] = jnp.ones((1, U), et)
-        if K < KPAD:
-            yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, U), et)
+    if use_feed:
+        yop = feed_ref[0]  # precomputed im2col tile (imcol_transpose)
+    else:
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            yt_ref[K - 1 : K, :] = jnp.ones((1, U), et)
+            if K < KPAD:
+                yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, U), et)
 
-    blk = jnp.concatenate(
-        [codes_ref[0], next_ref[0][:, :HU]], axis=1
-    ).astype(jnp.int32)
-    for ci, c in enumerate(classes):
-        oh_ref[ci * 8 : (ci + 1) * 8, :] = (blk == c).astype(et)
-    for ci in range(nc):
-        for a in range(na):
-            row = (ci * na + a) * 8
-            yt_ref[row : row + 8, :] = \
-                oh_ref[ci * 8 : (ci + 1) * 8, a : a + U]
+        blk = jnp.concatenate(
+            [codes_ref[0], next_ref[0][:, :HU]], axis=1
+        ).astype(jnp.int32)
+        for ci, c in enumerate(classes):
+            oh_ref[ci * 8 : (ci + 1) * 8, :] = (blk == c).astype(et)
+        for ci in range(nc):
+            for a in range(na):
+                row = (ci * na + a) * 8
+                yt_ref[row : row + 8, :] = \
+                    oh_ref[ci * 8 : (ci + 1) * 8, a : a + U]
+        yop = yt_ref[:]
 
-    scores = jnp.dot(wt_ref[0, 0, :mlive, :], yt_ref[:],
+    scores = jnp.dot(wt_ref[0, 0, :mlive, :], yop,
                      preferred_element_type=jnp.int32)
 
     # pattern reduce as two MXU matmuls (see :func:`_pattern_matmul_reduce`)
@@ -876,11 +950,16 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     # (slot overflow detection at segment granularity; the inclusive
     # prefix's LAST lane per segment is that segment's true count)
     nsegs = Ueff // segl
+    if ablate == "nosegcnt":
+        segslices = [jnp.where(segcnt[:, g * segl : g * segl + 1] < (
+            1 << 30), 0, 1) for g in range(nsegs)]
+    else:
+        segslices = [segcnt[:, (g + 1) * segl - 1 : (g + 1) * segl]
+                     for g in range(nsegs)]
     segcounts = jnp.concatenate(
         [rowcnt2]
         + [jnp.zeros((8, 7), jnp.int32)]
-        + [segcnt[:, (g + 1) * segl - 1 : (g + 1) * segl]
-           for g in range(nsegs)]
+        + segslices
         + [jnp.zeros((8, LANE - 8 - nsegs), jnp.int32)], axis=1)
     ocnt_ref[0] = segcounts
 
@@ -1181,7 +1260,7 @@ def pallas_gate_slots(slots, counts, gtbl, *, NW: int, cap: int, LgT: int,
                      "chain_Lg", "segl", "ablate", "pair_fold"),
 )
 def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
-                            chain=None, wcol=None, *,
+                            chain=None, wcol=None, feed=None, *,
                             classes: tuple, Lmax: int, T: int = 65536,
                             NW: int = 6, cap: int = SLOT_CAP, LgT: int = 8,
                             kk: int = 1, band: int = 1, indels: bool = True,
@@ -1261,6 +1340,11 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
                      memory_space=pltpu.VMEM),
     ]
     args = [prev, t3, t3, W4]
+    if feed is not None:
+        # precomputed im2col operand (imcol_transpose), one tile/step
+        in_specs.append(pl.BlockSpec((1, LANE, U), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(feed)
     if wcol is not None:
         # per-score-row chain weights, read by the kernel right after wt
         in_specs.append(pl.BlockSpec((8, 8 * LANE), lambda i: (0, 0),
@@ -1288,6 +1372,7 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
                       segl, capg),
             eos_esc=eos_esc, Lmax=Lmax, use_wpack=use_wpack,
             use_wcol=wcol is not None, ablate=ablate, pair_fold=pair_fold,
+            use_feed=feed is not None,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((ntiles, 8, cap), jnp.int32),
@@ -1302,8 +1387,10 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((LANE, U), jnp.int8),
-            pltpu.VMEM((8 * len(classes), U + na - 1), jnp.int8),
+            pltpu.VMEM((LANE, U) if feed is None else (8, LANE),
+                       jnp.int8),
+            pltpu.VMEM((8 * len(classes), U + na - 1) if feed is None
+                       else (8, LANE), jnp.int8),
         ],
         interpret=interpret,
     )(*args)
@@ -1456,7 +1543,8 @@ def pos_exact_ok(tables, k: int) -> bool:
         "hit_cap", "interpret"
     ),
 )
-def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, t3=None, *,
+def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, t3=None,
+                     feed=None, *,
                      classes: tuple, alpha: int,
                      Lmax: int, eos_code: int = -1, T: int = 4096, MB: int = 32,
                      cap_mb: int = 1024, hit_cap: int = 4096,
@@ -1485,7 +1573,7 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, t3=None, *,
     P = wconv.shape[2]
     mh = _microhits_impl(codes, W, thr, classes=classes, Lmax=Lmax, T=T,
                          MB=MB, interpret=interpret, n_pat=P,
-                         occupancy=True, t3=t3)
+                         occupancy=True, t3=t3, feed=feed)
     nmb = mh.shape[0]
     mb_count, mb_idx = compact_mask(mh, cap_mb)
 

@@ -292,6 +292,8 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
     Ueff = U // 2 if pair else U
     segl = min(scanner._SLOTS_SEGL, Ueff)
     capg = scanner._SLOTS_CAPG
+    while (capg * (Ueff // segl)) % 128:  # cap must stay a LANE multiple
+        capg += 1
     scanner._slots_geom = (T, segl, Ueff // segl, pair)
     halo = 64  # covers Lmax - 1 + the gate window span (<= ~40)
     shards, shard_len = shard_codes(

@@ -94,3 +94,26 @@ def test_incremental_rebuild(syn_fasta, tmp_path):
     assert compress(fa, normalize=True, check_only=True) is False
     os.utime(fa)  # touch source -> stale
     assert compress(fa, normalize=True, check_only=True) is True
+
+
+def test_tableonly_parity(oracle, syn_fasta, tmp_path):
+    """-T true writes ONLY the .tbl (dna-optimized census order), byte
+    identical to the reference's (compress_seq.cc:213-218,365,690-722),
+    and the guard flag round-trips (-G true leaves no stale .grd)."""
+    ref_fa = str(tmp_path / "r3.fasta")
+    shutil.copy(syn_fasta, ref_fa)
+    _run_ref_compress(oracle, ref_fa, "-T", "true", "-G", "true")
+    mine_fa = str(tmp_path / "m3.fasta")
+    shutil.copy(syn_fasta, mine_fa)
+    from sequence_alignment_tools_tpu.apps.compress_seq import main
+
+    assert main(["-i", mine_fa, "-T", "true", "-G", "true"]) == 0
+    assert open(mine_fa + ".tbl", "rb").read() == \
+        open(ref_fa + ".tbl", "rb").read()
+    for ext in (".seq", ".hdr", ".idb", ".idx", ".sqn", ".grd"):
+        assert not os.path.exists(mine_fa + ext), ext
+    # table-only staleness: fresh .tbl -> no rebuild; touched fasta -> yes
+    assert not compress(mine_fa, tableonly=True, check_only=True)
+    t2 = os.path.getmtime(mine_fa + ".tbl") + 2
+    os.utime(mine_fa, (t2, t2))
+    assert compress(mine_fa, tableonly=True, check_only=True)
