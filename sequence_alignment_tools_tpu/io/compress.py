@@ -426,6 +426,17 @@ def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
                     producer_alphabet=256)
         db.source_kind = "seq"
         return db
+    if os.environ.get("SAT_AUTO_ARTIFACTS") == "1":
+        # one-shot self-preprocessing: persist the reference-format
+        # .seq/.hdr/.idb next to the FASTA on first touch so repeat
+        # cold invocations mmap-load instead of re-parsing (the .seq
+        # route is output-identical to raw — the -D x -B parity matrix
+        # pins it).  Opt-in: writing files is a side effect.
+        try:
+            compress(fasta_path, eos_char=eos_char)
+            return load_db(fasta_path, eos_char=eos_char)
+        except OSError:
+            pass
     return SeqDB.from_fasta(fasta_path, eos_char=eos_char)
 
 

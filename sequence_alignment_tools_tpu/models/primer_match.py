@@ -463,12 +463,14 @@ class PrimerMatchModel:
         sub = okidx[np.lexsort((-hids[okidx], ends[okidx]))]
         lasthit = [0] * (ps.n_total + 1)
         dedup = 2 * k if self.indels else 0
-        for i in sub:
-            pid = owner[int(hids[i])]
-            he = int(hend[i])
+        owner_np = np.asarray(owner, np.int64)
+        pid_l = owner_np[hids[sub]].tolist()
+        he_l = hend[sub].tolist()
+        val_l = value[sub].tolist()
+        for pid, he, val in zip(pid_l, he_l, val_l):
             if he > lasthit[pid] + dedup:
                 lasthit[pid] = he
-                yield he, pid, int(value[i])
+                yield he, pid, val
 
     def engine_hits_stream(self, reps: int):
         """Serving posture: ``reps`` engine runs over the resident

@@ -257,6 +257,49 @@ inline int64_t mer_bloom_bit(uint64_t code, int32_t shift) {
   return (int64_t)((code * 0xC2B2AE3D27D4EB4FULL) >> shift);
 }
 
+// Inline banded PREFIX extension gate on a census hit (the pigeonhole
+// engines' exact_halves/exact_bases seeds, exact_halves.cc:120-224):
+// a full <= k-edit extension implies its prefix aligns within k under a
+// cost model that never overcharges (sub/indel cost 1, out-of-range
+// text = a plain mismatch), so a prefix minimum > k soundly rejects the
+// candidate before it ever leaves the scan thread — at xmers phase-2
+// rates (~10% of positions are random half-seed hits) this prunes ~90%
+// of the output while the text block is still cache-hot.
+inline bool mer_gate_pass(const uint8_t* codes, int64_t n, int64_t s,
+                          int32_t L, int32_t pid, const int8_t* gdir,
+                          const uint8_t* gpref, const uint8_t* gglen,
+                          int32_t G, int32_t k, int32_t band) {
+  const int32_t g = gglen[pid];
+  if (g <= 0) return true;
+  const uint8_t* pp = gpref + (size_t)pid * G;
+  int64_t row[2 * 8 + 1];
+  for (int32_t d = 0; d <= 2 * band; ++d)
+    row[d] = d >= band ? d - band : band - d;
+  for (int32_t p = 1; p <= g; ++p) {
+    const uint8_t pc = pp[p - 1];
+    int64_t prev = 1 << 20, rowmin = 1 << 20;
+    for (int32_t d = 0; d <= 2 * band; ++d) {
+      const int64_t t = (int64_t)p + d - band;
+      int64_t v = 1 << 20;
+      if (t >= 1) {
+        const int64_t pos = gdir[pid] > 0 ? s + L + t - 1 : s - t;
+        const uint8_t tc =
+            (pos >= 0 && pos < n) ? codes[pos] : (uint8_t)0xFE;
+        v = row[d] + (tc == pc ? 0 : 1);
+        if (d + 1 <= 2 * band && row[d + 1] + 1 < v) v = row[d + 1] + 1;
+        if (prev + 1 < v) v = prev + 1;
+      } else if (t == 0 && d + 1 <= 2 * band) {
+        v = row[d + 1] + 1;
+      }
+      prev = v;
+      row[d] = v;
+      if (v < rowmin) rowmin = v;
+    }
+    if (rowmin > k) return false;
+  }
+  return true;
+}
+
 void mer_scan_range(const uint8_t* codes, int64_t lo, int64_t hi,
                     int64_t nstarts, int32_t L,
                     uint64_t alpha, uint64_t topmul, const uint64_t* keys,

@@ -28,8 +28,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+class _LazyPallasModule:
+    """Import ``jax.experimental.pallas`` on FIRST USE: the import costs
+    ~0.8 s of a cold CLI invocation, and the host-served one-shot paths
+    never trace a kernel.  The first attribute access swaps the real
+    module into this module's globals."""
+
+    def __init__(self, name: str, binding: str):
+        self._name = name
+        self._binding = binding
+
+    def __getattr__(self, attr):
+        import importlib
+
+        mod = importlib.import_module(self._name)
+        globals()[self._binding] = mod
+        return getattr(mod, attr)
+
+
+pl = _LazyPallasModule("jax.experimental.pallas", "pl")
+pltpu = _LazyPallasModule("jax.experimental.pallas.tpu", "pltpu")
 
 
 @functools.partial(jax.jit, static_argnames=("eos", "k", "indels", "cap"))
@@ -363,13 +381,25 @@ class SellersScanner:
         self.indels = indels
         self.block = block
         self.cap = cap
-        # match layout [Lmax, P, alpha] for row-major dynamic indexing
-        self.match = jnp.asarray(
-            np.ascontiguousarray(tables.match.transpose(1, 0, 2))
-        )
-        self.lengths_dev = jnp.asarray(tables.lengths)
+        self._dev_c = None  # lazy: construction must not init the backend
         # optional per-block progress callback (pattern_match.h:144-155)
         self.progress = None
+
+    @property
+    def match(self):
+        # match layout [Lmax, P, alpha] for row-major dynamic indexing
+        if self._dev_c is None:
+            self._dev_c = (
+                jnp.asarray(np.ascontiguousarray(
+                    self.tables.match.transpose(1, 0, 2))),
+                jnp.asarray(self.tables.lengths),
+            )
+        return self._dev_c[0]
+
+    @property
+    def lengths_dev(self):
+        self.match
+        return self._dev_c[1]
 
     # a jax.sharding.Mesh attached by the model layer (parallel.shard.
     # auto_mesh); scans route through the sharded per-shard DP when set

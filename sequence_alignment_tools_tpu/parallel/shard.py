@@ -32,6 +32,27 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def _devcount_cache_path():
+    import os
+    import tempfile
+
+    key = "%s_%s" % (os.uname().nodename,
+                     os.environ.get("JAX_PLATFORMS", "auto"))
+    key = "".join(c if c.isalnum() else "_" for c in key)
+    return os.path.join(tempfile.gettempdir(), "sat_devcount_" + key)
+
+
+def probe_devices():
+    """jax.devices(), or [] when no backend can initialize (e.g. the
+    single-client device tunnel is held by another process — a one-shot
+    CLI run then degrades to the host/single-device path instead of
+    crashing)."""
+    try:
+        return jax.devices()
+    except RuntimeError:
+        return []
+
+
 def auto_mesh(axis: str = "data") -> Mesh | None:
     """The data-parallel mesh the CLI tools scan over, or ``None`` for the
     single-device path.
@@ -42,11 +63,50 @@ def auto_mesh(axis: str = "data") -> Mesh | None:
       accelerator is attached (a real TPU slice auto-shards; a CPU host
       with forced virtual devices does NOT silently change the CLI path).
     - ``SAT_MESH=0`` or ``1``: disabled.
+
+    Auto mode caches the device COUNT on disk (per host + platform env):
+    on a known single-device machine the one-shot CLI then skips backend
+    initialization entirely (~1 s on the tunneled chip) and a daemon
+    thread re-probes/refreshes the cache in the background — a stale
+    count after a topology change costs at most one unsharded run.
     """
     import os
 
     spec = os.environ.get("SAT_MESH", "auto").strip().lower()
     if spec in ("0", "1", "off", "none"):
+        return None
+    if spec in ("", "auto"):
+        path = _devcount_cache_path()
+        cached = None
+        try:
+            with open(path) as f:
+                cached = int(f.read().strip())
+        except (OSError, ValueError):
+            pass
+
+        def refresh():
+            try:
+                with open(path, "w") as f:
+                    f.write(str(len(probe_devices())))
+            except OSError:
+                pass
+
+        if cached == 1:
+            import time
+
+            try:  # re-probe only a stale cache (the background init
+                stale = (time.time() - os.path.getmtime(path)) > 600
+            except OSError:  # costs ~1 s of shared CPU on this host)
+                stale = True
+            if stale:
+                import threading
+
+                threading.Thread(target=refresh, daemon=True).start()
+            return None
+        devices = probe_devices()
+        refresh()
+        if len(devices) > 1 and devices[0].platform != "cpu":
+            return make_mesh(devices, axis)
         return None
     devices = jax.devices()
     if spec not in ("", "auto"):
