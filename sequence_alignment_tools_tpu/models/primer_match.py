@@ -673,7 +673,9 @@ class PrimerMatchModel:
                 return self._gated_post(
                     scanner, codes, anchors, sids0, multi,
                     self._hid_lut(scanner, hid_of))
-        arrays = scanner.scan_seed_arrays(codes, sort=False)
+        arrays = scanner.scan_seed_arrays(
+            codes, sort=False,
+            gate=self._census_gate(scanner, dirs, ext_pats, hid_of))
         if arrays is not None:
             # array-native census (mer hash / numpy radix): skip the
             # per-hit tuple stream — at xmers scale the generator hops
@@ -689,6 +691,51 @@ class PrimerMatchModel:
             hids_l.append(hid_of(p0))
         return (np.asarray(ends_l, np.int64),
                 np.asarray(hids_l, np.int64))
+
+    _census_gate_c = None
+
+    def _census_gate(self, scanner, dirs, ext_pats, hid_of):
+        """Native inline prefix-extension gate spec for the mer census
+        (native/shift_and.cpp::mer_gate_pass): per seed the walk
+        direction and the first k+4 extension CODES.  A superset
+        filter — candidates it drops cannot survive the exact batched
+        extension (the gate's cost model never overcharges: sub/indel
+        cost 1, unknown chars a plain mismatch), so engine output is
+        identical.  None when inapplicable (wildcard/compat accepts,
+        substitution-cost maps, char-mapped databases whose original
+        chars are not code-faithful)."""
+        if self._census_gate_c is not None \
+                and self._census_gate_c[0] is scanner:
+            return self._census_gate_c[1]
+        spec = None
+        k = self.k
+        if (not self.wc and not self.textn and not self.dna_mut
+                and 1 <= k <= 8
+                and getattr(self.db, "decode_chars", None) is None):
+            t = scanner.tables
+            S = t.P
+            G = k + 4
+            band = k if self.indels else 0
+            c2c = {chr(b): i for i, b in enumerate(bytes(self.db.table))}
+            gdir = np.zeros(S, np.int8)
+            gpref = np.zeros((S, G), np.uint8)
+            gglen = np.zeros(S, np.uint8)
+            for pid0 in range(S):
+                hid = hid_of(pid0)
+                d = int(dirs[hid])
+                walk = ext_pats[hid]
+                if d <= 0:
+                    walk = walk[::-1]
+                gl = min(len(walk), G)
+                for j in range(gl):
+                    gpref[pid0, j] = c2c.get(walk[j], 0xFE)
+                gdir[pid0] = 0 if gl == 0 else (1 if d > 0 else -1)
+                gglen[pid0] = gl
+            spec = (np.ascontiguousarray(gdir),
+                    np.ascontiguousarray(gpref.reshape(-1)),
+                    np.ascontiguousarray(gglen), G, int(k), int(band))
+        self._census_gate_c = (scanner, spec)
+        return spec
 
     def _engine_gate(self, scanner, dirs, ext_pats, geomB, hid_of):
         """Extension GateTables for a pigeonhole engine, cached per

@@ -169,13 +169,17 @@ def load_shift_and_lib():
         c_u64p,                                # rows scratch
         c_i64p, c_i32p, c_i32p, ctypes.c_int64,  # out_end/bit/mism, cap
     ]
+    c_i8p = ctypes.POINTER(ctypes.c_int8)
     lib.sat_mer_scan.restype = ctypes.c_int64
     lib.sat_mer_scan.argtypes = [
         c_u8p, ctypes.c_int64, ctypes.c_int32,  # codes, n, L
         ctypes.c_int64,                         # alpha
         c_u64p, c_i32p, c_i32p, c_i32p,         # keys, head, enext, epid
         ctypes.c_int64, c_u64p,                 # tsize, bloom
-        ctypes.c_int32, ctypes.c_int32,         # bloom_bits, nthreads
+        ctypes.c_int32,                         # bloom_bits
+        c_i8p, c_u8p, c_u8p,                    # gate dir/pref/glen
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # G, gk, gband
+        ctypes.c_int32,                         # nthreads
         c_i64p, c_i32p, ctypes.c_int64,         # out_start/pid, cap
     ]
     lib.sat_sellers_scan.restype = ctypes.c_int64

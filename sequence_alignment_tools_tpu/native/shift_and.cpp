@@ -300,12 +300,15 @@ inline bool mer_gate_pass(const uint8_t* codes, int64_t n, int64_t s,
   return true;
 }
 
-void mer_scan_range(const uint8_t* codes, int64_t lo, int64_t hi,
-                    int64_t nstarts, int32_t L,
+void mer_scan_range(const uint8_t* codes, int64_t n, int64_t lo,
+                    int64_t hi, int64_t nstarts, int32_t L,
                     uint64_t alpha, uint64_t topmul, const uint64_t* keys,
                     const int32_t* head, const int32_t* enext,
                     const int32_t* epid, int64_t tmask,
                     const uint64_t* bloom, int32_t bloom_shift,
+                    const int8_t* gdir, const uint8_t* gpref,
+                    const uint8_t* gglen, int32_t G, int32_t gk,
+                    int32_t gband,
                     int64_t* out_start, int32_t* out_pid, int64_t cap,
                     std::atomic<int64_t>* nhits) {
   // Blocked three-phase walk (the branchy one-pass form measured ~4x
@@ -365,8 +368,13 @@ void mer_scan_range(const uint8_t* codes, int64_t lo, int64_t hi,
         if (k == ~0ULL) break;
         if (k == c) {
           for (int32_t e = head[slot]; e >= 0; e = enext[e]) {
+            const int32_t pid = epid[e];
+            if (gdir != nullptr && gdir[pid] != 0 &&
+                !mer_gate_pass(codes, n, blo + cand[j], L, pid, gdir,
+                               gpref, gglen, G, gk, gband))
+              continue;
             pend_s[npend] = blo + cand[j];
-            pend_p[npend] = epid[e];
+            pend_p[npend] = pid;
             if (++npend == PEND) flush();
           }
           break;
@@ -385,10 +393,16 @@ int64_t sat_mer_scan(const uint8_t* codes, int64_t n, int32_t L,
                      const int32_t* head, const int32_t* enext,
                      const int32_t* epid, int64_t tsize,
                      const uint64_t* bloom, int32_t bloom_bits,
+                     const int8_t* gate_dir, const uint8_t* gate_pref,
+                     const uint8_t* gate_glen, int32_t gate_G,
+                     int32_t gate_k, int32_t gate_band,
                      int32_t nthreads,
                      int64_t* out_start, int32_t* out_pid, int64_t cap) {
   if (n < L || L <= 0 || tsize <= 0 || (tsize & (tsize - 1))) return -1;
   if (bloom_bits < 6 || bloom_bits > 40) return -1;
+  if (gate_dir != nullptr && (gate_band < 0 || gate_band > 8 ||
+                              gate_G <= 0))
+    return -1;
   const int32_t bloom_shift = 64 - bloom_bits;
   const int64_t nstarts = n - L + 1;
   uint64_t topmul = 1;
@@ -400,9 +414,10 @@ int64_t sat_mer_scan(const uint8_t* codes, int64_t n, int32_t L,
   const int64_t min_chunk = 1 << 16;
   const int64_t tmask = tsize - 1;
   if (nstarts < 2 * min_chunk || nt == 1) {
-    mer_scan_range(codes, 0, nstarts, nstarts, L, alpha, topmul, keys,
+    mer_scan_range(codes, n, 0, nstarts, nstarts, L, alpha, topmul, keys,
                    head, enext, epid, tmask, bloom, bloom_shift,
-                   out_start, out_pid, cap, &nhits);
+                   gate_dir, gate_pref, gate_glen, gate_G, gate_k,
+                   gate_band, out_start, out_pid, cap, &nhits);
     return nhits.load();
   }
   int64_t chunk = (nstarts + nt - 1) / nt;
@@ -410,9 +425,11 @@ int64_t sat_mer_scan(const uint8_t* codes, int64_t n, int32_t L,
   std::vector<std::thread> threads;
   for (int64_t lo = 0; lo < nstarts; lo += chunk) {
     const int64_t hi = std::min(lo + chunk, nstarts);
-    threads.emplace_back(mer_scan_range, codes, lo, hi, nstarts, L, alpha,
-                         topmul, keys, head, enext, epid, tmask, bloom,
-                         bloom_shift, out_start, out_pid, cap, &nhits);
+    threads.emplace_back(mer_scan_range, codes, n, lo, hi, nstarts, L,
+                         alpha, topmul, keys, head, enext, epid, tmask,
+                         bloom, bloom_shift, gate_dir, gate_pref,
+                         gate_glen, gate_G, gate_k, gate_band, out_start,
+                         out_pid, cap, &nhits);
   }
   for (auto& th : threads) th.join();
   return nhits.load();

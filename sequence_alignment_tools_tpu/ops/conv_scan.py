@@ -88,10 +88,10 @@ def _shared_scan_jit(classes, alpha, Lmax, eos_code, T, MB,
 
     @jax.jit
     def jfn(codes_dev, t3, W, thr, weights, thresholds, lengths,
-            feed=None):
+            feed=None, ohp=None):
         return pallas_scan_hits(
             codes_dev, W, thr, weights, thresholds, lengths, t3,
-            feed=feed,
+            feed=feed, ohp=ohp,
             classes=classes, alpha=alpha, Lmax=Lmax, eos_code=eos_code,
             T=T, MB=MB, cap_mb=cap_mb, hit_cap=hit_cap,
             interpret=interpret,
@@ -145,6 +145,25 @@ def _wpk_form(codes_dev, T: int, eos: int):
 
 
 _IMCOL_CACHE: dict = {}
+_OHP_CACHE: dict = {}
+
+
+def _ohp_form(codes_dev, T: int, classes: tuple):
+    """Precomputed one-hot class planes (scan_kernel.ohp_transpose),
+    cached across scanner instances by device-array identity."""
+    import weakref
+
+    key = (id(codes_dev), T, classes)
+    ent = _OHP_CACHE.get(key)
+    if ent is not None and ent[0]() is codes_dev:
+        return ent[1]
+    from .pallas.scan_kernel import ohp_transpose
+
+    ohp = ohp_transpose(codes_dev, T=T, classes=classes)
+    ref = weakref.ref(codes_dev)
+    weakref.finalize(codes_dev, _OHP_CACHE.pop, key, None)
+    _OHP_CACHE[key] = (ref, ohp)
+    return ohp
 
 
 def _imcol_form(codes_dev, T: int, classes: tuple, na: int, KPAD: int):
@@ -437,16 +456,21 @@ class ConvScanner:
         na = _na(t.Lmax)
 
         def fn(codes_dev, t3):
-            feed = None
-            # default OFF here: on the EXACT kernel the feed's 16 B/base
-            # DMA outweighs the in-kernel build it replaces (measured
-            # 1.01 vs 0.91 ms/16 MB on-chip) — the win is k>0 slots
-            # (higher compute/byte + it frees VMEM for T=64K tiles)
+            feed = ohp = None
+            # im2col feed default OFF here: on the EXACT kernel its
+            # 16 B/base DMA outweighs the in-kernel build it replaces
+            # (measured 1.01 vs 0.91 ms/16 MB on-chip) — the win is k>0
+            # slots (higher compute/byte + it frees VMEM for T=64K
+            # tiles).  The lighter ONE-HOT PLANES feed (nc bytes/base)
+            # drops only the widen+compare passes and keeps the copies.
             if self._IMCOL_FEED_EXACT and \
                     codes_dev.shape[0] * KPAD // 8 <= self._IMCOL_MAX * 16:
                 feed = _imcol_form(codes_dev, T, classes, na, KPAD)
+            elif self._OHP_FEED_EXACT and \
+                    codes_dev.shape[0] <= self._IMCOL_MAX * 4:
+                ohp = _ohp_form(codes_dev, T, classes)
             return jfn(codes_dev, t3, W, thr, weights, thresholds,
-                       lengths, feed)
+                       lengths, feed, ohp)
 
         self._dispatch_cache[(cap_mb, hit_cap, interpret)] = fn
         return fn
@@ -569,6 +593,7 @@ class ConvScanner:
     # bounded to databases where that is cheap relative to 16 GB
     _IMCOL_FEED = os.environ.get("SAT_IMCOL_FEED", "1") == "1"
     _IMCOL_FEED_EXACT = os.environ.get("SAT_IMCOL_FEED_EXACT", "0") == "1"
+    _OHP_FEED_EXACT = os.environ.get("SAT_OHP_FEED_EXACT", "0") == "1"
     _IMCOL_MAX = 1 << 26
     _SLOTS_T = int(os.environ.get("SAT_SLOTS_T", "65536"))
     _gtbl_cache = None
@@ -1170,7 +1195,7 @@ class ConvScanner:
         return lib is not None and hasattr(lib, "sat_mer_scan")
 
     def _mer_native(self, by_len: dict, codes: np.ndarray, n: int,
-                    sort: bool = True):
+                    sort: bool = True, gate=None):
         """(ends, pids0) arrays via the native threaded mer-hash scan
         (``native/shift_and.cpp::sat_mer_scan``), or None when the
         library is unavailable.  Open-addressing tables (4x load factor
@@ -1226,6 +1251,18 @@ class ConvScanner:
         c_u64p = ctypes.POINTER(ctypes.c_uint64)
         c_i32p = ctypes.POINTER(ctypes.c_int32)
         c_i64p = ctypes.POINTER(ctypes.c_int64)
+        c_i8p = ctypes.POINTER(ctypes.c_int8)
+        # optional inline prefix extension gate (mer_gate_pass): a
+        # per-pattern (dir, prefix codes, len, G, k, band) superset
+        # filter evaluated on the scan threads — candidates it rejects
+        # could not survive the exact extension
+        if gate is not None:
+            gdir, gpref, gglen, gG, gk, gband = gate
+            gate_args = (gdir.ctypes.data_as(c_i8p),
+                         gpref.ctypes.data_as(c_u8p),
+                         gglen.ctypes.data_as(c_u8p), gG, gk, gband)
+        else:
+            gate_args = (None, None, None, 0, 0, 0)
         all_s, all_p = [], []
         for L, (keys, head, enext, epid, tsize, bloom,
                 bloom_bits) in tabs.items():
@@ -1241,7 +1278,8 @@ class ConvScanner:
                     head.ctypes.data_as(c_i32p),
                     enext.ctypes.data_as(c_i32p),
                     epid.ctypes.data_as(c_i32p), tsize,
-                    bloom.ctypes.data_as(c_u64p), bloom_bits, 0,
+                    bloom.ctypes.data_as(c_u64p), bloom_bits,
+                    *gate_args, 0,
                     out_s.ctypes.data_as(c_i64p),
                     out_p.ctypes.data_as(c_i32p), cap)
                 if total < 0:
@@ -1264,7 +1302,8 @@ class ConvScanner:
 
     _radix_ok_c = None
 
-    def scan_seed_arrays(self, codes: np.ndarray, sort: bool = True):
+    def scan_seed_arrays(self, codes: np.ndarray, sort: bool = True,
+                         gate=None):
         """(ends, pids0) int64 arrays when an array-native host census
         serves this scan (the same routing test as :meth:`scan`'s radix
         branch); None otherwise — callers fall back to iterating
@@ -1285,7 +1324,8 @@ class ConvScanner:
                          and (not dev_ok or self._mer_lib_ok())))
                 and self._radix_eligible()):
             return None
-        return self._scan_radix_arrays(self._by_len(), codes, n, sort=sort)
+        return self._scan_radix_arrays(self._by_len(), codes, n, sort=sort,
+                                       gate=gate)
 
     def _radix_eligible(self) -> bool:
         """Radix lookup needs literal (wildcard-free) patterns and codes
@@ -1337,14 +1377,14 @@ class ConvScanner:
             self._by_len_c = by_len
         return self._by_len_c
 
-    def _scan_radix_arrays(self, by_len, codes, n, sort=True):
+    def _scan_radix_arrays(self, by_len, codes, n, sort=True, gate=None):
         """(ends, pids0) int64 arrays in (window-start, pattern) order —
         the array core of :meth:`_scan_radix`.  ``sort=False`` skips the
         final (start, pattern) lexsort for callers that re-order anyway
         (the pigeonhole emit tails) — ~20 ms per 200k hits."""
         t = self.tables
         alpha = t.alpha
-        native = self._mer_native(by_len, codes, n, sort=sort)
+        native = self._mer_native(by_len, codes, n, sort=sort, gate=gate)
         if native is not None:
             self._route("native threaded mer-hash census "
                         "(%d patterns)" % t.P)

@@ -200,7 +200,7 @@ def _pattern_matmul_reduce(scores, mlive: int, U: int, et, wcol=None):
 def _scan_kernel(codes_ref, next_ref, wt_ref, *refs,
                  classes: tuple, U: int, na: int, kchunks: int,
                  plive: int, ptiles: int, emit: str,
-                 use_feed: bool = False):
+                 use_feed: bool = False, use_ohp: bool = False):
     # codes_ref/next_ref: [1, 8, U] uint8 (phase-transposed text tiles i
     # and i+1 of the SAME padded array — sublane r, lane u is position
     # t = 8*(i*U + u) + r; the lane halo is read in-kernel from the next
@@ -233,10 +233,12 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, *refs,
     per tile from the precomputed HBM feed (:func:`imcol_transpose`) —
     the DMA overlaps the matmul/reduce where the in-kernel build
     serialized with them."""
+    ohcur_ref = ohnext_ref = feed_ref = None
     if use_feed:
         feed_ref, out_ref, yt_ref, acc_ref, oh_ref = refs
+    elif use_ohp:
+        ohcur_ref, ohnext_ref, out_ref, yt_ref, acc_ref, oh_ref = refs
     else:
-        feed_ref = None
         out_ref, yt_ref, acc_ref, oh_ref = refs
     nc = len(classes)
     K = nc * 8 * na + 1
@@ -259,6 +261,22 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, *refs,
                 yt_ref[K:KPAD, :] = jnp.zeros((KPAD - K, U), et)
 
         def build():
+            if use_ohp:
+                # one-hot planes arrive precomputed (ohp_transpose):
+                # only the lane-shifted im2col copies remain
+                cur = ohcur_ref[0]
+                nxt = ohnext_ref[0]
+                for ci in range(nc):
+                    for a in range(na):
+                        row = (ci * na + a) * 8
+                        if a == 0:
+                            yt_ref[row : row + 8, :] = \
+                                cur[ci * 8 : (ci + 1) * 8, :]
+                        else:
+                            yt_ref[row : row + 8, :] = jnp.concatenate(
+                                [cur[ci * 8 : (ci + 1) * 8, a:],
+                                 nxt[ci * 8 : (ci + 1) * 8, :a]], axis=1)
+                return
             # widen once: int8/uint8 equality compares are unsupported
             # by this Mosaic target
             blk = jnp.concatenate(
@@ -365,6 +383,32 @@ def phase_transpose(codes, T: int = 8192):
 _phase_transpose_jit = jax.jit(phase_transpose, static_argnames=("T",))
 
 
+@functools.partial(jax.jit, static_argnames=("T", "classes"))
+def ohp_transpose(codes, *, T: int, classes: tuple):
+    """Phase-transposed one-hot class planes: [ntiles + 1, 8 * nc, U]
+    int8 with rows ci*8 + bp holding ``codes[T*i + 8*u + bp] ==
+    classes[ci]`` — exactly the ``oh_ref`` content the exact scan kernel
+    otherwise computes per tile (an int32 widen + one compare pass per
+    class, its measured VPU bound).  nc bytes/base of HBM vs 16 for the
+    full im2col feed (whose DMA the exact kernel could not hide); the
+    lane-shifted im2col copies stay in-kernel.  One trailing all-pad
+    tile serves the lane halo, like :func:`phase_transpose`."""
+    U = T // 8
+    nc = len(classes)
+    n = codes.shape[0]
+    ntiles = max((n + T - 1) // T, 1)
+    ext = jnp.concatenate([
+        codes.astype(jnp.int32),
+        jnp.zeros((ntiles + 1) * T - n, jnp.int32),
+    ])
+    rows = []
+    for c in classes:
+        for bp in range(8):
+            rows.append(ext[bp::8] == c)
+    m = jnp.stack(rows, axis=0).astype(jnp.int8)  # [8nc, (nt+1)*U]
+    return m.reshape(8 * nc, ntiles + 1, U).transpose(1, 0, 2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("T", "classes", "na", "KPAD"))
 def imcol_transpose(codes, *, T: int, classes: tuple, na: int, KPAD: int):
@@ -422,7 +466,7 @@ def pallas_microhits(codes, W, thr, *, classes: tuple, Lmax: int,
 def _kernel_out(codes, W, thr, *, classes: tuple, Lmax: int,
                 T: int = 8192, MB: int = 32, interpret: bool = False,
                 n_pat: int | None = None, emit: str = "counts",
-                t3=None, feed=None):
+                t3=None, feed=None, ohp=None):
     """Microblock candidate counts over the whole code array.
 
     codes: [n] uint8/int device array (EOS-padded is fine).
@@ -486,12 +530,21 @@ def _kernel_out(codes, W, thr, *, classes: tuple, Lmax: int,
             (1, kchunks * LANE, U), lambda i, j: (i, 0, 0),
             memory_space=pltpu.VMEM))
         args.append(feed)
+    elif ohp is not None:
+        nc8 = 8 * len(classes)
+        in_specs += [
+            pl.BlockSpec((1, nc8, U), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nc8, U), lambda i, j: (i + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [ohp, ohp]
 
     out = pl.pallas_call(
         functools.partial(
             _scan_kernel, classes=classes, U=U, na=na, kchunks=kchunks,
             plive=plive, ptiles=ptiles, emit=emit,
-            use_feed=feed is not None,
+            use_feed=feed is not None, use_ohp=ohp is not None,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (ntiles, ptiles, 8, U),
@@ -508,7 +561,8 @@ def _kernel_out(codes, W, thr, *, classes: tuple, Lmax: int,
             # the reduce; the accumulator scratch shrinks to a dummy tile
             pltpu.VMEM((8 * plive, U) if kchunks > 1 else (8, LANE),
                        jnp.int32),
-            pltpu.VMEM((8 * len(classes), U + na - 1) if feed is None
+            pltpu.VMEM((8 * len(classes), U + na - 1)
+                       if feed is None and ohp is None
                        else (8, LANE), et),
         ],
         interpret=interpret,
@@ -525,13 +579,15 @@ def _kernel_out(codes, W, thr, *, classes: tuple, Lmax: int,
 
 
 def _microhits_impl(codes, W, thr, *, classes, Lmax, T, MB, interpret,
-                    n_pat=None, occupancy=False, t3=None, feed=None):
+                    n_pat=None, occupancy=False, t3=None, feed=None,
+                    ohp=None):
     """Non-jitted body of :func:`pallas_microhits` for fusion into larger
     jitted pipelines."""
     return _kernel_out(
         codes, W, thr, classes=classes, Lmax=Lmax, T=T, MB=MB,
         interpret=interpret, n_pat=n_pat,
         emit="occupancy" if occupancy else "counts", t3=t3, feed=feed,
+        ohp=ohp,
     )
 
 
@@ -1544,7 +1600,7 @@ def pos_exact_ok(tables, k: int) -> bool:
     ),
 )
 def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, t3=None,
-                     feed=None, *,
+                     feed=None, ohp=None, *,
                      classes: tuple, alpha: int,
                      Lmax: int, eos_code: int = -1, T: int = 4096, MB: int = 32,
                      cap_mb: int = 1024, hit_cap: int = 4096,
@@ -1573,7 +1629,7 @@ def pallas_scan_hits(codes, W, thr, wconv, thresholds, lengths, t3=None,
     P = wconv.shape[2]
     mh = _microhits_impl(codes, W, thr, classes=classes, Lmax=Lmax, T=T,
                          MB=MB, interpret=interpret, n_pat=P,
-                         occupancy=True, t3=t3, feed=feed)
+                         occupancy=True, t3=t3, feed=feed, ohp=ohp)
     nmb = mh.shape[0]
     mb_count, mb_idx = compact_mask(mh, cap_mb)
 
