@@ -165,7 +165,9 @@ def validate_row(name, extra, pats=None, corpus=None, prog="primer_match",
     router, matching the timed rows' ``use_host=False``), so the
     byte-check exercises the same Mosaic kernels that posted the
     number, not the host fallback.  Failures raise (bench dies
-    loudly)."""
+    loudly) — verified by deliberate breakage: SAT_SLOTS_ABLATE=scan
+    (a perf-debug knob that truncates the gated kernel) makes the k=1
+    row diverge and this assertion fire."""
     if not _have_ref(prog):
         return
     make_slice()
