@@ -584,10 +584,11 @@ class ConvScanner:
     # gated kernel after the named stage (outputs become empty) so the
     # measurement harness can attribute time; never set in production
     _SLOTS_ABLATE = os.environ.get("SAT_SLOTS_ABLATE", "")
-    # 2:1 half-fold ahead of the compaction network (see
-    # scan_kernel._slots_kernel pair_fold): halves the network's plane
-    # width; paired-lane collisions escape to the exact host rescan
-    _SLOTS_PAIR = os.environ.get("SAT_SLOTS_PAIR", "1") == "1"
+    # 2:1 half-fold LEVELS ahead of the compaction network (see
+    # scan_kernel._slots_kernel fold): factor-F fold runs the network on
+    # 1/F-width planes; fold-group collisions escape to the exact host
+    # rescan of all F group positions
+    _SLOTS_FOLD = int(os.environ.get("SAT_SLOTS_FOLD", "2"))
     # precomputed im2col HBM feed (scan_kernel.imcol_transpose): skips
     # the in-kernel one-hot/im2col build — 16 bytes/base of HBM, so
     # bounded to databases where that is cheap relative to 16 GB
@@ -734,8 +735,8 @@ class ConvScanner:
         LgT, NW, lens, gtbl, wbits, use_wpack, wcol = \
             self._slots_statics(gt)
         U = T // 8
-        pair = self._SLOTS_PAIR
-        Ueff = U // 2 if pair else U
+        fold = self._SLOTS_FOLD
+        Ueff = U // fold
         segl = min(self._SLOTS_SEGL, Ueff)
         capg = self._SLOTS_CAPG
         # cap = capg * nsegs must stay a LANE multiple: the post-gate
@@ -743,7 +744,7 @@ class ConvScanner:
         # lower to multi-op shuffles (~0.8 ms/scan measured at cap=192)
         while (capg * (Ueff // segl)) % 128:
             capg += 1
-        self._slots_geom = (T, segl, Ueff // segl, pair)
+        self._slots_geom = (T, segl, Ueff // segl, fold)
         t3 = self._t3_for(codes_dev, T)
         wpk = (_wpk_form(codes_dev, T, t.eos_code) if use_wpack else None)
         feed = None
@@ -761,7 +762,7 @@ class ConvScanner:
             oflow_cap=caps[1], work_cap=caps[2], chain_Lg=chain_Lg,
             interpret=self.pallas_interpret,
             n_pat=t.P, eos_esc=eos_esc, wbits=wbits, segl=segl,
-            ablate=self._SLOTS_ABLATE, pair_fold=pair)
+            ablate=self._SLOTS_ABLATE, fold=fold)
 
     _chain_tab_c = False  # False = unbuilt, None = inapplicable (wc seeds)
     _CHAIN_MAX = 8
@@ -869,7 +870,7 @@ class ConvScanner:
         candidates join the survivor arrays; the host extension validates
         them exactly); the rest land on the rescan list."""
         t = self.tables
-        T, segl, nsegs, pairfold = self._slots_geom
+        T, segl, nsegs, fold = self._slots_geom
         total, oflow = int(packed[0]), int(packed[1])
         pos = packed[2 : 2 + total].astype(np.int64)
         meta = packed[2 + out_cap : 2 + out_cap + total]
@@ -884,18 +885,26 @@ class ConvScanner:
         cnts = (meta & 31).astype(np.int64)
         # tail windows (possible zero-pad overread) always rescan; other
         # escapes are cnt>1 multi-seed positions: expand via the chain.
-        # cnt marker 30 = a pair-fold lane collision (both of the two
-        # half-folded lanes hit): rescan BOTH window starts exactly —
-        # pos and its fold partner pos + T/2 (scan_kernel pair_fold).
+        # cnt marker 30 = a fold-group lane collision (several lanes of
+        # one fold group hit): rescan ALL ``fold`` window starts of the
+        # group exactly (scan_kernel fold levels).
         tail = esc & (pos > n - t.Lmax)
-        pairesc = (esc & ~tail & (cnts == 30)) if pairfold \
+        pairesc = (esc & ~tail & (cnts == 30)) if fold > 1 \
             else np.zeros_like(esc)
         mul = esc & ~tail & ~pairesc & (cnts < 31)
         epos, esid, unres = self._expand_chains(
             pos[mul], sums[mul], cnts[mul])
-        ppart = pos[pairesc] + T // 2
         multi = [pos[tail], pos[esc & ~tail & ~pairesc & (cnts >= 31)],
-                 pos[mul][unres], pos[pairesc], ppart[ppart < n]]
+                 pos[mul][unres]]
+        if fold > 1:
+            UF = (T // 8) // fold
+            pe = pos[pairesc]
+            tile, lp = pe // T, pe % T
+            r, lane = lp & 7, lp >> 3
+            base = lane % UF
+            for j in range(fold):
+                pj = tile * T + 8 * (base + j * UF) + r
+                multi.append(pj[pj < n])
         if len(epos):
             surv_anchor = np.concatenate(
                 [surv_anchor, epos + t.lengths[esid]])
@@ -909,11 +918,10 @@ class ConvScanner:
             row, g = int(r0) // nsegs, int(r0) % nsegs
             tile, r = row >> 3, row & 7
             lanes = g * segl + np.arange(segl, dtype=np.int64)
-            starts = tile * T + 8 * lanes + r
-            multi.append(starts[starts < n])
-            if pairfold:  # folded segments cover both half-tile lanes
-                starts2 = starts + T // 2
-                multi.append(starts2[starts2 < n])
+            UF = (T // 8) // fold
+            for j in range(fold):  # folded segments cover every level
+                starts = tile * T + 8 * (lanes + j * UF) + r
+                multi.append(starts[starts < n])
         multi = np.concatenate(multi)
         return surv_anchor, surv_sid.astype(np.int32), multi
 

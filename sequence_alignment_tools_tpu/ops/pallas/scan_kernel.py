@@ -749,7 +749,7 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
                   cap: int, gate_cfg: tuple | None = None,
                   eos_esc: int = -1, Lmax: int = 0,
                   use_wpack: bool = False, use_wcol: bool = False,
-                  ablate: str = "", pair_fold: bool = False,
+                  ablate: str = "", fold: int = 1,
                   use_feed: bool = False):
     """Scan + in-kernel hit extraction for one text tile (kchunks == 1,
     ptiles == 1 — enforced by :func:`pallas_scan_slots`).
@@ -955,17 +955,19 @@ def _slots_kernel(prev_ref, codes_ref, next_ref, wt_ref, *refs,
     # fused extension gate on the compacted slots (windows stay in VMEM)
     LgT, kk, band, indels, lens, T, n, Lmax, wbits, segl, capg = gate_cfg
     Ueff = U
-    if pair_fold:
-        # 2:1 HALF-FOLD before the compaction network: lane u of the
-        # folded planes carries the hit of lane u OR lane u + U/2 (the
-        # two halves of the tile), so the prefix + shift network — the
-        # gated kernel's dominant VPU cost — runs on HALF-width planes.
-        # Hits land on both paired lanes with probability ~density^2
-        # (~5e-6 at the k=1 seed density): those pairs emit an ESCAPE
-        # slot (cnt marker 30) and the host rescans both window starts
-        # exactly (conv_scan._slots_decode), so the fold is lossless.
-        # The meta plane carries the ORIGINAL localpos either way.
-        H = U // 2
+    while Ueff > U // fold:
+        # 2:1 HALF-FOLD levels before the compaction network: lane u of
+        # the folded planes carries the hit of lane u OR lane u + H (the
+        # two halves of the current width), so the prefix + shift
+        # network — the gated kernel's dominant VPU cost — runs on
+        # 1/fold-width planes.  Hits landing on several lanes of a fold
+        # group (probability ~density^2 per level at the k=1 seed
+        # density) emit an ESCAPE slot (cnt marker 30) and the host
+        # rescans ALL `fold` window starts of the group exactly
+        # (conv_scan._slots_decode), so the fold is lossless.  The meta
+        # plane carries the ORIGINAL localpos of a group member either
+        # way (the decode rebases it to the group).
+        H = Ueff // 2
         hitA, hitB = hit[:, :H], hit[:, H:]
         both = hitA & hitB
         escmeta = (localpos[:, :H] << 15) | 30
@@ -1313,7 +1315,7 @@ def pallas_gate_slots(slots, counts, gtbl, *, NW: int, cap: int, LgT: int,
     static_argnames=("classes", "Lmax", "T", "NW", "cap", "LgT", "kk",
                      "band", "indels", "lens", "out_cap", "oflow_cap",
                      "interpret", "n_pat", "eos_esc", "wbits", "work_cap",
-                     "chain_Lg", "segl", "ablate", "pair_fold"),
+                     "chain_Lg", "segl", "ablate", "fold"),
 )
 def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
                             chain=None, wcol=None, feed=None, *,
@@ -1325,7 +1327,7 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
                             n_pat: int | None = None, eos_esc: int = -1,
                             wbits: int = 4, work_cap: int | None = None,
                             chain_Lg: int = 0, segl: int | None = None,
-                            ablate: str = "", pair_fold: bool = False):
+                            ablate: str = "", fold: int = 1):
     """The whole k>0 pigeonhole front-end in Pallas: scan + in-kernel hit
     extraction (:func:`pallas_scan_slots`) -> slotted extension gate
     (:func:`pallas_gate_slots`) -> tiny XLA dense-pack.  The only XLA
@@ -1372,9 +1374,11 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
     # network's stage count is log2(segl), so SHORTER segments cut the
     # dominant VPU cost (stages x planes over the full tile) — at the
     # price of per-segment slot caps (capg = cap // nsegs) that overflow
-    # (-> escape) on locally dense hit clusters.  With ``pair_fold`` the
-    # network runs on the half-folded planes (see _slots_kernel).
-    Ueff = U // 2 if pair_fold else U
+    # (-> escape) on locally dense hit clusters.  With ``fold`` > 1 the
+    # network runs on the 1/fold-width folded planes (see _slots_kernel).
+    if fold not in (1, 2, 4, 8) or U % fold:
+        raise ValueError(f"bad fold {fold}")
+    Ueff = U // fold
     segl = min(segl or 1024, Ueff)
     nsegs = Ueff // segl
     if cap % nsegs:
@@ -1427,7 +1431,7 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
             gate_cfg=(LgT, kk, band, indels, lens, T, n, Lmax, wbits,
                       segl, capg),
             eos_esc=eos_esc, Lmax=Lmax, use_wpack=use_wpack,
-            use_wcol=wcol is not None, ablate=ablate, pair_fold=pair_fold,
+            use_wcol=wcol is not None, ablate=ablate, fold=fold,
             use_feed=feed is not None,
         ),
         out_shape=(

@@ -348,13 +348,13 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
         T = scanner._pallas_T_exact()
     T = min(T, 32768)  # slots-kernel VMEM stack bound (see _slots_dispatch)
     U = T // 8
-    pair = scanner._SLOTS_PAIR
-    Ueff = U // 2 if pair else U
+    fold = scanner._SLOTS_FOLD
+    Ueff = U // fold
     segl = min(scanner._SLOTS_SEGL, Ueff)
     capg = scanner._SLOTS_CAPG
     while (capg * (Ueff // segl)) % 128:  # cap must stay a LANE multiple
         capg += 1
-    scanner._slots_geom = (T, segl, Ueff // segl, pair)
+    scanner._slots_geom = (T, segl, Ueff // segl, fold)
     halo = 64  # covers Lmax - 1 + the gate window span (<= ~40)
     shards, shard_len = shard_codes(
         np.asarray(codes), mesh, halo, t.eos_code, axis)
@@ -383,7 +383,7 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
                 indels=indels, lens=lens, out_cap=out_cap,
                 oflow_cap=oflow_cap, work_cap=work_cap,
                 chain_Lg=chain_Lg, interpret=interpret, n_pat=t.P,
-                eos_esc=eos_esc, wbits=wbits, segl=segl, pair_fold=pair)
+                eos_esc=eos_esc, wbits=wbits, segl=segl, fold=fold)
             return jax.lax.all_gather(row, axis)[None]
 
         rows = jax.shard_map(

@@ -278,18 +278,19 @@ def test_slot_overflow_segment_escape_parity():
     assert len(want) >= 80  # the planted cluster is all found
 
 
-def test_pair_fold_lane_collisions(planted_db):
-    """The 2:1 half-fold in front of the compaction network
-    (scan_kernel._slots_kernel pair_fold) pairs lane u with lane
-    u + U/2, i.e. positions t and t + T/2 of a tile.  Plant seed hits
-    on BOTH sides of several pairs — including pairs whose extensions
+@pytest.mark.parametrize("fold", [2, 4])
+def test_fold_lane_collisions(planted_db, fold):
+    """The 2:1 half-fold levels in front of the compaction network
+    (scan_kernel._slots_kernel fold) pair lane u with lane u + Ueff,
+    i.e. positions t and t + j*T/fold of a tile.  Plant seed hits on
+    several members of fold groups — including members whose extensions
     fail — and require output identity with the host engine: collided
-    pairs must come back through the cnt=30 escape + exact rescan
-    (conv_scan._slots_decode)."""
+    groups must come back through the cnt=30 escape + exact rescan of
+    every group position (conv_scan._slots_decode)."""
     db, pats = planted_db
     rng = np.random.default_rng(31)
     codes = np.concatenate(
-        [db.codes, rng.integers(0, 4, size=50000).astype(np.uint8)])
+        [db.codes] + [rng.integers(0, 4, size=90000).astype(np.uint8)])
     table = b"ACGT\n"
     dbc = SeqDB(
         codes=codes, table=table,
@@ -298,32 +299,47 @@ def test_pair_fold_lane_collisions(planted_db):
     )
 
     def plant(at, s):
+        assert at + len(s) <= len(codes)
         for j, ch in enumerate(s):
-            if at + j < len(codes):
-                dbc.codes[at + j] = table.index(ch.encode())
+            dbc.codes[at + j] = table.index(ch.encode())
 
-    # T = 49152 for this geometry (conv_scan._slots_dispatch); the fold
-    # partner of position t is t + T/2
-    half = 49152 // 2
+    # discover the dispatch geometry (T, fold) on a THROWAWAY copy:
+    # device copies cache by host-array identity (the resident-DB
+    # contract), so the real array must not be scanned before planting
+    ps = build_pattern_set(pats, rev_comp=True)
+    dbp = SeqDB(codes=codes.copy(), table=table,
+                entry_starts=np.array([0]),
+                entry_lengths=np.array([len(codes)]), headers=["e1"])
+    probe = PrimerMatchModel(dbp, ps, k=1, node=11, indels=True)
+    probe.pallas_interpret = True
+    _ow, scanner, _b, _d, _e, _g = probe._halves_ctx()
+    scanner._SLOTS_FOLD = fold
+    list(probe.engine_hits())
+    T, _segl, _nsegs, gfold = scanner._slots_geom
+    assert gfold == fold
+    step = T // fold
+    assert len(codes) > T + step + 40, (len(codes), T)
     p0 = pats[0]
-    # true hit on both sides of a pair (same phase r = t % 8)
+    # hits on two members of a fold group (same phase r = t % 8)
     plant(1608, p0)
-    plant(1608 + half, p0)
-    # true hit paired with a seed-only hit (failing extension)
+    plant(1608 + step, p0)
+    # a true hit grouped with a seed-only hit (failing extension)
     seedlike = p0[: len(p0) // 2] + "A" * (len(p0) - len(p0) // 2 - 4)
     plant(3208, p0)
-    plant(3208 + half, seedlike)
-    # collision in the second tile as well
-    plant(49152 + 808, p0)
-    plant(49152 + 808 + half, p0)
+    plant(3208 + step * (fold - 1), seedlike)
+    if fold == 4:  # three members of one group
+        plant(5608, p0)
+        plant(5608 + step, p0)
+        plant(5608 + 3 * step, p0)
 
-    ps = build_pattern_set(pats, rev_comp=True)
     host = PrimerMatchModel(dbc, ps, k=1, node=11, indels=True)
     host.use_host = True
     want = list(host.engine_hits())
     gated = PrimerMatchModel(dbc, ps, k=1, node=11, indels=True)
     gated.pallas_interpret = True
+    _o2, sc2, *_rest = gated._halves_ctx()
+    sc2._SLOTS_FOLD = fold
     got = list(gated.engine_hits())
     assert got == want
     ends = [e for e, _p, _v in got]
-    assert 1608 + len(p0) in ends and 1608 + half + len(p0) in ends
+    assert 1608 + len(p0) in ends and 1608 + step + len(p0) in ends
