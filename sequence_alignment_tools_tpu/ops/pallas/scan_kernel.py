@@ -305,8 +305,13 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, *refs,
         scores = jnp.dot(wt_ref[0, 0, :mlive, :], ysrc(0, KPAD),
                          preferred_element_type=pet)
     else:
-        acc_ref[:] = jnp.zeros((mlive, U), jnp.int32)
-        for kc in range(kchunks):
+        # first chunk WRITES the accumulator (the former zero-fill was
+        # a full [mlive, U] int32 pass per tile — ~5% of the
+        # wide-alphabet kernel)
+        acc_ref[:] = jnp.dot(
+            wt_ref[0, 0, :mlive, :], ysrc(0, LANE),
+            preferred_element_type=jnp.int32)
+        for kc in range(1, kchunks):
             acc_ref[:] += jnp.dot(
                 wt_ref[0, kc, :mlive, :],
                 ysrc(kc * LANE, (kc + 1) * LANE),
