@@ -1278,8 +1278,13 @@ class ConvScanner:
                 continue
             cap = max(4 * len(epid) + (n >> 6), 1 << 14)
             while True:
-                out_s = np.empty(cap, np.int64)
-                out_p = np.empty(cap, np.int32)
+                # reused across scans: a fresh 4P-row np.empty pair
+                # costs ~1-2 ms of page faults per call at xmers scale
+                buf = self._mer_outbuf_c
+                if buf is None or len(buf[0]) < cap:
+                    buf = (np.empty(cap, np.int64), np.empty(cap, np.int32))
+                    self._mer_outbuf_c = buf
+                out_s, out_p = buf
                 total = lib.sat_mer_scan(
                     codes8.ctypes.data_as(c_u8p), n, L, t.alpha,
                     keys.ctypes.data_as(c_u64p),
@@ -1295,13 +1300,15 @@ class ConvScanner:
                 if total <= cap:
                     break
                 cap = 1 << (int(total) - 1).bit_length()
-            all_s.append(out_s[: int(total)])
+            # COPY out of the reused buffer: the next length class's
+            # native call would overwrite these views
+            all_s.append(out_s[: int(total)].copy())
             all_p.append(out_p[: int(total)].astype(np.int64))
 
         if not all_s:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        starts = np.concatenate(all_s)
-        pids = np.concatenate(all_p)
+        starts = all_s[0] if len(all_s) == 1 else np.concatenate(all_s)
+        pids = all_p[0] if len(all_p) == 1 else np.concatenate(all_p)
         if sort:
             order = np.lexsort((pids, starts))
             starts, pids = starts[order], pids[order]
@@ -1309,6 +1316,7 @@ class ConvScanner:
         return ends, pids
 
     _radix_ok_c = None
+    _mer_outbuf_c = None
 
     def scan_seed_arrays(self, codes: np.ndarray, sort: bool = True,
                          gate=None):
