@@ -169,6 +169,15 @@ def load_shift_and_lib():
         c_u64p,                                # rows scratch
         c_i64p, c_i32p, c_i32p, ctypes.c_int64,  # out_end/bit/mism, cap
     ]
+    lib.sat_shift_and_scan_mt.restype = ctypes.c_int64
+    lib.sat_shift_and_scan_mt.argtypes = [
+        c_u8p, ctypes.c_int64,                 # codes, n
+        c_u64p, ctypes.c_int32, ctypes.c_int32,  # u, alpha, nwords
+        c_u64p, c_u64p,                        # s, e
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # k, poison, eos
+        ctypes.c_int32, ctypes.c_int32,        # halo, nthreads
+        c_i64p, c_i32p, c_i32p, ctypes.c_int64,  # out_end/bit/mism, cap
+    ]
     c_i8p = ctypes.POINTER(ctypes.c_int8)
     lib.sat_mer_scan.restype = ctypes.c_int64
     lib.sat_mer_scan.argtypes = [

@@ -24,6 +24,7 @@
 // wrapper maps bit_index -> pattern and orders by (window_start, pattern).
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -106,6 +107,136 @@ int64_t sat_shift_and_scan(const uint8_t* codes, int64_t n,
     }
   }
   return nhits;
+}
+
+}  // extern "C"
+
+// Threaded exact/k-mismatch shift-and: the row state at any character
+// depends only on the previous (longest pattern - 1) characters (row
+// bit j encodes "prefix of length j+1 ends here", and poison resets
+// only shorten the memory), so chunks warmed up over a halo of that
+// width reproduce every row bit exactly.  Per-chunk hits land in local
+// vectors and are copied out in chunk order — which IS global end-
+// position order, the single-thread emission contract.
+namespace {
+
+struct SAHit {
+  int64_t end;
+  int32_t bit;
+  int32_t mism;
+};
+
+void sa_scan_range(const uint8_t* codes, int64_t t0, int64_t t1,
+                   int64_t emit_from, const uint64_t* u, int32_t nwords,
+                   const uint64_t* s, const uint64_t* e, int32_t k,
+                   int32_t poison_eos, int32_t eos_code,
+                   std::vector<SAHit>* out) {
+  const int32_t nr = k + 1;
+  std::vector<uint64_t> rowbuf((size_t)nr * nwords, 0);
+  uint64_t* rows = rowbuf.data();
+  uint64_t oldprev[kMaxWords];
+  uint64_t tmp[kMaxWords];
+  for (int64_t t = t0; t < t1; ++t) {
+    const uint8_t c = codes[t];
+    if (poison_eos && (int32_t)c == eos_code) {
+      std::memset(rows, 0, sizeof(uint64_t) * (size_t)nr * nwords);
+      continue;
+    }
+    const uint64_t* uc = u + (size_t)c * nwords;
+    uint64_t any_end = 0;
+    for (int32_t i = 0; i < nr; ++i) {
+      uint64_t* ri = rows + (size_t)i * nwords;
+      std::memcpy(tmp, ri, sizeof(uint64_t) * nwords);
+      uint64_t ca = 0, cb = 0;
+      for (int32_t w = 0; w < nwords; ++w) {
+        const uint64_t sha = (tmp[w] << 1) | ca;
+        ca = tmp[w] >> 63;
+        uint64_t val = (sha | s[w]) & uc[w];
+        if (i > 0) {
+          const uint64_t shb = (oldprev[w] << 1) | cb;
+          cb = oldprev[w] >> 63;
+          val |= shb | s[w];
+        }
+        ri[w] = val;
+        any_end |= val & e[w];
+      }
+      std::memcpy(oldprev, tmp, sizeof(uint64_t) * nwords);
+    }
+    if (any_end && t >= emit_from) {
+      for (int32_t w = 0; w < nwords; ++w) {
+        uint64_t bits = rows[(size_t)(nr - 1) * nwords + w] & e[w];
+        while (bits) {
+          const int32_t b = __builtin_ctzll(bits);
+          bits &= bits - 1;
+          int32_t mism = nr - 1;
+          for (int32_t i = 0; i < nr - 1; ++i) {
+            if (rows[(size_t)i * nwords + w] & (1ULL << b)) {
+              mism = i;
+              break;
+            }
+          }
+          out->push_back(SAHit{t + 1, w * 64 + b, mism});
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Threaded variant of sat_shift_and_scan: halo = longest pattern - 1
+// (the exact state memory); nthreads <= 0 picks the hardware count.
+// Same output contract (total count; retry when total > cap).
+int64_t sat_shift_and_scan_mt(const uint8_t* codes, int64_t n,
+                              const uint64_t* u, int32_t alpha,
+                              int32_t nwords,
+                              const uint64_t* s, const uint64_t* e,
+                              int32_t k, int32_t poison_eos,
+                              int32_t eos_code, int32_t halo,
+                              int32_t nthreads,
+                              int64_t* out_end, int32_t* out_bit,
+                              int32_t* out_mism, int64_t cap) {
+  (void)alpha;
+  if (nwords > kMaxWords || nwords <= 0 || halo < 0) return -1;
+  int32_t nt = nthreads > 0 ? nthreads
+                            : (int32_t)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  const int64_t min_chunk = 1 << 18;
+  int64_t chunk = (n + nt - 1) / nt;
+  if (chunk < min_chunk) chunk = min_chunk;
+  std::vector<std::vector<SAHit>> outs;
+  std::vector<std::thread> threads;
+  std::vector<std::array<int64_t, 3>> ranges;
+  for (int64_t lo = 0; lo < n; lo += chunk) {
+    const int64_t hi = std::min(lo + chunk, n);
+    const int64_t t0 = std::max<int64_t>(lo - halo, 0);
+    ranges.push_back({t0, hi, lo});
+  }
+  outs.resize(ranges.size());
+  if (ranges.size() == 1) {
+    sa_scan_range(codes, ranges[0][0], ranges[0][1], ranges[0][2], u,
+                  nwords, s, e, k, poison_eos, eos_code, &outs[0]);
+  } else {
+    for (size_t i = 0; i < ranges.size(); ++i)
+      threads.emplace_back(sa_scan_range, codes, ranges[i][0],
+                           ranges[i][1], ranges[i][2], u, nwords, s, e, k,
+                           poison_eos, eos_code, &outs[i]);
+    for (auto& th : threads) th.join();
+  }
+  int64_t total = 0;
+  for (const auto& v : outs) {
+    for (const auto& h : v) {
+      if (total < cap) {
+        out_end[total] = h.end;
+        out_bit[total] = h.bit;
+        out_mism[total] = h.mism;
+      }
+      ++total;
+    }
+  }
+  return total;
 }
 
 }  // extern "C"

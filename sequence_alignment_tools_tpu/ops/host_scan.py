@@ -148,21 +148,38 @@ class HostShiftAnd:
         c_u64p = ctypes.POINTER(ctypes.c_uint64)
         c_i32p = ctypes.POINTER(ctypes.c_int32)
         c_i64p = ctypes.POINTER(ctypes.c_int64)
+        use_mt = hasattr(lib, "sat_shift_and_scan_mt") and n >= (1 << 20)
         while True:
             out_end = np.empty(cap, dtype=np.int64)
             out_bit = np.empty(cap, dtype=np.int32)
             out_mism = np.empty(cap, dtype=np.int32)
-            total = lib.sat_shift_and_scan(
-                codes.ctypes.data_as(c_u8p), n,
-                self._u.ctypes.data_as(c_u64p), t.alpha, self._nwords,
-                self._s.ctypes.data_as(c_u64p),
-                self._e.ctypes.data_as(c_u64p),
-                self.k, int(self.poison_eos), t.eos_code,
-                self._rows.ctypes.data_as(c_u64p),
-                out_end.ctypes.data_as(c_i64p),
-                out_bit.ctypes.data_as(c_i32p),
-                out_mism.ctypes.data_as(c_i32p), cap,
-            )
+            if use_mt:
+                # threaded over text chunks with a (Lmax - 1)-char
+                # warm-up halo (the shift-and rows' exact state memory):
+                # the one-shot CLI's dominant above-floor cost
+                total = lib.sat_shift_and_scan_mt(
+                    codes.ctypes.data_as(c_u8p), n,
+                    self._u.ctypes.data_as(c_u64p), t.alpha, self._nwords,
+                    self._s.ctypes.data_as(c_u64p),
+                    self._e.ctypes.data_as(c_u64p),
+                    self.k, int(self.poison_eos), t.eos_code,
+                    int(t.Lmax) - 1, 0,
+                    out_end.ctypes.data_as(c_i64p),
+                    out_bit.ctypes.data_as(c_i32p),
+                    out_mism.ctypes.data_as(c_i32p), cap,
+                )
+            else:
+                total = lib.sat_shift_and_scan(
+                    codes.ctypes.data_as(c_u8p), n,
+                    self._u.ctypes.data_as(c_u64p), t.alpha, self._nwords,
+                    self._s.ctypes.data_as(c_u64p),
+                    self._e.ctypes.data_as(c_u64p),
+                    self.k, int(self.poison_eos), t.eos_code,
+                    self._rows.ctypes.data_as(c_u64p),
+                    out_end.ctypes.data_as(c_i64p),
+                    out_bit.ctypes.data_as(c_i32p),
+                    out_mism.ctypes.data_as(c_i32p), cap,
+                )
             if total < 0:
                 raise RuntimeError("shift-and state exceeds native budget")
             if total <= cap:

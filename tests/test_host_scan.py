@@ -203,3 +203,53 @@ def test_state_budget_gate():
     sc = ConvScanner(tables, k=0, use_pallas=False)
     assert not sc._host_eligible(5000)
     list(sc.scan(db.codes))  # falls through without error
+
+
+def test_threaded_scan_matches_single_thread():
+    """sat_shift_and_scan_mt (chunked with a (Lmax-1)-char warm-up
+    halo) must emit the identical hit stream to the single-thread scan
+    — planted hits straddling chunk boundaries and EOS resets
+    included.  (The wrapper auto-routes to the threaded entry at
+    n >= 1M.)"""
+    import numpy as np
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.ops.host_scan import HostShiftAnd
+    from sequence_alignment_tools_tpu.ops.tables import build_tables
+
+    rng = np.random.default_rng(8)
+    n = (1 << 21) + 12345
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    table = b"ACGT\n"
+    pats = ["ACGTTGCAACGT", "TTGACCAGTTGA"]
+    enc = {p: np.array([table.index(c.encode()) for c in p], np.uint8)
+           for p in pats}
+    # hits around the likely chunk boundaries (min_chunk = 256K) and
+    # EOS resets right before them
+    for at in (100, (1 << 18) - 6, (1 << 18) + 3, (1 << 19) - 1,
+               3 * (1 << 19), n - 13):
+        codes[at : at + 12] = enc[pats[at % 2]]
+    codes[(1 << 18) - 30] = 4  # EOS inside a halo window
+    db = SeqDB(codes=codes, table=table, entry_starts=np.array([0]),
+               entry_lengths=np.array([n]), headers=["x"])
+    ps = build_pattern_set(pats, rev_comp=True)
+    t = build_tables(ps, db, wc=False, textn=False)
+    for k in (0, 1):
+        hs = HostShiftAnd(t, k=k, poison_eos=k > 0)
+        if not hs.available():
+            return
+        got = list(hs.scan(codes))  # auto-routes to mt at n >= 1M
+        # the same scan with the mt entry hidden = single-thread path
+        hs2 = HostShiftAnd(t, k=k, poison_eos=k > 0)
+        lib = hs2.lib
+
+        class NoMT:
+            def __getattr__(self, a):
+                if a == "sat_shift_and_scan_mt":
+                    raise AttributeError(a)
+                return getattr(lib, a)
+
+        hs2.lib = NoMT()
+        want = list(hs2.scan(codes))
+        assert got == want and len(got) >= 6
