@@ -589,6 +589,10 @@ class ConvScanner:
     # 1/F-width planes; fold-group collisions escape to the exact host
     # rescan of all F group positions
     _SLOTS_FOLD = int(os.environ.get("SAT_SLOTS_FOLD", "2"))
+    # chain-escape rows device-gated per scan: nested primer sets put
+    # most multi-seed candidates on the chain path (~1.3k/scan on the
+    # bench set), so the escape compaction must cover them
+    _CHAIN_ECAP = int(os.environ.get("SAT_CHAIN_ECAP", "2048"))
     # precomputed im2col HBM feed (scan_kernel.imcol_transpose): skips
     # the in-kernel one-hot/im2col build — 16 bytes/base of HBM, so
     # bounded to databases where that is cheap relative to 16 GB
@@ -762,7 +766,8 @@ class ConvScanner:
             oflow_cap=caps[1], work_cap=caps[2], chain_Lg=chain_Lg,
             interpret=self.pallas_interpret,
             n_pat=t.P, eos_esc=eos_esc, wbits=wbits, segl=segl,
-            ablate=self._SLOTS_ABLATE, fold=fold)
+            ablate=self._SLOTS_ABLATE, fold=fold,
+            chain_ecap=self._CHAIN_ECAP)
 
     _chain_tab_c = False  # False = unbuilt, None = inapplicable (wc seeds)
     _CHAIN_MAX = 8

@@ -1320,7 +1320,8 @@ def pallas_gate_slots(slots, counts, gtbl, *, NW: int, cap: int, LgT: int,
     static_argnames=("classes", "Lmax", "T", "NW", "cap", "LgT", "kk",
                      "band", "indels", "lens", "out_cap", "oflow_cap",
                      "interpret", "n_pat", "eos_esc", "wbits", "work_cap",
-                     "chain_Lg", "segl", "ablate", "fold"),
+                     "chain_Lg", "segl", "ablate", "fold",
+                     "chain_ecap"),
 )
 def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
                             chain=None, wcol=None, feed=None, *,
@@ -1332,7 +1333,8 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
                             n_pat: int | None = None, eos_esc: int = -1,
                             wbits: int = 4, work_cap: int | None = None,
                             chain_Lg: int = 0, segl: int | None = None,
-                            ablate: str = "", fold: int = 1):
+                            ablate: str = "", fold: int = 1,
+                            chain_ecap: int = 2048):
     """The whole k>0 pigeonhole front-end in Pallas: scan + in-kernel hit
     extraction (:func:`pallas_scan_slots`) -> slotted extension gate
     (:func:`pallas_gate_slots`) -> tiny XLA dense-pack.  The only XLA
@@ -1488,13 +1490,15 @@ def pallas_scan_gated_slots(codes, W, thr, gtbl, t3=None, wpk=None,
         sums = (val >> 5) & 1023
         is_chain = (valid & esc & (cnts >= 2) & (cnts <= 1 + CKR)
                     & (pstart <= n - Lmax) & (sums < KS))
-        # COMPACT the chain-escape rows before the member gates: escapes
-        # are a tiny fraction of the work row, and each member gate
-        # gathers a text window per row — running CM gates over all
-        # ``wcap`` rows cost ~0.4 ms/scan (ablated), ~8x the compacted
-        # form.  Rows past ``ecap`` (never seen in practice) simply stay
-        # kept: the host chain-expands them exactly, output identical.
-        ecap = min(256, wcap)
+        # COMPACT the chain-escape rows before the member gates: each
+        # member gate gathers a text window per row, and running CM
+        # gates over all ``wcap`` rows cost ~0.4 ms/scan (ablated), ~8x
+        # the compacted form.  ecap covers the observed escape rates
+        # (nested primer sets put MOST multi-seed candidates on the
+        # chain path — ~1.3k/scan on the bench set); rows past it
+        # simply stay kept and the host chain-expands them exactly,
+        # output identical.
+        ecap = min(chain_ecap, wcap)
         _ecount, eidx = compact_mask(is_chain, ecap)
         ev = eidx < wcap
         ei = jnp.minimum(eidx, wcap - 1)
