@@ -53,6 +53,18 @@ def probe_devices():
         return []
 
 
+def _backend_initialized() -> bool:
+    """True when some jax backend is ALREADY live in this process —
+    probed without initializing one (the init_distributed pattern:
+    jax._src state, never the public API, which would init)."""
+    try:
+        from jax._src import xla_bridge as _xb
+
+        return bool(_xb._backends)
+    except Exception:
+        return False
+
+
 def auto_mesh(axis: str = "data") -> Mesh | None:
     """The data-parallel mesh the CLI tools scan over, or ``None`` for the
     single-device path.
@@ -66,9 +78,11 @@ def auto_mesh(axis: str = "data") -> Mesh | None:
 
     Auto mode caches the device COUNT on disk (per host + platform env):
     on a known single-device machine the one-shot CLI then skips backend
-    initialization entirely (~1 s on the tunneled chip) and a daemon
-    thread re-probes/refreshes the cache in the background — a stale
-    count after a topology change costs at most one unsharded run.
+    initialization entirely (~1 s on the tunneled chip).  A stale cache
+    re-probes in the background only from processes whose backend is
+    already live (initializing one on a daemon thread aborts short-lived
+    processes at exit); a topology change therefore costs at most a few
+    unsharded runs until a device-using process refreshes the count.
     """
     import os
 
@@ -98,7 +112,13 @@ def auto_mesh(axis: str = "data") -> Mesh | None:
                 stale = (time.time() - os.path.getmtime(path)) > 600
             except OSError:  # costs ~1 s of shared CPU on this host)
                 stale = True
-            if stale:
+            # ... and ONLY when this process already initialized the
+            # backend: a daemon thread mid-backend-init when a
+            # short-lived CLI exits aborts the whole process (pthread
+            # teardown inside native init -> std::terminate, observed
+            # as rc=-6 under the bench's one-shot children).  A stale
+            # cache refreshes on the next device-using run instead.
+            if stale and _backend_initialized():
                 import threading
 
                 threading.Thread(target=refresh, daemon=True).start()
