@@ -1271,6 +1271,11 @@ class ConvScanner:
         # could not survive the exact extension
         if gate is not None:
             gdir, gpref, gglen, gG, gk, gband = gate
+            if os.environ.get("SAT_MER_ABLATE") == "gate":
+                # bench-insurance breakage proof (bench.py): force the
+                # inline gate to over-prune (k=0 tolerance) so a broken
+                # mer_gate_pass demonstrably trips the row validators
+                gk = 0
             gate_args = (gdir.ctypes.data_as(c_i8p),
                          gpref.ctypes.data_as(c_u8p),
                          gglen.ctypes.data_as(c_u8p), gG, gk, gband)
@@ -1314,6 +1319,12 @@ class ConvScanner:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
         starts = all_s[0] if len(all_s) == 1 else np.concatenate(all_s)
         pids = all_p[0] if len(all_p) == 1 else np.concatenate(all_p)
+        if os.environ.get("SAT_MER_ABLATE") == "scan":
+            # bench-insurance breakage proof: drop every odd-start hit
+            # from the NATIVE census output only — a broken sat_mer_scan
+            # must make the bench row validators fire
+            sel = (starts & 1) == 0
+            starts, pids = starts[sel], pids[sel]
         if sort:
             order = np.lexsort((pids, starts))
             starts, pids = starts[order], pids[order]
