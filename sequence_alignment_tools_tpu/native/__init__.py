@@ -188,8 +188,15 @@ def load_shift_and_lib():
         ctypes.c_int32,                         # bloom_bits
         c_i8p, c_u8p, c_u8p,                    # gate dir/pref/glen
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # G, gk, gband
+        c_u64p,                                 # gate_pack (or NULL)
         ctypes.c_int32,                         # nthreads
         c_i64p, c_i32p, ctypes.c_int64,         # out_start/pid, cap
+    ]
+    lib.sat_lasthit_dedup.restype = ctypes.c_int64
+    lib.sat_lasthit_dedup.argtypes = [
+        c_i64p, c_i64p, ctypes.c_int64,        # pid, he, m
+        ctypes.c_int64,                        # dedup distance
+        c_i64p, c_u8p,                         # lasthit scratch, keep out
     ]
     lib.sat_sellers_scan.restype = ctypes.c_int64
     lib.sat_sellers_scan.argtypes = [

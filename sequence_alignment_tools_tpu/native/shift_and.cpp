@@ -431,6 +431,104 @@ inline bool mer_gate_pass(const uint8_t* codes, int64_t n, int64_t s,
   return true;
 }
 
+// Packed-gate variant of mer_gate_pass: the per-pattern gate metadata
+// (direction, prefix length, up to 6 prefix codes) lives in ONE uint64
+// per pattern — the generic three-array form costs ~3 random cache
+// lines per gated candidate (gdir + gglen + the gpref row), which at
+// xmers-phase-2 rates (~200k candidates/2 Mb) measured ~2/3 of the
+// whole gate cost.  Bit layout (see ops/conv_scan._mer_native):
+//   [0:2]  direction (0 = ungated, 1 = forward, 2 = backward)
+//   [2:6]  prefix length g (<= 6)
+//   [16:]  g prefix codes, 8 bits each
+// The DP recurrence is byte-identical to mer_gate_pass (int32 cells,
+// text window gathered once with the same s+L+t-1 / s-t mapping and
+// 0xFE out-of-range poison).
+inline bool mer_gate_pass_packed(const uint8_t* codes, int64_t n,
+                                 int64_t s, int32_t L, uint64_t gm,
+                                 int32_t k, int32_t band) {
+  const int32_t g = (int32_t)((gm >> 2) & 15);
+  const int32_t dir = (int32_t)(gm & 3);
+  if (dir == 0 || g == 0) return true;
+  uint8_t tc[16];
+  const int32_t span = g + band;
+  if (dir == 1) {
+    const int64_t base = s + L;
+    if (base + span <= n) {
+      for (int32_t j = 0; j < span; ++j) tc[j] = codes[base + j];
+    } else {
+      for (int32_t j = 0; j < span; ++j) {
+        const int64_t pos = base + j;
+        tc[j] = pos < n ? codes[pos] : (uint8_t)0xFE;
+      }
+    }
+  } else {
+    if (s - span >= 0) {
+      for (int32_t j = 0; j < span; ++j) tc[j] = codes[s - 1 - j];
+    } else {
+      for (int32_t j = 0; j < span; ++j) {
+        const int64_t pos = s - 1 - j;
+        tc[j] = pos >= 0 ? codes[pos] : (uint8_t)0xFE;
+      }
+    }
+  }
+  if (band == 1) {
+    // fully-unrolled 3-diagonal form (the k=1 gate, the xmers phase-2
+    // hot case) — recurrence identical to the generic loop below
+    int32_t r0, r1, r2;
+    uint64_t pb = gm >> 16;
+    {
+      // p = 1 against row init [1, 0, 1]:
+      //   v0 = row[1] + 1 = 1 (t = 0 insertion path)
+      //   v1 = min(0 + mism(tc[0]), min(row[2], v0) + 1) = mism(tc[0])
+      //   v2 = min(1 + mism(tc[1]), v1 + 1)
+      const uint8_t pc = (uint8_t)(pb & 0xFF);
+      const int32_t v1 = (tc[0] != pc);
+      int32_t v2 = 1 + (tc[1] != pc);
+      if (v1 + 1 < v2) v2 = v1 + 1;
+      r0 = 1; r1 = v1; r2 = v2;
+      if (r0 > k && r1 > k && r2 > k) return false;
+      pb >>= 8;
+    }
+    for (int32_t p = 2; p <= g; ++p, pb >>= 8) {
+      const uint8_t pc = (uint8_t)(pb & 0xFF);
+      int32_t v0 = r0 + (tc[p - 2] != pc);
+      if (r1 + 1 < v0) v0 = r1 + 1;
+      int32_t v1 = r1 + (tc[p - 1] != pc);
+      const int32_t m01 = r2 < v0 ? r2 : v0;
+      if (m01 + 1 < v1) v1 = m01 + 1;
+      int32_t v2 = r2 + (tc[p] != pc);
+      if (v1 + 1 < v2) v2 = v1 + 1;
+      r0 = v0; r1 = v1; r2 = v2;
+      if (r0 > k && r1 > k && r2 > k) return false;
+    }
+    return true;
+  }
+  int32_t row[2 * 8 + 1];
+  for (int32_t d = 0; d <= 2 * band; ++d)
+    row[d] = d >= band ? d - band : band - d;
+  uint64_t pbits = gm >> 16;
+  for (int32_t p = 1; p <= g; ++p, pbits >>= 8) {
+    const uint8_t pc = (uint8_t)(pbits & 0xFF);
+    int32_t prev = 1 << 20, rowmin = 1 << 20;
+    for (int32_t d = 0; d <= 2 * band; ++d) {
+      const int32_t t = p + d - band;
+      int32_t v = 1 << 20;
+      if (t >= 1) {
+        v = row[d] + (tc[t - 1] == pc ? 0 : 1);
+        if (d + 1 <= 2 * band && row[d + 1] + 1 < v) v = row[d + 1] + 1;
+        if (prev + 1 < v) v = prev + 1;
+      } else if (t == 0 && d + 1 <= 2 * band) {
+        v = row[d + 1] + 1;
+      }
+      prev = v;
+      row[d] = v;
+      if (v < rowmin) rowmin = v;
+    }
+    if (rowmin > k) return false;
+  }
+  return true;
+}
+
 void mer_scan_range(const uint8_t* codes, int64_t n, int64_t lo,
                     int64_t hi, int64_t nstarts, int32_t L,
                     uint64_t alpha, uint64_t topmul, const uint64_t* keys,
@@ -439,7 +537,7 @@ void mer_scan_range(const uint8_t* codes, int64_t n, int64_t lo,
                     const uint64_t* bloom, int32_t bloom_shift,
                     const int8_t* gdir, const uint8_t* gpref,
                     const uint8_t* gglen, int32_t G, int32_t gk,
-                    int32_t gband,
+                    int32_t gband, const uint64_t* gpack,
                     int64_t* out_start, int32_t* out_pid, int64_t cap,
                     std::atomic<int64_t>* nhits) {
   // Blocked three-phase walk (the branchy one-pass form measured ~4x
@@ -490,6 +588,26 @@ void mer_scan_range(const uint8_t* codes, int64_t n, int64_t lo,
     int64_t slots[BL];
     for (int64_t j = 0; j < nc; ++j)
       slots[j] = mer_hash(codebuf[cand[j]], tmask);
+    // packed-gate mode runs the chain walk and the gate DP as TWO
+    // passes over a small queue: the gate record load (gpack[pid],
+    // random into a ~P*8-byte array) is prefetched at enqueue time so
+    // the DP never stalls on it — as a dependent load on the critical
+    // path it measured ~half the per-candidate gate cost
+    int32_t gq_i[256];
+    int32_t gq_pid[256];
+    int ngq = 0;
+    auto gate_drain = [&]() {
+      for (int q = 0; q < ngq; ++q) {
+        const int64_t s = blo + gq_i[q];
+        const int32_t pid = gq_pid[q];
+        if (mer_gate_pass_packed(codes, n, s, L, gpack[pid], gk, gband)) {
+          pend_s[npend] = s;
+          pend_p[npend] = pid;
+          if (++npend == PEND) flush();
+        }
+      }
+      ngq = 0;
+    };
     for (int64_t j = 0; j < nc; ++j) {
       if (j + 2 < nc) __builtin_prefetch(&keys[slots[j + 2]]);
       int64_t slot = slots[j];
@@ -500,10 +618,18 @@ void mer_scan_range(const uint8_t* codes, int64_t n, int64_t lo,
         if (k == c) {
           for (int32_t e = head[slot]; e >= 0; e = enext[e]) {
             const int32_t pid = epid[e];
-            if (gdir != nullptr && gdir[pid] != 0 &&
-                !mer_gate_pass(codes, n, blo + cand[j], L, pid, gdir,
-                               gpref, gglen, G, gk, gband))
+            if (gpack != nullptr) {
+              __builtin_prefetch(&gpack[pid]);
+              gq_i[ngq] = cand[j];
+              gq_pid[ngq] = pid;
+              if (++ngq == 256) gate_drain();
               continue;
+            }
+            if (gdir != nullptr && gdir[pid] != 0 &&
+                !mer_gate_pass(codes, n, blo + cand[j], L, pid,
+                               gdir, gpref, gglen, G, gk, gband)) {
+              continue;
+            }
             pend_s[npend] = blo + cand[j];
             pend_p[npend] = pid;
             if (++npend == PEND) flush();
@@ -513,6 +639,7 @@ void mer_scan_range(const uint8_t* codes, int64_t n, int64_t lo,
         slot = (slot + 1) & tmask;
       }
     }
+    if (gpack != nullptr) gate_drain();
   }
   flush();
 }
@@ -527,12 +654,13 @@ int64_t sat_mer_scan(const uint8_t* codes, int64_t n, int32_t L,
                      const int8_t* gate_dir, const uint8_t* gate_pref,
                      const uint8_t* gate_glen, int32_t gate_G,
                      int32_t gate_k, int32_t gate_band,
+                     const uint64_t* gate_pack,
                      int32_t nthreads,
                      int64_t* out_start, int32_t* out_pid, int64_t cap) {
   if (n < L || L <= 0 || tsize <= 0 || (tsize & (tsize - 1))) return -1;
   if (bloom_bits < 6 || bloom_bits > 40) return -1;
-  if (gate_dir != nullptr && (gate_band < 0 || gate_band > 8 ||
-                              gate_G <= 0))
+  if ((gate_dir != nullptr || gate_pack != nullptr) &&
+      (gate_band < 0 || gate_band > 8 || gate_G <= 0))
     return -1;
   const int32_t bloom_shift = 64 - bloom_bits;
   const int64_t nstarts = n - L + 1;
@@ -548,7 +676,7 @@ int64_t sat_mer_scan(const uint8_t* codes, int64_t n, int32_t L,
     mer_scan_range(codes, n, 0, nstarts, nstarts, L, alpha, topmul, keys,
                    head, enext, epid, tmask, bloom, bloom_shift,
                    gate_dir, gate_pref, gate_glen, gate_G, gate_k,
-                   gate_band, out_start, out_pid, cap, &nhits);
+                   gate_band, gate_pack, out_start, out_pid, cap, &nhits);
     return nhits.load();
   }
   int64_t chunk = (nstarts + nt - 1) / nt;
@@ -559,11 +687,35 @@ int64_t sat_mer_scan(const uint8_t* codes, int64_t n, int32_t L,
     threads.emplace_back(mer_scan_range, codes, n, lo, hi, nstarts, L,
                          alpha, topmul, keys, head, enext, epid, tmask,
                          bloom, bloom_shift, gate_dir, gate_pref,
-                         gate_glen, gate_G, gate_k, gate_band, out_start,
-                         out_pid, cap, &nhits);
+                         gate_glen, gate_G, gate_k, gate_band, gate_pack,
+                         out_start, out_pid, cap, &nhits);
   }
   for (auto& th : threads) th.join();
   return nhits.load();
+}
+
+// Sequential lasthit+dedup thinning over extension survivors, the
+// exact_halves emission rule (exact_halves.cc:163-176 semantics as
+// replicated in models/primer_match._halves_emit): rows arrive sorted
+// (hit-end asc, half-id desc); keep row i iff
+// he[i] > lasthit[pid[i]] + dedup, updating lasthit only on keeps.
+// Replaces a ~12k-iteration Python loop (~3 ms at xmers phase-2 scale).
+// lasthit must be zero-initialized, length >= npid.
+int64_t sat_lasthit_dedup(const int64_t* pid, const int64_t* he,
+                          int64_t m, int64_t dedup, int64_t* lasthit,
+                          uint8_t* keep) {
+  int64_t kept = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t p = pid[i];
+    const int64_t h = he[i];
+    const uint8_t take = h > lasthit[p] + dedup;
+    keep[i] = take;
+    if (take) {
+      lasthit[p] = h;
+      ++kept;
+    }
+  }
+  return kept;
 }
 
 // Threaded k-edit scan.  halo = Lmax + k (the maximum text span of a

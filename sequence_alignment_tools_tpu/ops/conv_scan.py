@@ -1276,11 +1276,33 @@ class ConvScanner:
                 # inline gate to over-prune (k=0 tolerance) so a broken
                 # mer_gate_pass demonstrably trips the row validators
                 gk = 0
+            # pack the per-pattern gate metadata into ONE uint64/pattern
+            # when it fits (G <= 6, i.e. k <= 2): the three-array form
+            # costs ~3 random cache lines per gated candidate and
+            # measured ~2/3 of the whole inline-gate cost at xmers
+            # phase-2 rates (see shift_and.cpp::mer_gate_pass_packed)
+            gpack = None
+            if gG <= 6:
+                cached = self._mer_gpack_c
+                if cached is not None and cached[0] is gdir:
+                    gpack = cached[1]
+                else:
+                    d64 = np.where(gdir > 0, 1,
+                                   np.where(gdir < 0, 2, 0)).astype(
+                                       np.uint64)
+                    g64 = d64 | (gglen.astype(np.uint64) << np.uint64(2))
+                    pref = gpref.reshape(-1, gG).astype(np.uint64)
+                    for j in range(gG):
+                        g64 |= pref[:, j] << np.uint64(16 + 8 * j)
+                    gpack = np.ascontiguousarray(g64)
+                    self._mer_gpack_c = (gdir, gpack)
             gate_args = (gdir.ctypes.data_as(c_i8p),
                          gpref.ctypes.data_as(c_u8p),
-                         gglen.ctypes.data_as(c_u8p), gG, gk, gband)
+                         gglen.ctypes.data_as(c_u8p), gG, gk, gband,
+                         gpack.ctypes.data_as(c_u64p)
+                         if gpack is not None else None)
         else:
-            gate_args = (None, None, None, 0, 0, 0)
+            gate_args = (None, None, None, 0, 0, 0, None)
         all_s, all_p = [], []
         for L, (keys, head, enext, epid, tsize, bloom,
                 bloom_bits) in tabs.items():
@@ -1333,6 +1355,7 @@ class ConvScanner:
 
     _radix_ok_c = None
     _mer_outbuf_c = None
+    _mer_gpack_c = None
 
     def scan_seed_arrays(self, codes: np.ndarray, sort: bool = True,
                          gate=None):
