@@ -745,7 +745,11 @@ class PrimerMatchModel:
                 and getattr(self.db, "decode_chars", None) is None):
             t = scanner.tables
             S = t.P
-            G = k + 4
+            # k+4 prefix chars suffice as a filter; for k <= 2 widen to
+            # the packed-record capacity (6 chars) — one more pruning
+            # char costs only accepted candidates an extra DP row and
+            # shrinks the batched-extension input
+            G = 6 if k <= 2 else k + 4
             band = k if self.indels else 0
             c2c = {chr(b): i for i, b in enumerate(bytes(self.db.table))}
             gdir = np.zeros(S, np.int8)

@@ -192,6 +192,18 @@ def load_shift_and_lib():
         ctypes.c_int32,                         # nthreads
         c_i64p, c_i32p, ctypes.c_int64,         # out_start/pid, cap
     ]
+    lib.sat_mer_scan_d4.restype = ctypes.c_int64
+    lib.sat_mer_scan_d4.argtypes = [
+        c_u8p, c_u8p,                           # codes, 2-bit pack
+        c_i64p, ctypes.c_int64,                 # bad positions, nbad
+        ctypes.c_int64, ctypes.c_int32,         # n, L
+        c_i32p, c_i32p, c_i32p,                 # head4, enext, epid
+        c_u64p,                                 # presence bitmap
+        ctypes.c_int32, ctypes.c_int32,         # gk, gband
+        c_u64p,                                 # gate_pack (or NULL)
+        ctypes.c_int32,                         # nthreads
+        c_i64p, c_i32p, ctypes.c_int64,         # out_start/pid, cap
+    ]
     lib.sat_lasthit_dedup.restype = ctypes.c_int64
     lib.sat_lasthit_dedup.argtypes = [
         c_i64p, c_i64p, ctypes.c_int64,        # pid, he, m

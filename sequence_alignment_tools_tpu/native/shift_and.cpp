@@ -644,7 +644,161 @@ void mer_scan_range(const uint8_t* codes, int64_t n, int64_t lo,
   flush();
 }
 
+// Direct-address variant of the census walk for base-4 (DNA) seed sets
+// with 2*L <= 22 bits: the rolling window code IS the table index
+// (head4[4^L], L3-resident at <= 16 MB), so the bloom filter, the
+// 64-bit key compare, and the open-addressing walk all disappear —
+// one load per position.  Window validity under chars with code >= 4
+// (EOS / ambiguity codes, which base-4 masking would alias) rides a
+// last-bad-position watermark.  Matches the hash walk's output order
+// and gate semantics (packed gate only).
+void mer_scan_range_d4(const uint8_t* codes, const uint8_t* pack,
+                       const int64_t* bad, int64_t nbad, int64_t n,
+                       int64_t lo, int64_t hi, int64_t nstarts, int32_t L,
+                       const int32_t* head4, const int32_t* enext,
+                       const int32_t* epid, const uint64_t* bit4,
+                       int32_t gk, int32_t gband, const uint64_t* gpack,
+                       int64_t* out_start, int32_t* out_pid, int64_t cap,
+                       std::atomic<int64_t>* nhits) {
+  constexpr int64_t BL = 2048;
+  constexpr int PEND = 1024;
+  uint32_t codebuf[BL];
+  uint8_t okbuf[BL];
+  int32_t cand[BL];
+  int64_t pend_s[PEND];
+  int32_t pend_p[PEND];
+  int npend = 0;
+  auto flush = [&]() {
+    if (!npend) return;
+    const int64_t base =
+        nhits->fetch_add(npend, std::memory_order_relaxed);
+    const int64_t take = std::min<int64_t>(
+        npend, std::max<int64_t>(cap - base, 0));
+    for (int64_t i = 0; i < take; ++i) {
+      out_start[base + i] = pend_s[i];
+      out_pid[base + i] = pend_p[i];
+    }
+    npend = 0;
+  };
+  int64_t bcur = 0;
+  int32_t gq_i[256];
+  int32_t gq_pid[256];
+  int ngq = 0;
+  auto gate_drain = [&]() {
+    for (int q = 0; q < ngq; ++q) {
+      const int64_t s = bcur + gq_i[q];
+      const int32_t pid = gq_pid[q];
+      if (mer_gate_pass_packed(codes, n, s, L, gpack[pid], gk, gband)) {
+        pend_s[npend] = s;
+        pend_p[npend] = pid;
+        if (++npend == PEND) flush();
+      }
+    }
+    ngq = 0;
+  };
+  const int32_t shr = 64 - 2 * L;
+  // bad-position cursor: bad[] is the sorted (static per database)
+  // list of chars with code >= 4; a window [s, s+L) is valid iff no
+  // bad position lands in it
+  int64_t bi = 0;
+  while (bi < nbad && bad[bi] < lo) ++bi;
+  for (int64_t blo = lo; blo < hi; blo += BL) {
+    bcur = blo;
+    const int64_t bl = std::min(BL, hi - blo);
+    // phase 1: window codes from the 2-bit packed text — one 8-byte
+    // big-endian load covers 4 consecutive positions (L <= 11 always
+    // fits the remaining 28+ bits)
+    for (int64_t i = 0; i < bl; ++i) {
+      const int64_t s = blo + i;
+      uint64_t w;
+      std::memcpy(&w, pack + (s >> 2), 8);
+      w = __builtin_bswap64(w);
+      codebuf[i] = (uint32_t)((w << (2 * (s & 3))) >> shr);
+    }
+    // validity: common case is zero bad positions in the block span
+    if (bi >= nbad || bad[bi] >= blo + bl + L - 1) {
+      std::memset(okbuf, 1, bl);
+    } else {
+      // windows [s, s+L) with s in [blo, blo+bl): position s is
+      // invalid iff the next bad position >= s is < s + L
+      int64_t bj = bi;
+      for (int64_t i = 0; i < bl; ++i) {
+        const int64_t s = blo + i;
+        while (bj < nbad && bad[bj] < s) ++bj;
+        okbuf[i] = !(bj < nbad && bad[bj] < s + L);
+      }
+    }
+    while (bi < nbad && bad[bi] < blo + bl) ++bi;
+    // phase 2: exact presence test against the L2-resident bitmap
+    // (head4 itself is up to 16 MB — touching it per position was the
+    // dominant sweep cost)
+    int64_t nc = 0;
+    for (int64_t i = 0; i < bl; ++i) {
+      const uint32_t c = codebuf[i];
+      cand[nc] = (int32_t)i;
+      nc += (int64_t)(((bit4[c >> 6] >> (c & 63)) & 1) & okbuf[i]);
+    }
+    // phase 3: chain walk on the candidates only, heads prefetched
+    for (int64_t j = 0; j < nc; ++j) {
+      if (j + 4 < nc) __builtin_prefetch(&head4[codebuf[cand[j + 4]]]);
+      const int64_t i = cand[j];
+      for (int32_t e = head4[codebuf[i]]; e >= 0; e = enext[e]) {
+        const int32_t pid = epid[e];
+        if (gpack != nullptr) {
+          __builtin_prefetch(&gpack[pid]);
+          gq_i[ngq] = (int32_t)i;
+          gq_pid[ngq] = pid;
+          if (++ngq == 256) gate_drain();
+        } else {
+          pend_s[npend] = blo + i;
+          pend_p[npend] = pid;
+          if (++npend == PEND) flush();
+        }
+      }
+    }
+    if (gpack != nullptr) gate_drain();
+  }
+  flush();
+}
+
 }  // namespace
+
+int64_t sat_mer_scan_d4(const uint8_t* codes, const uint8_t* pack,
+                        const int64_t* bad, int64_t nbad, int64_t n,
+                        int32_t L, const int32_t* head4,
+                        const int32_t* enext, const int32_t* epid,
+                        const uint64_t* bit4,
+                        int32_t gate_k, int32_t gate_band,
+                        const uint64_t* gate_pack, int32_t nthreads,
+                        int64_t* out_start, int32_t* out_pid,
+                        int64_t cap) {
+  if (n < L || L <= 0 || L > 11) return -1;
+  if (gate_pack != nullptr && (gate_band < 0 || gate_band > 8)) return -1;
+  const int64_t nstarts = n - L + 1;
+  std::atomic<int64_t> nhits{0};
+  int32_t nt = nthreads > 0 ? nthreads
+                            : (int32_t)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  const int64_t min_chunk = 1 << 16;
+  if (nstarts < 2 * min_chunk || nt == 1) {
+    mer_scan_range_d4(codes, pack, bad, nbad, n, 0, nstarts, nstarts, L,
+                      head4, enext, epid, bit4, gate_k, gate_band,
+                      gate_pack, out_start, out_pid, cap, &nhits);
+    return nhits.load();
+  }
+  int64_t chunk = (nstarts + nt - 1) / nt;
+  if (chunk < min_chunk) chunk = min_chunk;
+  std::vector<std::thread> threads;
+  for (int64_t lo = 0; lo < nstarts; lo += chunk) {
+    const int64_t hi = std::min(lo + chunk, nstarts);
+    threads.emplace_back(mer_scan_range_d4, codes, pack, bad, nbad, n,
+                         lo, hi, nstarts, L, head4, enext, epid, bit4,
+                         gate_k, gate_band, gate_pack, out_start,
+                         out_pid, cap, &nhits);
+  }
+  for (auto& th : threads) th.join();
+  return nhits.load();
+}
 
 int64_t sat_mer_scan(const uint8_t* codes, int64_t n, int32_t L,
                      int64_t alpha, const uint64_t* keys,

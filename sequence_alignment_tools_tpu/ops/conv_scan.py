@@ -1255,8 +1255,38 @@ class ConvScanner:
                     else:  # duplicate code: push onto the chain
                         enext[e] = head[slot]
                         head[slot] = e
+                # direct-address sidecar for base-4 (DNA) seed classes
+                # with 2L <= 22 index bits: head4[code4] kills the
+                # bloom + key-compare + open-addressing walk (one load
+                # per position, <= 16 MB L3-resident table —
+                # shift_and.cpp::mer_scan_range_d4)
+                head4 = enext4 = bit4 = None
+                if 2 * L <= 22 and P_L:
+                    pids_L = np.fromiter((pi for _, pi in entries),
+                                         np.int64, P_L)
+                    dig = np.asarray(t.pat_codes, np.int64)[pids_L, :L]
+                    if (dig >= 0).all() and (dig < 4).all():
+                        code4 = np.zeros(P_L, np.int64)
+                        for j in range(L):
+                            code4 = (code4 << 2) | dig[:, j]
+                        head4 = np.full(1 << (2 * L), -1, np.int32)
+                        enext4 = np.full(P_L, -1, np.int32)
+                        for e, c4 in enumerate(code4.tolist()):
+                            enext4[e] = head4[c4]
+                            head4[c4] = e
+                        # exact presence bitmap (4^L bits, L2-resident):
+                        # the sweep tests this instead of touching the
+                        # (up to 16 MB) head table per position
+                        packed = np.packbits(head4 >= 0,
+                                             bitorder="little")
+                        if len(packed) % 8:
+                            packed = np.concatenate(
+                                [packed, np.zeros(8 - len(packed) % 8,
+                                                  np.uint8)])
+                        bit4 = np.ascontiguousarray(
+                            packed).view(np.uint64)
                 tabs[L] = (keys, head, enext, epid, tsize, bloom,
-                           bloom_bits)
+                           bloom_bits, head4, enext4, bit4)
             self._mer_tables_c = tabs
         tabs = self._mer_tables_c
         codes8 = np.ascontiguousarray(np.asarray(codes, np.uint8))
@@ -1303,11 +1333,18 @@ class ConvScanner:
                          if gpack is not None else None)
         else:
             gate_args = (None, None, None, 0, 0, 0, None)
+        d4fn = getattr(lib, "sat_mer_scan_d4", None)
         all_s, all_p = [], []
         for L, (keys, head, enext, epid, tsize, bloom,
-                bloom_bits) in tabs.items():
+                bloom_bits, head4, enext4, bit4) in tabs.items():
             if n < L:
                 continue
+            # direct-address walk when the class has a base-4 table and
+            # the gate (if any) rides the packed record
+            use_d4 = (d4fn is not None and head4 is not None
+                      and (gate is None or gate_args[6] is not None))
+            if use_d4:
+                pack, bad = self._mer_pack(codes8, n)
             cap = max(4 * len(epid) + (n >> 6), 1 << 14)
             while True:
                 # reused across scans: a fresh 4P-row np.empty pair
@@ -1317,16 +1354,29 @@ class ConvScanner:
                     buf = (np.empty(cap, np.int64), np.empty(cap, np.int32))
                     self._mer_outbuf_c = buf
                 out_s, out_p = buf
-                total = lib.sat_mer_scan(
-                    codes8.ctypes.data_as(c_u8p), n, L, t.alpha,
-                    keys.ctypes.data_as(c_u64p),
-                    head.ctypes.data_as(c_i32p),
-                    enext.ctypes.data_as(c_i32p),
-                    epid.ctypes.data_as(c_i32p), tsize,
-                    bloom.ctypes.data_as(c_u64p), bloom_bits,
-                    *gate_args, 0,
-                    out_s.ctypes.data_as(c_i64p),
-                    out_p.ctypes.data_as(c_i32p), cap)
+                if use_d4:
+                    total = d4fn(
+                        codes8.ctypes.data_as(c_u8p),
+                        pack.ctypes.data_as(c_u8p),
+                        bad.ctypes.data_as(c_i64p), len(bad), n, L,
+                        head4.ctypes.data_as(c_i32p),
+                        enext4.ctypes.data_as(c_i32p),
+                        epid.ctypes.data_as(c_i32p),
+                        bit4.ctypes.data_as(c_u64p),
+                        gate_args[4], gate_args[5], gate_args[6], 0,
+                        out_s.ctypes.data_as(c_i64p),
+                        out_p.ctypes.data_as(c_i32p), cap)
+                else:
+                    total = lib.sat_mer_scan(
+                        codes8.ctypes.data_as(c_u8p), n, L, t.alpha,
+                        keys.ctypes.data_as(c_u64p),
+                        head.ctypes.data_as(c_i32p),
+                        enext.ctypes.data_as(c_i32p),
+                        epid.ctypes.data_as(c_i32p), tsize,
+                        bloom.ctypes.data_as(c_u64p), bloom_bits,
+                        *gate_args, 0,
+                        out_s.ctypes.data_as(c_i64p),
+                        out_p.ctypes.data_as(c_i32p), cap)
                 if total < 0:
                     return None
                 if total <= cap:
@@ -1356,6 +1406,30 @@ class ConvScanner:
     _radix_ok_c = None
     _mer_outbuf_c = None
     _mer_gpack_c = None
+    _mer_pack_cc = None
+
+    def _mer_pack(self, codes8, n):
+        """(pack, bad) for the direct-address census walk: the 2-bit
+        MSB-first packed text (+pad bytes so the kernel's 8-byte loads
+        never run off the end) and the sorted positions of chars with
+        code >= 4 (EOS/ambiguity — base-4 masking would alias them).
+        Static per database, cached by buffer identity: the resident-DB
+        serving path re-scans the same array every run."""
+        key = (codes8.__array_interface__["data"][0], n)
+        cached = self._mer_pack_cc
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2]
+        m = (n + 3) // 4
+        padded = np.zeros(4 * m, np.uint8)
+        padded[:n] = codes8[:n]
+        q = (padded & 3).reshape(m, 4)
+        pack = np.concatenate([
+            (q[:, 0] << 6) | (q[:, 1] << 4) | (q[:, 2] << 2) | q[:, 3],
+            np.zeros(16, np.uint8)])
+        pack = np.ascontiguousarray(pack)
+        bad = np.flatnonzero(codes8[:n] >= 4).astype(np.int64)
+        self._mer_pack_cc = (key, pack, bad)
+        return pack, bad
 
     def scan_seed_arrays(self, codes: np.ndarray, sort: bool = True,
                          gate=None):
