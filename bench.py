@@ -61,14 +61,17 @@ def make_corpus():
 def make_wide_corpus():
     """15-symbol corpus: ACGT + 10 IUPAC ambiguity codes at ~2% + EOS —
     exercises the .sqz 4-bit packing regime and the kernel's wide-alphabet
-    class planes at bench scale."""
+    class planes at bench scale.  Same 16 M bases as every other row
+    (round 5): at the old 4 M the row was dominated by per-rep serving
+    fixed costs (~0.45 ms measured: dispatch + grouped-fetch RTT), not
+    the wide-alphabet kernel it is meant to measure."""
     if os.path.exists(WIDE_CORPUS) and \
-            os.path.getsize(WIDE_CORPUS) > CORPUS_BASES // 4:
+            os.path.getsize(WIDE_CORPUS) > CORPUS_BASES:
         return
     rng = np.random.default_rng(43)
     table = np.frombuffer(b"ACGTRYSWKMBDHVN", dtype=np.uint8)
     with open(WIDE_CORPUS, "w") as f:
-        per_entry = 1_000_000
+        per_entry = 4_000_000
         for e in range(4):
             f.write(f">wide{e} wide-alphabet benchmark entry {e}\n")
             base = rng.integers(0, 4, size=per_entry)
@@ -762,10 +765,12 @@ def main():
         dt = _ref_seconds(
             [os.path.join(REF, "primer_match"), "-i", WIDE_CORPUS, "-P",
              patfile, "-r", "-w", "-c"])
-        return (4_000_000 / dt) if dt else None
+        return (CORPUS_BASES / dt) if dt else None
 
     def _row_wide():
-        ref = ref_anchor("wide_alpha_wc", _ref_wide)
+        # anchor key versioned: the corpus grew 4 M -> 16 M in round 5,
+        # so the cached 4 M anchor must not be reused
+        ref = ref_anchor("wide_alpha_wc16", _ref_wide)
         matrix["wide_alpha_wc"] = {
             "value": round(v / 1e6, 2),
             "unit": "Mbases/s",

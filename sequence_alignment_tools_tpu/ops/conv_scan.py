@@ -123,6 +123,32 @@ def _device_form(codes):
     return dev
 
 
+_BIT_CACHE: dict = {}
+_bit_recode_jit = None
+
+
+def _bit_form(codes_dev, lut_dev):
+    """Mask-recoded device text for the bit-plane mode (uint8 gather
+    through the scanner's 256-entry code->base-mask LUT), cached across
+    scanner instances by device-array identity — one-time preprocessing
+    per resident database, like the phase transpose."""
+    import weakref
+
+    global _bit_recode_jit
+    key = (id(codes_dev), id(lut_dev))
+    ent = _BIT_CACHE.get(key)
+    if ent is not None and ent[0]() is codes_dev:
+        return ent[1]
+    if _bit_recode_jit is None:
+        _bit_recode_jit = jax.jit(
+            lambda c, lut: lut[c.astype(jnp.int32)])
+    dev = _bit_recode_jit(codes_dev, lut_dev)
+    ref = weakref.ref(codes_dev)
+    weakref.finalize(codes_dev, _BIT_CACHE.pop, key, None)
+    _BIT_CACHE[key] = (ref, dev)
+    return dev
+
+
 _WPK_CACHE: dict = {}
 
 
@@ -391,6 +417,142 @@ class ConvScanner:
     _MB = 32
     _RESCAN = 2048  # rescan bucket (positions), fixed for compile caching
 
+    _bitplane_cc = False  # False = uncomputed; None = ineligible
+
+    def _bitplane_mode(self):
+        """IUPAC bit-plane mode for wide-alphabet EXACT scans: when the
+        accept relation factors as "4-bit base-set intersection
+        non-empty" (the -w IUPAC semantics, shift_and.cc:108-117), the
+        resident text is recoded to 4-bit base MASKS and the Mosaic
+        filter builds 4 BIT planes (``(text >> b) & 1``) instead of one
+        plane per live class — the kernel's measured bound is exactly
+        those per-class compare+copy passes (README roofline), and wide
+        alphabets pay ~14 of them.  The bit-plane margin counts
+        ``sum_j |text_set_j ∩ pattern_set_j|``, which is >= L for every
+        true hit (each true position intersects), so the filter is a
+        SUPERSET of the class form — the exact in-pipeline rescore
+        (reindexed over mask values, exactness verified structurally
+        below) rejects the extras.  Returns None when ineligible (k>0,
+        poison, non-factorable accepts, few classes, mesh) — the class
+        planes are used unchanged.  The embedding is derived from the
+        accept tables themselves (minimal accept sets = base stars) and
+        VERIFIED against every (pattern, position, code) triple, so a
+        wrong guess degrades to None, never to wrong output."""
+        if self._bitplane_cc is not False:
+            return self._bitplane_cc
+        self._bitplane_cc = None
+        t = self.tables
+        if (self.k != 0 or self.poison_eos or t.alpha > 64
+                or (self.mesh is not None and self.mesh.devices.size > 1)
+                or os.environ.get("SAT_BITPLANES", "1") != "1"):
+            return None
+        if t.code_chars is None:
+            return None
+        acc = np.asarray(t.match)  # [P, Lmax, alpha] bool
+        P, Lmax, alpha = acc.shape
+        if not P:
+            return None
+        live = [c for c in range(alpha) if acc[:, :, c].any()]
+        if len(live) < 6:
+            return None  # the class planes are already cheap
+        # code -> 4-bit DNA base set (A=1, C=2, G=4, T=8), from the
+        # IUPAC CONTAINS table (U counts as T); 0 for non-IUPAC chars
+        from ..utils.iupac import CONTAINS
+
+        bit_of = {"A": 1, "C": 2, "G": 4, "T": 8, "U": 8}
+        tcb = np.zeros(alpha, np.uint8)
+        for c in range(alpha):
+            for ch in CONTAINS.get(chr(t.code_chars[c]).upper(), ""):
+                tcb[c] |= bit_of.get(ch, 0)
+        # filter mask per (pattern, position): the OR of the accepted
+        # PURE-BASE codes' bits — for the IUPAC compatible relation this
+        # reconstructs the pattern char's own base set (every base of
+        # set_p is an accepted singleton), which every accepted code
+        # intersects; positions where that is unsound (table quirks,
+        # exact-match-on-ambiguity-code accepts) widen to the union of
+        # all accepted codes' sets, and the usefulness guard below
+        # declines if the masks degenerate toward all-bits
+        acc_any = acc.any(axis=2)  # [P, Lmax]
+        single = np.zeros((P, Lmax), np.uint8)
+        for c in range(alpha):
+            if tcb[c] in (1, 2, 4, 8):
+                single |= np.where(acc[:, :, c], tcb[c], 0).astype(
+                    np.uint8)
+        fpb = single
+        inter = (tcb[None, None, :] & fpb[:, :, None]) != 0
+        bad_pos = np.argwhere((acc & ~inter).any(axis=2))
+        if len(bad_pos) > 100_000:
+            return None
+        for p, j in bad_pos:
+            # a quirk accept outside the char's own base set (e.g. the
+            # reference's COMPATIBLE["T"] listing V, iupac.py:18-37):
+            # widen MINIMALLY — greedy bit cover of the violating codes
+            # (the full accepted-union measured fpb = all-bits at every
+            # T position, which collapsed the filter's selectivity)
+            cur = int(fpb[p, j])
+            viol = [c for c in range(alpha)
+                    if acc[p, j, c] and not (tcb[c] & cur)]
+            while viol:
+                cnt = [sum(1 for c in viol if (tcb[c] >> b) & 1)
+                       for b in range(4)]
+                b = int(np.argmax(cnt))
+                if cnt[b] == 0:
+                    return None  # an accepted code with mask 0
+                cur |= 1 << b
+                viol = [c for c in viol if not (tcb[c] & cur)]
+            fpb[p, j] = cur
+        # SOUNDNESS check: every accepted code must intersect the filter
+        # mask (the bit filter is then a superset of the true accept;
+        # the exact rescore below rejects the extras)
+        inter = (tcb[None, None, :] & fpb[:, :, None]) != 0
+        if (acc & ~inter).any():
+            return None
+        # mask-injectivity for the exact rescore reindex: live codes
+        # sharing a base mask must have identical accept columns
+        for i, c1 in enumerate(live):
+            if tcb[c1] == 0:
+                return None
+            for c2 in live[i + 1 :]:
+                if tcb[c1] == tcb[c2] and not (
+                        acc[:, :, c1] == acc[:, :, c2]).all():
+                    return None
+        # usefulness guard: wide filter masks admit most of the text and
+        # shift all the work to the rescore — decline degenerate sets
+        if float(np.unpackbits(fpb[acc_any]).sum()) > \
+                2.5 * float(acc_any.sum()):
+            return None
+        from .pallas.scan_kernel import BITCLS, kernel_weights
+
+        bitcls = tuple(BITCLS + b for b in range(4)
+                       if ((fpb >> b) & 1).any())
+        if not bitcls or len(bitcls) + 1 >= len(live):
+            return None  # no pass-count win over the folded class form
+        wbit = np.zeros((Lmax, len(bitcls), P), np.float32)
+        for ci, c in enumerate(bitcls):
+            wbit[:, ci, :] = ((fpb >> (c - BITCLS)) & 1).T
+        W, thr, classes = kernel_weights(t, 0, False,
+                                         bitw=(wbit, bitcls))
+        # exact rescore weights, REINDEXED by mask value: the recode is
+        # injective on live codes (checked above), so this is the true
+        # accept table in mask space
+        wconv16 = np.zeros((Lmax, 16, P), np.float32)
+        for c in live:
+            np.maximum(wconv16[:, tcb[c], :],
+                       acc[:, :, c].T.astype(np.float32),
+                       out=wconv16[:, tcb[c], :])
+        lut = np.zeros(256, np.uint8)
+        lut[:alpha] = tcb
+        self._bitplane_cc = {
+            "W": jnp.asarray(W), "thr": jnp.asarray(thr),
+            "classes": classes,
+            "wconv": jnp.asarray(wconv16),
+            "lut": jnp.asarray(lut),
+        }
+        self._route(
+            "wide-alphabet BIT-PLANE filter (%d live classes -> %d bit "
+            "planes + exact rescore)" % (len(live), len(bitcls)))
+        return self._bitplane_cc
+
     def _pallas_dispatch(self, codes_dev, cap_mb: int, hit_cap: int,
                          interpret: bool):
         """Launch the fused scan (no sync) — one device call.
@@ -403,6 +565,9 @@ class ConvScanner:
         the lowered module as MLIR constants, which fetches each one
         device->host at lowering time (~4 s over the tunneled link on a
         cold CLI run) and keys the compile cache on table *values*."""
+        bm = self._bitplane_mode()
+        if bm is not None:
+            codes_dev = _bit_form(codes_dev, bm["lut"])
         fn = self._dispatch_cache.get((cap_mb, hit_cap, interpret))
         if fn is None:
             fn = self._bind_dispatch(cap_mb, hit_cap, interpret)
@@ -412,7 +577,8 @@ class ConvScanner:
 
     def _pallas_T(self) -> int:
         if self._pallas_T_cached is None:
-            W = self._pallas_weights()[0]
+            bm = self._bitplane_mode()
+            W = bm["W"] if bm is not None else self._pallas_weights()[0]
             # the phase-transposed kernel's VMEM footprint is tiny, so big
             # tiles win (fewer grid steps); 64K measured at the plateau
             self._pallas_T_cached = 65536 if W.shape[1] // 128 == 1 else 16384
@@ -443,12 +609,20 @@ class ConvScanner:
 
     def _bind_dispatch(self, cap_mb: int, hit_cap: int, interpret: bool):
         t = self.tables
-        W, thr, classes = self._pallas_weights()
+        bm = self._bitplane_mode()
+        if bm is not None:
+            # bit-plane mode: recoded text (see _pallas_dispatch), bit
+            # weights, mask-indexed exact-rescore weights, alpha = 16
+            # mask values, EOS -> mask 0 (accepted by nothing)
+            W, thr, classes = bm["W"], bm["thr"], bm["classes"]
+            alpha_r, eos_r, weights = 16, 0, bm["wconv"]
+        else:
+            W, thr, classes = self._pallas_weights()
+            alpha_r, eos_r, weights = t.alpha, t.eos_code, self.weights
         T = self._pallas_T()
-        weights, thresholds, lengths = (
-            self.weights, self.thresholds, self.lengths_dev)
+        thresholds, lengths = self.thresholds, self.lengths_dev
         jfn = _shared_scan_jit(
-            classes, t.alpha, t.Lmax, t.eos_code, T, self._MB,
+            classes, alpha_r, t.Lmax, eos_r, T, self._MB,
             cap_mb, hit_cap, interpret)
         KPAD = W.shape[1]
         from .pallas.scan_kernel import _na
@@ -1594,6 +1768,7 @@ class ConvScanner:
                     match=t.match[sl], lengths=t.lengths[sl],
                     pat_codes=t.pat_codes[sl], Lmax=t.Lmax,
                     alpha=t.alpha, eos_code=t.eos_code,
+                    code_chars=t.code_chars,
                 )
                 sub = ConvScanner(st, k=self.k, poison_eos=self.poison_eos,
                                   block=self.block, use_pallas=True)
@@ -1767,7 +1942,9 @@ class ConvScanner:
                 hi, hm = hv & 0x00FFFFFF, hv >> 24
             yield j, list(self._emit(int(hc_t[gi]), mb, hi, hm, n))
 
-    def scan_stream(self, blocks, depth: int = 256):
+    _STREAM_DEPTH = int(os.environ.get("SAT_STREAM_DEPTH", "256"))
+
+    def scan_stream(self, blocks, depth: int | None = None):
         """Pipelined scan over an iterator of flat code arrays.
 
         Three-level latency hiding for the tunneled transport (fetch
@@ -1793,6 +1970,8 @@ class ConvScanner:
         Yields (block_index, hits_list) in order."""
         from collections import deque
 
+        if depth is None:
+            depth = self._STREAM_DEPTH
         if self._sharded_capable():
             from ..parallel.shard import sharded_scan_stream
 

@@ -43,7 +43,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def kernel_weights(tables, k: int, poison_eos: bool, fold: bool = True):
+# class markers >= BITCLS mean "indicator plane = bit (c - BITCLS) of
+# the (recoded) text byte" instead of "text byte == c": the wide-alphabet
+# IUPAC bit-plane mode (ConvScanner._bitplane_mode) recodes the resident
+# text to 4-bit base masks and scans 4 bit-planes instead of ~14 class
+# planes — a SUPERSET filter (margins count |text_set ∩ pattern_set|,
+# >= L for every true hit), resolved by the exact in-pipeline rescore.
+BITCLS = 256
+
+
+def _class_plane(blk, c, et):
+    """Indicator plane for class marker ``c`` over a widened text block
+    (int32): equality for real codes, a bit test for BITCLS markers."""
+    if c >= BITCLS:
+        return ((blk >> (c - BITCLS)) & 1).astype(et)
+    return (blk == c).astype(et)
+
+
+def kernel_weights(tables, k: int, poison_eos: bool, fold: bool = True,
+                   bitw=None):
     """(W8 [8*PPAD, KPAD] int8, thr8 [8*PPAD, 1] int32, classes tuple).
 
     With ``fold=False`` the base-class fold below is skipped: margins are
@@ -86,11 +104,21 @@ def kernel_weights(tables, k: int, poison_eos: bool, fold: bool = True):
     accumulator, and the one-hot build writes half the bytes."""
     from ..tables import conv_weights
 
-    w = conv_weights(tables, k, poison_eos).astype(np.float32)  # [L, A, P]
-    Lmax, alpha, P = w.shape
-    classes = tuple(c for c in range(alpha) if np.any(w[:, c, :]))
-    if not classes:
-        classes = (0,)
+    if bitw is not None:
+        # bit-plane mode: ``bitw = (wbit [L, NB, P], bitcls)`` from
+        # ConvScanner._bitplane_mode — weights indexed by BIT rather
+        # than class, no base fold (bit planes don't partition unity)
+        w, classes = bitw
+        w = np.asarray(w, np.float32)
+        Lmax, alpha, P = w.shape
+        fold = False
+    else:
+        w = conv_weights(tables, k, poison_eos).astype(
+            np.float32)  # [L, A, P]
+        Lmax, alpha, P = w.shape
+        classes = tuple(c for c in range(alpha) if np.any(w[:, c, :]))
+        if not classes:
+            classes = (0,)
     # BASE-CLASS FOLD: subtract one nonnegative class column from every
     # class and add its per-pattern total to the score via the threshold
     # instead — the folded class needs no compare pass and no im2col
@@ -102,10 +130,8 @@ def kernel_weights(tables, k: int, poison_eos: bool, fold: bool = True):
     # rescore in pallas_scan_hits rejects them), never lost.  Skipped
     # when every class column has negatives (then no base is safe) or
     # only one class is live.
-    base_cls = next(
+    base_cls = None if (not fold or bitw is not None) else next(
         (c for c in classes if np.all(w[:, c, :] >= 0)), None)
-    if not fold:
-        base_cls = None
     if base_cls is not None and len(classes) > 1:
         base_col = w[:, base_cls, :].copy()  # [L, P]
         w = w - base_col[:, None, :]
@@ -114,6 +140,10 @@ def kernel_weights(tables, k: int, poison_eos: bool, fold: bool = True):
     else:
         base_tot = np.zeros((P,), np.float32)
     nc = len(classes)
+    # ci-aligned weight planes: bitw columns are already in classes
+    # order; real classes index the alphabet axis by value
+    wsel = w if bitw is not None else np.stack(
+        [w[:, c, :] for c in classes], axis=1)  # [L, nc, P]
     na = _na(Lmax)
     K = nc * 8 * na + 1  # + bias lane
     KPAD = _round_up(K, LANE)
@@ -121,7 +151,6 @@ def kernel_weights(tables, k: int, poison_eos: bool, fold: bool = True):
     W8 = np.zeros((8 * PPAD, KPAD), dtype=np.float32)
     prow = np.arange(P) * 8
     for ci in range(nc):
-        c = classes[ci]
         for r in range(8):
             for b0 in range(8):
                 bp = (r + b0) % 8
@@ -130,7 +159,7 @@ def kernel_weights(tables, k: int, poison_eos: bool, fold: bool = True):
                                 else 0):
                     j = 8 * a0 + b0
                     col = (ci * na + (a0 + g)) * 8 + bp
-                    W8[prow + r, col] = w[j, c, :]
+                    W8[prow + r, col] = wsel[j, ci, :]
     thr = np.round(
         tables.lengths.astype(np.float64) - int(k) - base_tot
     ).astype(np.int64)
@@ -283,7 +312,7 @@ def _scan_kernel(codes_ref, next_ref, wt_ref, *refs,
                 [codes_ref[0], next_ref[0][:, :HU]], axis=1
             ).astype(jnp.int32)
             for ci, c in enumerate(classes):
-                oh_ref[ci * 8 : (ci + 1) * 8, :] = (blk == c).astype(et)
+                oh_ref[ci * 8 : (ci + 1) * 8, :] = _class_plane(blk, c, et)
             for ci in range(nc):
                 for a in range(na):
                     row = (ci * na + a) * 8
@@ -409,7 +438,9 @@ def ohp_transpose(codes, *, T: int, classes: tuple):
     rows = []
     for c in classes:
         for bp in range(8):
-            rows.append(ext[bp::8] == c)
+            pl = ext[bp::8]
+            rows.append(((pl >> (c - BITCLS)) & 1) > 0 if c >= BITCLS
+                        else pl == c)
     m = jnp.stack(rows, axis=0).astype(jnp.int8)  # [8nc, (nt+1)*U]
     return m.reshape(8 * nc, ntiles + 1, U).transpose(1, 0, 2)
 
@@ -446,7 +477,9 @@ def imcol_transpose(codes, *, T: int, classes: tuple, na: int, KPAD: int):
         for a in range(na):
             for bp in range(8):
                 b0 = 8 * a + bp
-                rows.append(ext[b0 : b0 + ntiles * T : 8] == c)
+                pl = ext[b0 : b0 + ntiles * T : 8]
+                rows.append(((pl >> (c - BITCLS)) & 1) > 0 if c >= BITCLS
+                            else pl == c)
     m = jnp.stack(rows, axis=0).astype(jnp.int8)  # [K-1, ntiles*U]
     bias = jnp.ones((1, ntiles * U), jnp.int8)
     pad = jnp.zeros((KPAD - K, ntiles * U), jnp.int8)

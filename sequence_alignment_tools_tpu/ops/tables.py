@@ -32,6 +32,10 @@ class PatternTables:
     Lmax: int
     alpha: int
     eos_code: int
+    # producer alphabet chars per code (db.table), for structural
+    # analyses like the wide-alphabet bit-plane embedding
+    # (conv_scan.ConvScanner._bitplane_mode); None when unknown
+    code_chars: bytes | None = None
 
     @property
     def P(self) -> int:
@@ -67,6 +71,7 @@ def build_tables(ps: PatternSet, db: SeqDB, wc: bool, textn: bool) -> PatternTab
         Lmax=Lmax,
         alpha=alpha,
         eos_code=db.eos_code,
+        code_chars=bytes(db.table) if getattr(db, "table", None) else None,
     )
 
 
