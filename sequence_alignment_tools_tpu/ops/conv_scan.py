@@ -1996,6 +1996,9 @@ class ConvScanner:
         if self._sharded_capable():
             from ..parallel.shard import sharded_scan_stream
 
+            self._route(
+                "sharded pipelined scan STREAM over %d devices "
+                "(dispatch/fetch overlapped)" % self.mesh.devices.size)
             yield from sharded_scan_stream(
                 self, blocks, self.mesh,
                 interpret=self._mesh_interpret(), depth=depth)

@@ -251,3 +251,138 @@ def test_host_chip_mesh_2d(syn_fasta):
     got = sorted(sharded_pallas_scan_hits_2d(
         sc2, db.codes, mesh, interpret=True))
     assert got == want
+
+
+def test_primer_match_cli_mesh_parity_huge_p_k1(tmp_path, syn_fasta):
+    """Round 5 (VERDICT r4 item 4a): a > 64-pattern -k 1 run — outside
+    the slots pipeline's envelope — must still be byte-identical on
+    1 vs N devices (the engine's seed scan routes through the sharded
+    plain pipeline / host census under the mesh instead of declining)."""
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+
+    db = SeqDB.from_fasta(syn_fasta)
+    text = db.decode(0, min(20_000, len(db.codes)))
+    pats = []
+    i = 53
+    while len(pats) < 72 and i + 16 < len(text):
+        p = text[i : i + 16]
+        if p.isalpha():
+            pats.append(p)
+        i += 230
+    assert len(pats) == 72
+    patfile = str(tmp_path / "hugep.txt")
+    with open(patfile, "w") as f:
+        f.write("\n".join(pats) + "\n")
+    argv = ["-i", syn_fasta, "-P", patfile, "-r", "-k", "1", "-c"]
+    one = _run_cli(primer_match, argv, tmp_path, "one.txt", mesh=None)
+    eight = _run_cli(primer_match, argv, tmp_path, "eight.txt", mesh=8)
+    assert one and one == eight
+
+
+def test_pcr_pairs_stream_mesh_parity_overlapped(tmp_path, monkeypatch):
+    """Round 5 (VERDICT r4 item 8): the pcr pair-join SERVING stream
+    under a multi-device mesh — per-run pair output identical to the
+    single-chip stream, with the overlapped sharded transport proven via
+    the route protocol (the inner exact engine must announce the sharded
+    pipelined scan STREAM, not a per-run path)."""
+    from sequence_alignment_tools_tpu.apps.pcr_match import (
+        build_pair_pattern_set,
+    )
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.models.pcr_match import PcrMatchModel
+    from sequence_alignment_tools_tpu.parallel.shard import make_mesh
+    from sequence_alignment_tools_tpu.utils.iupac import reverse_comp
+
+    import jax
+
+    fwd = "ACGTTGCAACGTAGG"
+    rev = "TTGACCGGTTACAGT"
+    n = 8 * 6000
+    shard_len = n // 8
+    planted = []
+    for d in range(1, 8):
+        b = d * shard_len
+        planted.append((b - 800, fwd))
+        planted.append((b + 700, reverse_comp(rev)))
+    path = str(tmp_path / "pcrstream.fasta")
+    make_synthetic_fasta(path, n_entries=1, total=n, planted=planted,
+                         seed=3)
+    db = SeqDB.from_fasta(path)
+    opts = {"ucdict": False, "rev_comp": True, "fplen": 0, "tplen": 0,
+            "stlen": 0, "edlen": 0}
+    ps = build_pair_pattern_set([fwd, rev], opts, [], [])
+
+    def model(mesh):
+        m = PcrMatchModel(db, ps, k=0, maxdist=2000, rev_comp=True)
+        m.inner.mesh = mesh
+        m.inner.use_host = False
+        m.inner.pallas_interpret = True
+        return m
+
+    def key(run):
+        return [(h.pid, h.pid1, h.ind, h.ind1,
+                 h.pa.start, h.pa.end, h.pa.value,
+                 h.pa1.start, h.pa1.end, h.pa1.value) for h in run]
+
+    m1 = model(None)
+    want = [key(o) for o in m1.pairs_stream(3)]
+    assert want[0] and want == [want[0]] * 3
+
+    monkeypatch.setenv("SAT_ROUTE_VERBOSE", "1")
+    m8 = model(make_mesh(jax.devices()[:8]))
+    got = [key(o) for o in m8.pairs_stream(3)]
+    assert got == want
+    _t, sc = m8.inner._exact_ctx()
+    assert any("sharded pipelined scan STREAM" in r
+               for r in (sc._routes_done or ())), sc._routes_done
+
+
+def test_peptide_6frame_stream_mesh_parity_overlapped(tmp_path,
+                                                      monkeypatch):
+    """Round 5 (VERDICT r4 item 8): the 6-frame peptide serving stream
+    under a multi-device mesh — per-run output identical to single-chip,
+    overlapped sharded transport proven via the route protocol."""
+    import numpy as np
+
+    import jax
+
+    from sequence_alignment_tools_tpu.io.database import SeqDB
+    from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+    from sequence_alignment_tools_tpu.io.translate import translate_db
+    from sequence_alignment_tools_tpu.models.primer_match import (
+        PrimerMatchModel,
+    )
+    from sequence_alignment_tools_tpu.parallel.shard import make_mesh
+
+    path = str(tmp_path / "pep.fasta")
+    make_synthetic_fasta(path, n_entries=2, total=48_000, seed=11)
+    db = SeqDB.from_fasta(path)
+    tdb = translate_db(db, all_frames=True)
+    aa = tdb.aa_db.decode(0, 8_000)
+    peps = []
+    i = 0
+    while len(peps) < 4 and i + 9 < len(aa):
+        p = aa[i : i + 9]
+        if p.isalpha() and "*" not in p and "X" not in p:
+            peps.append(p)
+        i += 400
+    assert len(peps) == 4
+    ps = build_pattern_set(peps)
+
+    def model(mesh):
+        m = PrimerMatchModel(tdb.aa_db, ps, k=0, mesh=mesh)
+        m.use_host = False
+        m.pallas_interpret = True
+        return m
+
+    m1 = model(None)
+    want = [sorted(o) for o in m1.engine_hits_stream(3)]
+    assert want[0] and want == [want[0]] * 3
+
+    monkeypatch.setenv("SAT_ROUTE_VERBOSE", "1")
+    m8 = model(make_mesh(jax.devices()[:8]))
+    got = [sorted(o) for o in m8.engine_hits_stream(3)]
+    assert got == want
+    _t, sc = m8._exact_ctx()
+    assert any("sharded pipelined scan STREAM" in r
+               for r in (sc._routes_done or ())), sc._routes_done
