@@ -410,7 +410,8 @@ def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
         db.source_kind = "sqz"
         return db
     if os.path.exists(base + ".seq") and os.path.exists(base + ".idb"):
-        raw = np.fromfile(base + ".seq", dtype=np.uint8)
+        data = open(base + ".seq", "rb").read()
+        raw = np.frombuffer(data, dtype=np.uint8)
         keys, vals = read_idb(base + ".idb")
         headers = _read_headers(base + ".hdr", vals)
         obs = np.zeros(256, dtype=bool)
@@ -422,7 +423,11 @@ def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
         c2c = np.zeros(256, dtype=np.uint8)
         for code, ch in enumerate(table):
             c2c[ch] = code
-        db = _mk_db(c2c[raw], table, keys[:-1], headers, eos_char,
+        # bytes.translate is the fast byte-LUT map (~30 ms/16 MB incl.
+        # the read); numpy fancy indexing measured 0.12-0.25 s — the
+        # dominant term of the whole cold one-shot above-floor cost
+        codes = np.frombuffer(data.translate(bytes(c2c)), np.uint8)
+        db = _mk_db(codes, table, keys[:-1], headers, eos_char,
                     producer_alphabet=256)
         db.source_kind = "seq"
         return db
