@@ -536,10 +536,19 @@ def bench_xmers_k1(db, codes, xp):
     ps.n_forward = P
     model = PrimerMatchModel(sdb, ps, k=1, indels=True)
     n = len(sdb.codes)
+    # array-native consumption (engine_hits_arrays), like the p50k row:
+    # the reference's xmers phase 2 consumes hits as in-process buffers,
+    # and the per-hit tuple stream costs ~0.5 ms per 6k hits here.
+    # One-time pin: the array emit must equal the tuple stream (the
+    # validator then covers the shared pipeline).
+    tup = list(model.engine_hits())
+    hes, pids, vals = model.engine_hits_arrays()
+    assert tup == list(zip(hes.tolist(), pids.tolist(), vals.tolist())), \
+        "xmers_k1: engine_hits_arrays diverges from the tuple stream"
 
     def run():
-        for _ in model.engine_hits():
-            pass
+        out, _p, _v = model.engine_hits_arrays()
+        assert len(out) >= 1
 
     return n / _best_rep(run, min_total=4.0, max_reps=6), sdb
 
@@ -816,6 +825,20 @@ def main():
             "census (shift_and.cpp::sat_mer_scan, the reference's own "
             "xmers design): one rolling base-alpha probe per position, "
             "~15x the pattern-blocked device pipeline it replaced",
+            "xmers_k1_phases": "per 2MB/100k half-seeds on the 4-vCPU "
+            "host (round-5 measured breakdown, README): census walk "
+            "~4.6 ms + inline gate +0.7 + batched extension ~2.1 + "
+            "emit ~1.1 + glue ~0.8; all phases native threaded; the "
+            "shared host drifts +-30% between windows (6.6-13 ms/run)",
+            "wide_alpha_bitplanes": "the -w wide-alphabet scan recodes "
+            "text to 4-bit IUPAC base masks and scans 4 bit planes "
+            "instead of ~14 class planes (superset filter + exact "
+            "mask-reindexed rescore; ConvScanner._bitplane_mode); both "
+            "precomputed operand feeds were A/B-refuted at 14 classes "
+            "too; corpus is 16 Mbases like every other row since r5",
+            "oneshot_breakdown": "above the interpreter floor: .seq "
+            "read+translate ~0.04 s, idb/hdr+alphabet ~0.05, imports "
+            "~0.07, native shift-and scan ~0.06, model/output ~0.05",
         },
     }
     # Full record (matrix + notes) goes to a FILE; the printed line must

@@ -448,10 +448,10 @@ class PrimerMatchModel:
             scanner, dirs, ext_pats, geomB, lambda h0: h0 + 1)
         yield from self._halves_emit(ends, hids)
 
-    def _halves_emit(self, ends, hids):
-        """exact_halves host tail: batched native extension + the
-        sequential lasthit+2k dedup, from a candidate (ends, hids)
-        array pair."""
+    def _halves_emit_arrays(self, ends, hids):
+        """exact_halves host tail as (ends, pids, values) ARRAYS:
+        batched native extension + the sequential lasthit+2k dedup,
+        from a candidate (ends, hids) array pair."""
         ps, k = self.ps, self.k
         owner, scanner, batch, dirs, ext_pats, geomB = self._halves_ctx()
         # the batched native extension is per-candidate independent, so
@@ -481,15 +481,39 @@ class PrimerMatchModel:
                 len(sub), dedup, lasthit.ctypes.data_as(i64p),
                 keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
             kidx = np.flatnonzero(keep)
-            yield from zip(hes[kidx].tolist(), pids[kidx].tolist(),
-                           vals[kidx].tolist())
-            return
+            return hes[kidx], pids[kidx], vals[kidx]
         lasthit = [0] * (ps.n_total + 1)
-        for pid, he, val in zip(pids.tolist(), hes.tolist(),
-                                vals.tolist()):
+        kl = []
+        for i, (pid, he) in enumerate(zip(pids.tolist(), hes.tolist())):
             if he > lasthit[pid] + dedup:
                 lasthit[pid] = he
-                yield he, pid, val
+                kl.append(i)
+        kidx = np.asarray(kl, np.int64)
+        return hes[kidx], pids[kidx], vals[kidx]
+
+    def _halves_emit(self, ends, hids):
+        """Tuple-stream form of :meth:`_halves_emit_arrays` (the CLI /
+        generator consumers)."""
+        hes, pids, vals = self._halves_emit_arrays(ends, hids)
+        yield from zip(hes.tolist(), pids.tolist(), vals.tolist())
+
+    def engine_hits_arrays(self):
+        """(ends, pids, values) arrays of :meth:`engine_hits` output for
+        array-native consumers, skipping the per-hit tuple stream — the
+        huge-P serving posture (the reference's xmers phase 2 likewise
+        consumes hits through in-process buffers, xmers.cc:838-847).
+        Falls back to materializing the tuple stream for engines
+        without an array tail."""
+        if self.engine == "halves":
+            owner, scanner, batch, dirs, ext_pats, geomB = \
+                self._halves_ctx()
+            ends, hids = self._seed_candidates(
+                scanner, dirs, ext_pats, geomB, lambda h0: h0 + 1)
+            return self._halves_emit_arrays(ends, hids)
+        hits = list(self.engine_hits())
+        return (np.asarray([h[0] for h in hits], np.int64),
+                np.asarray([h[1] for h in hits], np.int64),
+                np.asarray([h[2] for h in hits], np.int32))
 
     @staticmethod
     def _dedup_lib():
