@@ -836,6 +836,13 @@ def main():
             "mask-reindexed rescore; ConvScanner._bitplane_mode); both "
             "precomputed operand feeds were A/B-refuted at 14 classes "
             "too; corpus is 16 Mbases like every other row since r5",
+            "peptide_exact_encode": "exact wide-alphabet scans (the "
+            "peptide row's ~20 AA classes) scan ceil(log2(ncls+1)) "
+            "bit planes of class-id-recoded text with +/-1 weights "
+            "and per-pattern 1-bit-count thresholds -- an EXACT "
+            "filter (any wrong char loses >= 1 margin), 20 passes "
+            "-> 5 (ConvScanner._exact_encode_cc); peptide 6.9 -> "
+            "14.9 Gb/s measured interleaved on-chip",
             "oneshot_breakdown": "above the interpreter floor: .seq "
             "read+translate ~0.04 s, idb/hdr+alphabet ~0.05, imports "
             "~0.07, native shift-and scan ~0.06, model/output ~0.05",

@@ -441,6 +441,13 @@ class ConvScanner:
         if self._bitplane_cc is not False:
             return self._bitplane_cc
         self._bitplane_cc = None
+        cc = self._bitplane_iupac()
+        if cc is None:
+            cc = self._exact_encode_cc()
+        self._bitplane_cc = cc
+        return cc
+
+    def _bitplane_iupac(self):
         t = self.tables
         if (self.k != 0 or self.poison_eos or t.alpha > 64
                 or (self.mesh is not None and self.mesh.devices.size > 1)
@@ -542,16 +549,110 @@ class ConvScanner:
                        out=wconv16[:, tcb[c], :])
         lut = np.zeros(256, np.uint8)
         lut[:alpha] = tcb
-        self._bitplane_cc = {
+        self._route(
+            "wide-alphabet BIT-PLANE filter (%d live classes -> %d bit "
+            "planes + exact rescore)" % (len(live), len(bitcls)))
+        return {
             "W": jnp.asarray(W), "thr": jnp.asarray(thr),
             "classes": classes,
             "wconv": jnp.asarray(wconv16),
             "lut": jnp.asarray(lut),
+            "alpha_r": 16, "eos_r": 0,
         }
+
+    def _exact_encode_cc(self):
+        """Exact class-ENCODE bit planes for wide-alphabet EXACT scans
+        whose accept sets don't factor as IUPAC base sets — the peptide
+        regime (``peptide_scan`` exact AA matching over ~20 live
+        classes, peptide_scan.cc via primer_match.cc:1114's shared scan
+        stack).  Live codes are grouped into equivalence classes by
+        accept-COLUMN equality; when every accept set is exactly one
+        such class (true for any exact matcher, incl. case folding),
+        each class gets a B-bit id (B = ceil(log2(ncls + 1)); one spare
+        id is the DEAD id for never-accepted codes and EOS) and the
+        filter scans B bit planes of the recoded text with +/-1 weights:
+        margin = #(pattern-bit 1, text-bit 1) - #(pattern-bit 0,
+        text-bit 1) peaks at the pattern's total 1-bit count npos_p,
+        and ANY wrong char at any position loses at least 1 (its id
+        differs in >= 1 bit) — so margin >= npos_p is an EXACT filter
+        (EOS-straddling windows are rejected structurally: the dead id
+        differs from every live id).  The in-pipeline rescore still
+        runs (same machinery as the IUPAC mode, reindexed over class
+        ids) and is cheap because the candidate set is just the true
+        hits.  ~20 class compare+copy passes become 5 bit-plane passes
+        — the kernel's measured bound (README roofline)."""
+        t = self.tables
+        if (self.k != 0 or self.poison_eos
+                or (self.mesh is not None and self.mesh.devices.size > 1)
+                or os.environ.get("SAT_BITPLANES", "1") != "1"
+                or os.environ.get("SAT_EXACTCODE", "1") != "1"):
+            return None
+        acc = np.asarray(t.match)  # [P, Lmax, alpha] bool
+        P, Lmax, alpha = acc.shape
+        if not P:
+            return None
+        live = [c for c in range(alpha) if acc[:, :, c].any()]
+        if len(live) < 6:
+            return None  # the folded class planes are already cheap
+        # equivalence classes of live codes by accept-column equality
+        col_of = {}
+        clsid = np.full(alpha, -1, np.int64)
+        for c in live:
+            key = acc[:, :, c].tobytes()
+            if key not in col_of:
+                col_of[key] = len(col_of) + 1  # ids 1.. (0 = dead)
+            clsid[c] = col_of[key]
+        ncls = len(col_of)
+        nbits = max(1, int(np.ceil(np.log2(ncls + 1))))
+        if nbits > 5 or nbits + 1 >= len(live):
+            return None  # no pass-count win (or > 32 ids)
+        dead = 0  # id for never-accepted codes and EOS: no bits set,
+        # so it loses every pattern-bit-1 plane at its position
+        # every accept set must be exactly ONE equivalence class: all
+        # accepted codes at (p, j) share a column (then margin
+        # exactness holds per char) — true for exact matchers
+        cid_acc = np.where(acc, clsid[None, None, :], -1)
+        acc_any = acc.any(axis=2)  # [P, Lmax]
+        pid = cid_acc.max(axis=2)  # the accept class id per (p, j)
+        mixed = acc & (cid_acc != pid[:, :, None]) & (cid_acc >= 0)
+        if mixed.any():
+            return None
+        if (clsid[live] < 0).any():
+            return None
+        # +/-1 bit-plane weights and the npos thresholds
+        bits = ((pid[:, :, None] >> np.arange(nbits)[None, None, :])
+                & 1)  # [P, Lmax, nbits]
+        wbit = np.where(acc_any[:, :, None], 2.0 * bits - 1.0,
+                        0.0).transpose(1, 2, 0)  # [Lmax, nbits, P]
+        npos = (bits * acc_any[:, :, None]).sum(axis=(1, 2))  # [P]
+        if npos.size and (npos.max() > 127 or npos.min() < 1):
+            return None  # bias lane is int8; all-zero ids unfilterable
+        from .pallas.scan_kernel import BITCLS, kernel_weights
+
+        bitcls = tuple(BITCLS + b for b in range(nbits))
+        W, thr, classes = kernel_weights(
+            t, 0, False, bitw=(wbit, bitcls, npos))
+        # exact rescore weights in class-id space (injective by
+        # construction: distinct ids <=> distinct accept columns)
+        alpha_r = 1 << nbits
+        wconv = np.zeros((Lmax, alpha_r, P), np.float32)
+        for c in live:
+            np.maximum(wconv[:, clsid[c], :],
+                       acc[:, :, c].T.astype(np.float32),
+                       out=wconv[:, clsid[c], :])
+        lut = np.full(256, dead, np.uint8)
+        lut[:alpha] = np.where(clsid >= 0, clsid, dead).astype(np.uint8)
         self._route(
-            "wide-alphabet BIT-PLANE filter (%d live classes -> %d bit "
-            "planes + exact rescore)" % (len(live), len(bitcls)))
-        return self._bitplane_cc
+            "exact class-ENCODE bit-plane filter (%d live classes -> "
+            "%d ids -> %d bit planes, exact margins)"
+            % (len(live), ncls, nbits))
+        return {
+            "W": jnp.asarray(W), "thr": jnp.asarray(thr),
+            "classes": classes,
+            "wconv": jnp.asarray(wconv),
+            "lut": jnp.asarray(lut),
+            "alpha_r": alpha_r, "eos_r": int(dead),
+        }
 
     def _pallas_dispatch(self, codes_dev, cap_mb: int, hit_cap: int,
                          interpret: bool):
@@ -627,10 +728,12 @@ class ConvScanner:
         bm = self._bitplane_mode()
         if bm is not None:
             # bit-plane mode: recoded text (see _pallas_dispatch), bit
-            # weights, mask-indexed exact-rescore weights, alpha = 16
-            # mask values, EOS -> mask 0 (accepted by nothing)
+            # weights, mask-/id-indexed exact-rescore weights; alpha_r =
+            # 16 mask values (IUPAC) or 2^nbits class ids (exact
+            # encode), EOS -> a value accepted by nothing
             W, thr, classes = bm["W"], bm["thr"], bm["classes"]
-            alpha_r, eos_r, weights = 16, 0, bm["wconv"]
+            alpha_r, eos_r, weights = (
+                bm["alpha_r"], bm["eos_r"], bm["wconv"])
         else:
             W, thr, classes = self._pallas_weights()
             alpha_r, eos_r, weights = t.alpha, t.eos_code, self.weights

@@ -107,12 +107,20 @@ def kernel_weights(tables, k: int, poison_eos: bool, fold: bool = True,
     if bitw is not None:
         # bit-plane mode: ``bitw = (wbit [L, NB, P], bitcls)`` from
         # ConvScanner._bitplane_mode — weights indexed by BIT rather
-        # than class, no base fold (bit planes don't partition unity)
-        w, classes = bitw
+        # than class, no base fold (bit planes don't partition unity).
+        # An optional third element overrides the per-pattern filter
+        # thresholds (the exact class-ENCODE mode's margins peak at the
+        # pattern's 1-bit count, not its length).
+        bit_thr = None
+        if len(bitw) == 3:
+            w, classes, bit_thr = bitw
+        else:
+            w, classes = bitw
         w = np.asarray(w, np.float32)
         Lmax, alpha, P = w.shape
         fold = False
     else:
+        bit_thr = None
         w = conv_weights(tables, k, poison_eos).astype(
             np.float32)  # [L, A, P]
         Lmax, alpha, P = w.shape
@@ -160,9 +168,12 @@ def kernel_weights(tables, k: int, poison_eos: bool, fold: bool = True,
                     j = 8 * a0 + b0
                     col = (ci * na + (a0 + g)) * 8 + bp
                     W8[prow + r, col] = wsel[j, ci, :]
-    thr = np.round(
-        tables.lengths.astype(np.float64) - int(k) - base_tot
-    ).astype(np.int64)
+    if bit_thr is not None:
+        thr = np.asarray(bit_thr, np.int64)
+    else:
+        thr = np.round(
+            tables.lengths.astype(np.float64) - int(k) - base_tot
+        ).astype(np.int64)
     bias = np.full((8 * PPAD,), -1.0, dtype=np.float32)
     for r in range(8):
         bias[prow + r] = -thr

@@ -1,0 +1,113 @@
+"""Exact class-ENCODE bit-plane filter (round 5).
+
+Wide-alphabet EXACT scans (the ``peptide_scan`` regime: ~20 live amino
+acid classes, peptide_scan.cc driving the shared scan stack of
+primer_match.cc:1114) pay one compare+copy pass per live class in the
+Mosaic filter — the kernel's measured bound (README roofline).  The
+exact class-encode mode (``ConvScanner._exact_encode_cc``) groups live
+codes into equivalence classes by accept-column equality, assigns each
+a B-bit id (ids 1.., id 0 = dead/EOS), and scans B = ceil(log2(ncls+1))
+bit planes with +/-1 weights: the margin peaks at the pattern's 1-bit
+count iff every char matches exactly, so the filter is EXACT (any wrong
+char loses >= 1), and ~20 passes become 5.
+
+Pinned here:
+- hit-for-hit parity with the XLA block path on a 20-class AA corpus
+  (multi-entry: EOS boundaries recode to the dead id and are rejected
+  structurally), with the mode asserted ENGAGED;
+- mixed pattern lengths (distinct npos thresholds per pattern);
+- SAT_EXACTCODE=0 restores the class planes with identical output;
+- ineligible configs decline: plain DNA (< 6 live classes), k > 0, and
+  non-singleton accept relations that don't factor through the
+  column-equality quotient (IUPAC -w stays on the 4-bit base-mask
+  superset mode, test_bitplanes.py).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sequence_alignment_tools_tpu.io.database import SeqDB
+from sequence_alignment_tools_tpu.io.patterns import build_pattern_set
+from sequence_alignment_tools_tpu.ops.conv_scan import ConvScanner
+from sequence_alignment_tools_tpu.ops.tables import build_tables
+
+AA = "ACDEFGHIKLMNPQRSTVWY"
+
+
+@pytest.fixture(scope="module")
+def aa_db(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    seq = "".join(AA[i] for i in rng.integers(0, 20, size=90_000))
+    path = tmp_path_factory.mktemp("aa") / "aa.fasta"
+    with open(path, "w") as f:
+        # three entries: EOS separators land INSIDE scan windows
+        for e, (a, b) in enumerate(((0, 30_000), (30_000, 60_000),
+                                    (60_000, 90_000))):
+            f.write(">p%d\n" % e)
+            s = seq[a:b]
+            for i in range(0, len(s), 70):
+                f.write(s[i : i + 70] + "\n")
+    return SeqDB.from_fasta(str(path)), seq
+
+
+def _scan(tables, codes, interpret, mode=True):
+    old = os.environ.get("SAT_EXACTCODE")
+    os.environ["SAT_EXACTCODE"] = "1" if mode else "0"
+    try:
+        sc = ConvScanner(tables, k=0, use_pallas=interpret or None)
+        sc.pallas_interpret = interpret
+        if interpret:
+            sc.use_pallas = True
+        sc.use_host = False
+        return sorted(sc.scan(codes)), sc
+    finally:
+        if old is None:
+            os.environ.pop("SAT_EXACTCODE", None)
+        else:
+            os.environ["SAT_EXACTCODE"] = old
+
+
+def test_exactcode_parity_aa(aa_db):
+    db, seq = aa_db
+    # mixed lengths 7/9/12, drawn from the corpus (real hits exist),
+    # plus one straddling an entry boundary (must NOT match: EOS)
+    pats = [seq[i : i + 7 + (i // 9_000) % 3 * 2]
+            for i in range(500, 85_000, 9_000)]
+    pats.append(seq[29_995 : 30_007])
+    ps = build_pattern_set(pats)
+    t = build_tables(ps, db, wc=False, textn=False)
+    codes = np.asarray(db.codes)
+    got, sc = _scan(t, codes, interpret=True, mode=True)
+    bm = sc._bitplane_cc
+    assert bm not in (False, None), "exact class-encode did not engage"
+    assert bm["alpha_r"] == 32 and len(bm["classes"]) == 5
+    want, _ = _scan(t, codes, interpret=False, mode=False)
+    assert got == want and want
+    off, sc_off = _scan(t, codes, interpret=True, mode=False)
+    assert sc_off._bitplane_cc is None
+    assert off == want
+
+
+def test_exactcode_declines(aa_db):
+    db, seq = aa_db
+    # k > 0 declines
+    ps = build_pattern_set([seq[10:25]])
+    t = build_tables(ps, db, wc=False, textn=False)
+    sc = ConvScanner(t, k=1)
+    assert sc._bitplane_mode() is None
+    # plain DNA (< 6 live classes) declines
+    rng = np.random.default_rng(5)
+    dna = "".join("ACGT"[i] for i in rng.integers(0, 4, size=4096))
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".fasta",
+                                     delete=False) as f:
+        f.write(">d\n" + dna + "\n")
+        dpath = f.name
+    ddb = SeqDB.from_fasta(dpath)
+    dps = build_pattern_set([dna[10:25], dna[40:58]], rev_comp=True)
+    dt = build_tables(dps, ddb, wc=False, textn=False)
+    dsc = ConvScanner(dt, k=0)
+    assert dsc._bitplane_mode() is None
