@@ -438,6 +438,17 @@ class ConvScanner:
         accept tables themselves (minimal accept sets = base stars) and
         VERIFIED against every (pattern, position, code) triple, so a
         wrong guess degrades to None, never to wrong output."""
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            # the single-chip dispatch never runs bit modes under a
+            # mesh; the SHARDED pipeline consults _bitmode_nomesh and
+            # recodes before sharding (parallel.shard)
+            return None
+        return self._bitmode_nomesh()
+
+    def _bitmode_nomesh(self):
+        """The bit-plane mode ignoring the mesh attachment — shared by
+        the single-chip dispatch and the sharded pipeline (which
+        applies the LUT recode host-side before sharding)."""
         if self._bitplane_cc is not False:
             return self._bitplane_cc
         self._bitplane_cc = None
@@ -450,7 +461,6 @@ class ConvScanner:
     def _bitplane_iupac(self):
         t = self.tables
         if (self.k != 0 or self.poison_eos or t.alpha > 64
-                or (self.mesh is not None and self.mesh.devices.size > 1)
                 or os.environ.get("SAT_BITPLANES", "1") != "1"):
             return None
         if t.code_chars is None:
@@ -583,7 +593,6 @@ class ConvScanner:
         — the kernel's measured bound (README roofline)."""
         t = self.tables
         if (self.k != 0 or self.poison_eos
-                or (self.mesh is not None and self.mesh.devices.size > 1)
                 or os.environ.get("SAT_BITPLANES", "1") != "1"
                 or os.environ.get("SAT_EXACTCODE", "1") != "1"):
             return None

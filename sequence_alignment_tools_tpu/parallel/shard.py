@@ -280,14 +280,28 @@ def sharded_pallas_scan_hits(scanner, codes: np.ndarray, mesh: Mesh,
     from ..ops.pallas.scan_kernel import kernel_weights, pallas_scan_hits
 
     t = scanner.tables
-    if scanner._pallas_wt is None:
-        W, thr, classes = kernel_weights(t, scanner.k, scanner.poison_eos)
-        scanner._pallas_wt = (jnp.asarray(W), jnp.asarray(thr), classes)
-    W, thr, classes = scanner._pallas_wt
+    bm = scanner._bitmode_nomesh()
+    if bm is not None:
+        # bit-plane / exact class-encode filter (the wide-alphabet
+        # pass-count lever, ConvScanner._bitplane_mode): the LUT recode
+        # runs host-side BEFORE sharding, halos fill with the recoded
+        # EOS stand-in, and each shard scans the narrow bit weights —
+        # multi-chip serving gets the same kernels as single-chip
+        W, thr, classes = bm["W"], bm["thr"], bm["classes"]
+        alpha_r, eos_r, wconv = bm["alpha_r"], bm["eos_r"], bm["wconv"]
+        codes = np.asarray(bm["lut"])[np.asarray(codes)]
+    else:
+        if scanner._pallas_wt is None:
+            W, thr, classes = kernel_weights(
+                t, scanner.k, scanner.poison_eos)
+            scanner._pallas_wt = (jnp.asarray(W), jnp.asarray(thr),
+                                  classes)
+        W, thr, classes = scanner._pallas_wt
+        alpha_r, eos_r, wconv = t.alpha, t.eos_code, scanner.weights
     T = 65536 if W.shape[1] // 128 == 1 else 16384
     halo = t.Lmax - 1 + scanner.k
     shards, shard_len = shard_codes(
-        np.asarray(codes), mesh, halo, t.eos_code, axis)
+        np.asarray(codes), mesh, halo, eos_r, axis)
     shards = jnp.asarray(shards, jnp.uint8)
 
     while True:
@@ -296,8 +310,8 @@ def sharded_pallas_scan_hits(scanner, codes: np.ndarray, mesh: Mesh,
         def per_shard(codes_block, W, thr, wconv, thresholds, lengths):
             row = pallas_scan_hits.__wrapped__(
                 codes_block[0], W, thr, wconv, thresholds, lengths,
-                classes=classes, alpha=t.alpha, Lmax=t.Lmax,
-                eos_code=t.eos_code, T=T, MB=scanner._MB, cap_mb=cap_mb,
+                classes=classes, alpha=alpha_r, Lmax=t.Lmax,
+                eos_code=eos_r, T=T, MB=scanner._MB, cap_mb=cap_mb,
                 hit_cap=hit_cap, interpret=interpret,
             )
             return jax.lax.all_gather(row, axis)[None]
@@ -308,7 +322,7 @@ def sharded_pallas_scan_hits(scanner, codes: np.ndarray, mesh: Mesh,
             in_specs=(P(axis, None), P(), P(), P(), P(), P()),
             out_specs=P(axis, None, None),
             check_vma=False,
-        )(shards, W, thr, scanner.weights, scanner.thresholds,
+        )(shards, W, thr, wconv, scanner.thresholds,
           scanner.lengths_dev)
         rows = np.asarray(jax.device_get(rows[0]))  # [n_dev, rowlen]
         if (rows[:, 0] <= cap_mb).all() and (rows[:, 1] <= hit_cap).all():
@@ -656,18 +670,29 @@ def _bind_sharded_dispatch(scanner, mesh, axis, caps, interpret):
     from ..ops.pallas.scan_kernel import kernel_weights, pallas_scan_hits
 
     t = scanner.tables
-    if scanner._pallas_wt is None:
-        W, thr, classes = kernel_weights(t, scanner.k, scanner.poison_eos)
-        scanner._pallas_wt = (jnp.asarray(W), jnp.asarray(thr), classes)
-    W, thr, classes = scanner._pallas_wt
+    bm = scanner._bitmode_nomesh()
+    if bm is not None:
+        # bit-plane / exact class-encode weights; the stream's dispatch
+        # applies the LUT recode before shard_codes (see
+        # sharded_scan_stream)
+        W, thr, classes = bm["W"], bm["thr"], bm["classes"]
+        alpha_r, eos_r, wconv = bm["alpha_r"], bm["eos_r"], bm["wconv"]
+    else:
+        if scanner._pallas_wt is None:
+            W, thr, classes = kernel_weights(
+                t, scanner.k, scanner.poison_eos)
+            scanner._pallas_wt = (jnp.asarray(W), jnp.asarray(thr),
+                                  classes)
+        W, thr, classes = scanner._pallas_wt
+        alpha_r, eos_r, wconv = t.alpha, t.eos_code, scanner.weights
     T = 65536 if W.shape[1] // 128 == 1 else 16384
     cap_mb, hit_cap = caps
 
     def per_shard(codes_block, W, thr, wconv, thresholds, lengths):
         return pallas_scan_hits.__wrapped__(
             codes_block[0], W, thr, wconv, thresholds, lengths,
-            classes=classes, alpha=t.alpha, Lmax=t.Lmax,
-            eos_code=t.eos_code, T=T, MB=scanner._MB, cap_mb=cap_mb,
+            classes=classes, alpha=alpha_r, Lmax=t.Lmax,
+            eos_code=eos_r, T=T, MB=scanner._MB, cap_mb=cap_mb,
             hit_cap=hit_cap, interpret=interpret,
         )[None]
 
@@ -680,7 +705,7 @@ def _bind_sharded_dispatch(scanner, mesh, axis, caps, interpret):
     ))
 
     def fn(shards_dev):
-        return jfn(shards_dev, W, thr, scanner.weights,
+        return jfn(shards_dev, W, thr, wconv,
                    scanner.thresholds, scanner.lengths_dev)
 
     return fn
@@ -713,14 +738,20 @@ def sharded_scan_stream(scanner, blocks, mesh, axis: str = "data",
     pool = ThreadPoolExecutor(max_workers=1)
     cache: dict = {}
 
+    bm = scanner._bitmode_nomesh()
+    lut = None if bm is None else np.asarray(bm["lut"])
+    eos_fill = t.eos_code if bm is None else bm["eos_r"]
+
     def dispatch(codes):
         caps = (scanner._cap_mb, scanner._hit_cap)
         fn = cache.get(caps)
         if fn is None:
             fn = cache[caps] = _bind_sharded_dispatch(
                 scanner, mesh, axis, caps, interpret)
-        shards, shard_len = shard_codes(
-            np.asarray(codes), mesh, halo, t.eos_code, axis)
+        arr = np.asarray(codes)
+        if lut is not None:
+            arr = lut[arr]
+        shards, shard_len = shard_codes(arr, mesh, halo, eos_fill, axis)
         rows = fn(jnp.asarray(shards, jnp.uint8))
         return rows, shard_len, caps
 

@@ -90,6 +90,111 @@ def test_exactcode_parity_aa(aa_db):
     assert off == want
 
 
+def test_exactcode_sharded_parity(aa_db):
+    """The sharded fused pipeline consumes the SAME bit-mode weights as
+    the single-chip dispatch (LUT recode host-side before sharding,
+    halos filled with the dead id): 1 chip == 8 virtual chips on an AA
+    exact config, with shard-boundary-straddling patterns planted."""
+    import jax
+
+    from sequence_alignment_tools_tpu.parallel.shard import (
+        make_mesh,
+        sharded_pallas_scan_hits,
+    )
+
+    db, seq = aa_db
+    codes = np.asarray(db.codes)
+    shard_len = -(-len(codes) // 8)
+    pats = [seq[i : i + 9] for i in range(500, 85_000, 9_000)]
+    for i in (1, 3, 5):  # windows straddling the 8-way shard edges
+        s = i * shard_len - 4
+        sub = db.decode(s, 9)
+        if sub.isalpha():
+            pats.append(sub)
+    ps = build_pattern_set(pats)
+    t = build_tables(ps, db, wc=False, textn=False)
+    sc = ConvScanner(t, k=0, use_pallas=True)
+    sc.pallas_interpret = True
+    sc.use_host = False
+    want = sorted(sc.scan(codes))
+    assert want and sc._bitplane_cc not in (False, None)
+    mesh = make_mesh(jax.devices()[:8])
+    got = sorted(sharded_pallas_scan_hits(sc, codes, mesh,
+                                          interpret=True))
+    assert got == want
+
+
+def test_exactcode_sharded_stream_parity(aa_db):
+    """The SERVING stream form (sharded_scan_stream, dispatch-ahead
+    with background fetches) applies the same LUT recode per block:
+    block-for-block parity with the single-chip scan on AA exact."""
+    import jax
+
+    from sequence_alignment_tools_tpu.parallel.shard import (
+        make_mesh,
+        sharded_scan_stream,
+    )
+
+    db, seq = aa_db
+    codes = np.asarray(db.codes)
+    pats = [seq[i : i + 9] for i in range(500, 85_000, 9_000)]
+    ps = build_pattern_set(pats)
+    t = build_tables(ps, db, wc=False, textn=False)
+    blocks = [codes[:45_000], codes[45_000:]]
+    sc = ConvScanner(t, k=0, use_pallas=True)
+    sc.pallas_interpret = True
+    sc.use_host = False
+    want = {i: sorted(sc.scan(b)) for i, b in enumerate(blocks)}
+    assert any(want.values())
+    mesh = make_mesh(jax.devices()[:8])
+    sc2 = ConvScanner(t, k=0, use_pallas=True)
+    sc2.pallas_interpret = True
+    sc2.use_host = False
+    got = {i: sorted(h) for i, h in
+           sharded_scan_stream(sc2, iter(blocks), mesh, interpret=True)}
+    assert got == want
+    assert sc2._bitplane_cc not in (False, None)
+
+
+def test_wide_bitplane_sharded_parity():
+    """The IUPAC 4-bit base-mask mode rides the sharded pipeline too
+    (it previously declined under a mesh to the class planes)."""
+    import jax
+
+    from sequence_alignment_tools_tpu.parallel.shard import (
+        make_mesh,
+        sharded_pallas_scan_hits,
+    )
+
+    rng = np.random.default_rng(7)
+    table = np.frombuffer(b"ACGTRYSWKMBDHVN", dtype=np.uint8)
+    base = rng.integers(0, 4, size=60_000)
+    amb = rng.random(60_000) < 0.03
+    base[amb] = rng.integers(4, 15, size=int(amb.sum()))
+    seq = table[base].tobytes().decode()
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".fasta",
+                                     delete=False) as f:
+        f.write(">w\n" + seq + "\n")
+        path = f.name
+    db = SeqDB.from_fasta(path)
+    pats = [seq[i : i + 12] for i in range(500, 55_000, 6_000)]
+    pats.append("ACGRYTNNSWKT")
+    ps = build_pattern_set(pats, rev_comp=True)
+    t = build_tables(ps, db, wc=True, textn=False)
+    codes = np.asarray(db.codes)
+    sc = ConvScanner(t, k=0, use_pallas=True)
+    sc.pallas_interpret = True
+    sc.use_host = False
+    want = sorted(sc.scan(codes))
+    assert want and sc._bitplane_cc not in (False, None)
+    mesh = make_mesh(jax.devices()[:8])
+    got = sorted(sharded_pallas_scan_hits(sc, codes, mesh,
+                                          interpret=True))
+    assert got == want
+
+
 def test_exactcode_declines(aa_db):
     db, seq = aa_db
     # k > 0 declines
