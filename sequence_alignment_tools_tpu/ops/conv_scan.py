@@ -120,7 +120,21 @@ def _device_form(codes):
     ref = weakref.ref(codes)
     weakref.finalize(codes, _DEV_CACHE.pop, id(codes), None)
     _DEV_CACHE[id(codes)] = (ref, dev)
+    # reverse map for the seam-mode hit veto (_emit): the ORIGINAL host
+    # codes of a device array, without a device fetch
+    _HOST_OF_DEV[id(dev)] = ref
+    weakref.finalize(codes, _HOST_OF_DEV.pop, id(dev), None)
     return dev
+
+
+_HOST_OF_DEV: dict = {}
+
+
+def _host_of_dev(codes_dev):
+    """Host codes behind a device array uploaded via :func:`_device_form`
+    (None when unknown or already collected)."""
+    ref = _HOST_OF_DEV.get(id(codes_dev))
+    return None if ref is None else ref()
 
 
 _BIT_CACHE: dict = {}
@@ -443,12 +457,21 @@ class ConvScanner:
             # mesh; the SHARDED pipeline consults _bitmode_nomesh and
             # recodes before sharding (parallel.shard)
             return None
-        return self._bitmode_nomesh()
+        return self._bitmode_any()
 
     def _bitmode_nomesh(self):
         """The bit-plane mode ignoring the mesh attachment — shared by
         the single-chip dispatch and the sharded pipeline (which
-        applies the LUT recode host-side before sharding)."""
+        applies the LUT recode host-side before sharding).  The SEAM
+        variant is single-chip-only (its hit veto lives in _emit and
+        needs the un-sharded host codes), so sharded callers see None
+        for it and fall back to the class planes."""
+        cc = self._bitmode_any()
+        if cc is not None and cc.get("seam"):
+            return None
+        return cc
+
+    def _bitmode_any(self):
         if self._bitplane_cc is not False:
             return self._bitplane_cc
         self._bitplane_cc = None
@@ -601,7 +624,25 @@ class ConvScanner:
         if not P:
             return None
         live = [c for c in range(alpha) if acc[:, :, c].any()]
-        if len(live) < 6:
+        if not live:
+            return None
+        # SEAM mode (the DNA exact headline regime): exactly 4 live
+        # singleton classes fit 2 bit planes with NO dead id — one
+        # fewer build pass than the folded class form's 3.  Dead codes
+        # (EOS entry separators, rare non-base chars) then ALIAS class
+        # id 0 in both the filter and the in-pipeline rescore, so every
+        # emitted hit is re-verified host-side against the ORIGINAL
+        # codes (_emit's seam veto) — trace dead content is free,
+        # N-flooded corpora are declined by _seam_probe's density gate.
+        # default OFF: measured interleaved on-chip on the 16 MB DNA
+        # headline, 2 planes lose ~2% vs the folded 3-class form
+        # (19.4-19.5 vs 19.7 Gb/s) — at DNA's pass count the kernel is
+        # NOT build-bound, unlike the >= 6-class regimes (README).
+        # Kept testable as a shipped refutation, like the ohp feed.
+        seam_ok = (len(live) == 4
+                   and os.environ.get("SAT_SEAMCODE", "0") == "1"
+                   and not self._seam_disabled)
+        if len(live) < 6 and not seam_ok:
             return None  # the folded class planes are already cheap
         # equivalence classes of live codes by accept-column equality
         col_of = {}
@@ -609,14 +650,20 @@ class ConvScanner:
         for c in live:
             key = acc[:, :, c].tobytes()
             if key not in col_of:
-                col_of[key] = len(col_of) + 1  # ids 1.. (0 = dead)
+                # seam ids 0.. (no dead id); standard ids 1.. (0 = dead)
+                col_of[key] = len(col_of) + (0 if seam_ok else 1)
             clsid[c] = col_of[key]
         ncls = len(col_of)
-        nbits = max(1, int(np.ceil(np.log2(ncls + 1))))
+        if seam_ok and ncls != 4:
+            return None  # repeated columns under 4 classes: class
+            # planes are already <= 2 passes
+        nbits = (2 if seam_ok
+                 else max(1, int(np.ceil(np.log2(ncls + 1)))))
         if nbits > 5 or nbits + 1 >= len(live):
             return None  # no pass-count win (or > 32 ids)
-        dead = 0  # id for never-accepted codes and EOS: no bits set,
-        # so it loses every pattern-bit-1 plane at its position
+        dead = 0  # id for never-accepted codes and EOS: standard mode
+        # reserves it (no bits set, loses every pattern-bit-1 plane);
+        # seam mode aliases it to class id 0 and relies on the veto
         # every accept set must be exactly ONE equivalence class: all
         # accepted codes at (p, j) share a column (then margin
         # exactness holds per char) — true for exact matchers
@@ -634,8 +681,11 @@ class ConvScanner:
         wbit = np.where(acc_any[:, :, None], 2.0 * bits - 1.0,
                         0.0).transpose(1, 2, 0)  # [Lmax, nbits, P]
         npos = (bits * acc_any[:, :, None]).sum(axis=(1, 2))  # [P]
-        if npos.size and (npos.max() > 127 or npos.min() < 1):
-            return None  # bias lane is int8; all-zero ids unfilterable
+        if npos.size and (npos.max() > 127
+                          or (not seam_ok and npos.min() < 1)):
+            return None  # bias lane is int8; and in standard mode an
+            # all-zero-id pattern can't outrank the dead id (seam mode
+            # has no dead id: npos = 0 margins are still exact)
         from .pallas.scan_kernel import BITCLS, kernel_weights
 
         bitcls = tuple(BITCLS + b for b in range(nbits))
@@ -653,15 +703,41 @@ class ConvScanner:
         lut[:alpha] = np.where(clsid >= 0, clsid, dead).astype(np.uint8)
         self._route(
             "exact class-ENCODE bit-plane filter (%d live classes -> "
-            "%d ids -> %d bit planes, exact margins)"
-            % (len(live), ncls, nbits))
+            "%d ids -> %d bit planes, exact margins%s)"
+            % (len(live), ncls, nbits,
+               ", seam veto" if seam_ok else ""))
         return {
             "W": jnp.asarray(W), "thr": jnp.asarray(thr),
             "classes": classes,
             "wconv": jnp.asarray(wconv),
             "lut": jnp.asarray(lut),
             "alpha_r": alpha_r, "eos_r": int(dead),
+            "seam": bool(seam_ok),
         }
+
+    _seam_disabled = False
+    _seam_checked = False
+
+    def _seam_probe(self, codes):
+        """Before the bit mode is first bound: disable the seam (2-bit,
+        no-dead-id) encode when the text carries more than a trace of
+        never-accepted codes (e.g. masked N runs) — every dead position
+        aliases class id 0 in both the filter and the in-pipeline
+        rescore, so dense dead content floods the candidate caps with
+        host-vetoed hits.  Trace amounts (entry separators) are free.
+        Correctness never depends on this gate: the veto re-verifies
+        every emitted hit against the ORIGINAL codes."""
+        if self._seam_checked or self._bitplane_cc is not False:
+            return
+        self._seam_checked = True
+        t = self.tables
+        acc_any = np.asarray(t.match).any(axis=(0, 1))  # [alpha]
+        dead = np.flatnonzero(~acc_any)
+        if dead.size:
+            arr = np.asarray(codes[: 1 << 22])
+            frac = float(np.isin(arr, dead.astype(arr.dtype)).mean())
+            if frac > 1e-3:
+                self._seam_disabled = True
 
     def _pallas_dispatch(self, codes_dev, cap_mb: int, hit_cap: int,
                          interpret: bool):
@@ -1427,7 +1503,8 @@ class ConvScanner:
         else:
             hit_idx = hits
             hit_mism = packed[2 + cap_mb + hit_cap :]
-        yield from self._emit(hit_count, mb_idx, hit_idx, hit_mism, n)
+        yield from self._emit(hit_count, mb_idx, hit_idx, hit_mism, n,
+                              codes_dev)
 
     def _redispatch(self, codes_dev, n: int, interpret: bool,
                     mb_count: int, hit_count: int):
@@ -1446,7 +1523,8 @@ class ConvScanner:
         yield from self._pallas_decode(
             res, codes_dev, n, interpret, (cap_mb, hit_cap))
 
-    def _emit(self, hit_count: int, mb_idx, hit_idx, hit_mism, n: int):
+    def _emit(self, hit_count: int, mb_idx, hit_idx, hit_mism, n: int,
+              codes_dev=None):
         """Yield (end, pid, mism) tuples from live result sections.
         ``mb_idx`` may be just the live prefix: hit words only reference
         slots below the true microblock count (pad windows carry the
@@ -1466,8 +1544,36 @@ class ConvScanner:
         keep = starts < n
         starts, pid, ms = starts[keep], pid[keep], ms[keep]
         ends = starts + lengths[pid]
+        bm = self._bitplane_cc
+        if (isinstance(bm, dict) and bm.get("seam") and len(starts)
+                and codes_dev is not None):
+            # SEAM VETO: the 2-bit encode has no dead id, so dead codes
+            # (EOS separators, stray non-base chars) alias class id 0
+            # through both the filter and the rescore — re-verify each
+            # hit window against the ORIGINAL codes.  codes_dev is None
+            # only on sharded decodes, whose dispatch never ran seam
+            # weights (_bitmode_nomesh filters the seam cc out), so
+            # skipping the veto there is sound.
+            arr = _host_of_dev(codes_dev)
+            if arr is None:  # host block GC'd before decode: fetch back
+                arr = np.asarray(jax.device_get(codes_dev))
+            arr = np.asarray(arr)
+            acc = self._seam_acc
+            if acc is None:
+                acc = self._seam_acc = np.asarray(t.match)
+            ok = np.ones(len(starts), bool)
+            for i, (s, e, p) in enumerate(zip(starts, ends, pid)):
+                if e > n:
+                    ok[i] = False
+                    continue
+                w = arr[s:e].astype(np.int64)
+                ok[i] = bool(acc[p, np.arange(e - s), w].all())
+            starts, pid, ms = starts[ok], pid[ok], ms[ok]
+            ends = ends[ok]
         for e, p, m in zip(ends, pid, ms):
             yield int(e), int(p), int(m)
+
+    _seam_acc = None
 
     # candidate-buffer floors: true candidate counts on non-degenerate
     # corpora are tiny (tens per 16 MB block), and every downstream stage
@@ -1920,6 +2026,7 @@ class ConvScanner:
         n = len(codes)
         pending = []
         for off, sub in self._pblock_subs():
+            sub._seam_probe(codes)
             est = int(sub._expected_hits(n) * 4) + 1
             if est > sub._hit_cap:
                 sub._hit_cap = 1 << (est - 1).bit_length()
@@ -1963,6 +2070,7 @@ class ConvScanner:
         """Fused single-round-trip scan: the Mosaic MXU microblock filter,
         candidate compaction, window rescore and hit extraction all run in one
         device call (:func:`..pallas.scan_kernel.pallas_scan_hits`)."""
+        self._seam_probe(codes)
         codes_dev = _device_form(codes)
         # pre-size the candidate buffers from the expected density so the
         # overflow-retry (a fresh Mosaic compile) stays rare
@@ -2033,7 +2141,7 @@ class ConvScanner:
         cap_mb, hit_cap = caps
         packed = fut.result()
         if kind == "solo":
-            j, r, d, n, c = group[0]
+            j, r, d, n, c, _h = group[0]
             yield j, list(self._decode_packed(packed, d, n, interpret, c))
             return
         g = len(group)
@@ -2050,7 +2158,7 @@ class ConvScanner:
             need = max(int(mbc.sum()), int(hc.sum()))
             self._gcap = max(self._gcap, 1 << (need - 1).bit_length())
             rows = np.asarray(jax.device_get(stacked))
-            for (j, r, d, n, c), row in zip(group, rows):
+            for (j, r, d, n, c, _h), row in zip(group, rows):
                 yield j, list(self._decode_packed(row, d, n, interpret, c))
             return
         base = 2 * bucket
@@ -2062,7 +2170,7 @@ class ConvScanner:
         mb_off[1:] = np.cumsum(mbc, dtype=np.int64)
         hit_off = np.zeros(g + 1, np.int64)
         hit_off[1:] = np.cumsum(hc, dtype=np.int64)
-        for gi, (j, r, d, n, c) in enumerate(group):
+        for gi, (j, r, d, n, c, _h) in enumerate(group):
             if mbc_t[gi] > cap_mb or hc_t[gi] > hit_cap:
                 yield j, list(self._redispatch(
                     d, n, interpret, int(mbc_t[gi]), int(hc_t[gi])))
@@ -2073,7 +2181,7 @@ class ConvScanner:
                 hi, hm = hv, mism_entries[hit_off[gi] : hit_off[gi + 1]]
             else:
                 hi, hm = hv & 0x00FFFFFF, hv >> 24
-            yield j, list(self._emit(int(hc_t[gi]), mb, hi, hm, n))
+            yield j, list(self._emit(int(hc_t[gi]), mb, hi, hm, n, d))
 
     _STREAM_DEPTH = int(os.environ.get("SAT_STREAM_DEPTH", "256"))
 
@@ -2127,10 +2235,14 @@ class ConvScanner:
         inflight = None
         for i, codes in enumerate(blocks):
             # reuse the device copy when the same host array repeats
+            self._seam_probe(codes)
             dev = _device_form(codes)
             caps = (self._cap_mb, self._hit_cap)
             res = self._pallas_dispatch(dev, caps[0], caps[1], interpret)
-            pending.append((i, res, dev, len(codes), caps))
+            # the 6th element pins the HOST block until its decode (the
+            # seam veto re-verifies hits against it; ephemeral streamed
+            # blocks would otherwise be GC'd and force a device fetch)
+            pending.append((i, res, dev, len(codes), caps, codes))
             if len(pending) >= depth:
                 if inflight is not None:
                     yield from self._drain_group(inflight, interpret)

@@ -95,8 +95,14 @@ def test_bitplane_declines_plain_dna():
     db = SeqDB.from_fasta(path)
     ps = build_pattern_set([seq[10:25], seq[100:118]], rev_comp=True)
     t = build_tables(ps, db, wc=False, textn=False)
-    sc = ConvScanner(t, k=0)
-    assert sc._bitplane_mode() is None  # < 6 live classes
+    # plain DNA now takes the SEAM 2-bit encode (test_exactcode.py);
+    # with it off, the class planes remain
+    os.environ["SAT_SEAMCODE"] = "0"
+    try:
+        sc = ConvScanner(t, k=0)
+        assert sc._bitplane_mode() is None  # < 6 live classes
+    finally:
+        del os.environ["SAT_SEAMCODE"]
     ps2 = build_pattern_set([seq[10:25]], rev_comp=True)
     t2 = build_tables(ps2, db, wc=True, textn=False)
     sc2 = ConvScanner(t2, k=1)

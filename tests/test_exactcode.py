@@ -195,6 +195,99 @@ def test_wide_bitplane_sharded_parity():
     assert got == want
 
 
+def test_seam_2bit_dna_parity():
+    """SEAM mode (the DNA exact regime): 4 live singleton classes in 2
+    bit planes with NO dead id — EOS entry separators alias class id 0
+    through the filter AND the in-pipeline rescore, and the _emit veto
+    re-verifies hits against the original codes.  Pinned: a pattern
+    built from entry0's tail + entry1's head (a would-be cross-seam
+    match) must NOT hit; parity with the class planes; SAT_SEAMCODE=0
+    ablation; the whole-scan and streamed forms."""
+    rng = np.random.default_rng(1)
+    entries = ["".join("ACGT"[i]
+                       for i in rng.integers(0, 4, size=30_000))
+               for _ in range(4)]
+    seq = "".join(entries)
+    pats = [seq[i : i + 13] for i in range(500, 115_000, 9_500)]
+    pats.append(entries[0][-6:] + entries[1][:7])  # seam straddler
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".fasta",
+                                     delete=False) as f:
+        for e, s in enumerate(entries):
+            f.write(">e%d\n%s\n" % (e, s))
+        path = f.name
+    db = SeqDB.from_fasta(path)
+    ps = build_pattern_set(pats, rev_comp=True)
+    t = build_tables(ps, db, wc=False, textn=False)
+    codes = np.asarray(db.codes)
+
+    def scan(interpret, env):
+        old = os.environ.get("SAT_SEAMCODE")
+        os.environ["SAT_SEAMCODE"] = env
+        try:
+            sc = ConvScanner(t, k=0, use_pallas=interpret or None)
+            sc.pallas_interpret = interpret
+            if interpret:
+                sc.use_pallas = True
+            sc.use_host = False
+            return sorted(sc.scan(codes)), sc
+        finally:
+            if old is None:
+                os.environ.pop("SAT_SEAMCODE", None)
+            else:
+                os.environ["SAT_SEAMCODE"] = old
+
+    got, sc = scan(True, "1")
+    bm = sc._bitplane_cc
+    assert isinstance(bm, dict) and bm["seam"] and bm["alpha_r"] == 4
+    assert len(bm["classes"]) == 2  # the whole point: 2 build passes
+    want, _ = scan(False, "0")
+    assert got == want and want
+    straddler = len(pats) - 1  # forward orientation pid
+    assert not any(p == straddler for _, p, _ in want)
+    off, sc_off = scan(True, "0")
+    assert sc_off._bitplane_cc is None and off == want
+
+    # streamed form (group-fetch decode path carries the veto too)
+    os.environ["SAT_SEAMCODE"] = "1"
+    try:
+        sc3 = ConvScanner(t, k=0, use_pallas=True)
+        sc3.pallas_interpret = True
+        sc3.use_host = False
+        blocks = [codes[:60_000], codes[60_000:]]
+        per = {i: sorted(sc3.scan(b)) for i, b in enumerate(blocks)}
+        sc4 = ConvScanner(t, k=0, use_pallas=True)
+        sc4.pallas_interpret = True
+        sc4.use_host = False
+        got4 = {i: sorted(h) for i, h in sc4.scan_stream(iter(blocks))}
+        assert got4 == per
+        assert isinstance(sc4._bitplane_cc, dict) \
+            and sc4._bitplane_cc["seam"]
+
+        # N-flooded text: the density probe declines seam mode (veto
+        # cost), output unchanged on the class planes
+        seqN = list(seq)
+        for i in range(0, len(seqN), 7):
+            seqN[i] = "N"
+        with tempfile.NamedTemporaryFile("w", suffix=".fasta",
+                                         delete=False) as f:
+            f.write(">n\n" + "".join(seqN) + "\n")
+            pn = f.name
+        dbn = SeqDB.from_fasta(pn)
+        tn = build_tables(ps, dbn, wc=False, textn=False)
+        scn = ConvScanner(tn, k=0, use_pallas=True)
+        scn.pallas_interpret = True
+        scn.use_host = False
+        outn = sorted(scn.scan(np.asarray(dbn.codes)))
+        assert scn._seam_disabled and scn._bitplane_cc is None
+        scn2 = ConvScanner(tn, k=0, use_pallas=False)
+        scn2.use_host = False
+        assert outn == sorted(scn2.scan(np.asarray(dbn.codes)))
+    finally:
+        os.environ.pop("SAT_SEAMCODE", None)
+
+
 def test_exactcode_declines(aa_db):
     db, seq = aa_db
     # k > 0 declines
@@ -202,7 +295,8 @@ def test_exactcode_declines(aa_db):
     t = build_tables(ps, db, wc=False, textn=False)
     sc = ConvScanner(t, k=1)
     assert sc._bitplane_mode() is None
-    # plain DNA (< 6 live classes) declines
+    # plain DNA takes the SEAM 2-bit encode; with it off (< 6 live
+    # classes) the class planes remain
     rng = np.random.default_rng(5)
     dna = "".join("ACGT"[i] for i in rng.integers(0, 4, size=4096))
     import tempfile
@@ -215,4 +309,12 @@ def test_exactcode_declines(aa_db):
     dps = build_pattern_set([dna[10:25], dna[40:58]], rev_comp=True)
     dt = build_tables(dps, ddb, wc=False, textn=False)
     dsc = ConvScanner(dt, k=0)
-    assert dsc._bitplane_mode() is None
+    assert dsc._bitplane_mode() is None  # seam is opt-in (refuted
+    # on-chip for the DNA regime: not build-bound at 3 passes)
+    os.environ["SAT_SEAMCODE"] = "1"
+    try:
+        dsc2 = ConvScanner(dt, k=0)
+        bm = dsc2._bitplane_mode()
+        assert bm is not None and bm["seam"] and bm["alpha_r"] == 4
+    finally:
+        del os.environ["SAT_SEAMCODE"]
