@@ -151,7 +151,12 @@ def _bit_form(codes_dev, lut_dev):
     global _bit_recode_jit
     key = (id(codes_dev), id(lut_dev))
     ent = _BIT_CACHE.get(key)
-    if ent is not None and ent[0]() is codes_dev:
+    # identity must be verified for BOTH keys: a new scanner's lut can
+    # land on a dead lut's recycled id while the resident codes_dev
+    # stays alive, and the stale entry would hand back text recoded
+    # with the OLD class ids (the entry holds the lut strongly, so a
+    # simple `is` check suffices)
+    if ent is not None and ent[0]() is codes_dev and ent[2] is lut_dev:
         return ent[1]
     if _bit_recode_jit is None:
         _bit_recode_jit = jax.jit(
@@ -159,7 +164,7 @@ def _bit_form(codes_dev, lut_dev):
     dev = _bit_recode_jit(codes_dev, lut_dev)
     ref = weakref.ref(codes_dev)
     weakref.finalize(codes_dev, _BIT_CACHE.pop, key, None)
-    _BIT_CACHE[key] = (ref, dev)
+    _BIT_CACHE[key] = (ref, dev, lut_dev)
     return dev
 
 
@@ -580,8 +585,16 @@ class ConvScanner:
             np.maximum(wconv16[:, tcb[c], :],
                        acc[:, :, c].T.astype(np.float32),
                        out=wconv16[:, tcb[c], :])
+        # DEAD codes (accepted by nothing — EOS, stray chars, quirk
+        # exclusions like text-U vs a K pattern) recode to mask 0, which
+        # no wconv16 column accepts: recoding them to their CONTAINS
+        # mask would ALIAS any live code sharing that mask (U vs T both
+        # map to 8) and the mask-space rescore — injective only on live
+        # codes — would accept them where the reference rejects.
         lut = np.zeros(256, np.uint8)
-        lut[:alpha] = tcb
+        live_mask = np.zeros(alpha, bool)
+        live_mask[live] = True
+        lut[:alpha] = np.where(live_mask, tcb, 0)
         self._route(
             "wide-alphabet BIT-PLANE filter (%d live classes -> %d bit "
             "planes + exact rescore)" % (len(live), len(bitcls)))
@@ -1245,14 +1258,22 @@ class ConvScanner:
                     unresolved)
         return np.zeros(0, np.int64), np.zeros(0, np.int64), unresolved
 
-    def _slots_decode(self, packed, n: int, out_cap: int, oflow_cap: int):
+    def _slots_decode(self, packed, n: int, out_cap: int, oflow_cap: int,
+                      geom=None):
         """(anchors, sids, multi) from a fetched slots packed row (caller
         has already checked the caps).  Multi-seed escapes resolve
         through the static chain table where unambiguous (the expanded
         candidates join the survivor arrays; the host extension validates
-        them exactly); the rest land on the rescan list."""
+        them exactly); the rest land on the rescan list.
+
+        ``geom`` pins the (T, segl, nsegs, fold) the row was DISPATCHED
+        with — the sharded pipeline passes its own (T clamped to 32768,
+        parallel.shard._sgs_statics) because ``self._slots_geom`` tracks
+        the latest single-chip dispatch and the two can interleave on
+        one scanner."""
         t = self.tables
-        T, segl, nsegs, fold = self._slots_geom
+        T, segl, nsegs, fold = (geom if geom is not None
+                                else self._slots_geom)
         total, oflow = int(packed[0]), int(packed[1])
         pos = packed[2 : 2 + total].astype(np.int64)
         meta = packed[2 + out_cap : 2 + out_cap + total]
@@ -1822,10 +1843,15 @@ class ConvScanner:
         code >= 4 (EOS/ambiguity — base-4 masking would alias them).
         Static per database, cached by buffer identity: the resident-DB
         serving path re-scans the same array every run."""
-        key = (codes8.__array_interface__["data"][0], n)
+        # identity by OBJECT (held strongly), not by buffer address: a
+        # fresh array can legally reuse a freed buffer's address, and a
+        # stale (pack, bad) against new codes is silently wrong output.
+        # The resident serving path passes the same uint8 array object
+        # every run (ascontiguousarray is a no-op there), so the cache
+        # still hits where it matters.
         cached = self._mer_pack_cc
-        if cached is not None and cached[0] == key:
-            return cached[1], cached[2]
+        if cached is not None and cached[0] is codes8 and cached[1] == n:
+            return cached[2], cached[3]
         m = (n + 3) // 4
         padded = np.zeros(4 * m, np.uint8)
         padded[:n] = codes8[:n]
@@ -1835,7 +1861,7 @@ class ConvScanner:
             np.zeros(16, np.uint8)])
         pack = np.ascontiguousarray(pack)
         bad = np.flatnonzero(codes8[:n] >= 4).astype(np.int64)
-        self._mer_pack_cc = (key, pack, bad)
+        self._mer_pack_cc = (codes8, n, pack, bad)
         return pack, bad
 
     def scan_seed_arrays(self, codes: np.ndarray, sort: bool = True,
@@ -2239,10 +2265,16 @@ class ConvScanner:
             dev = _device_form(codes)
             caps = (self._cap_mb, self._hit_cap)
             res = self._pallas_dispatch(dev, caps[0], caps[1], interpret)
-            # the 6th element pins the HOST block until its decode (the
-            # seam veto re-verifies hits against it; ephemeral streamed
-            # blocks would otherwise be GC'd and force a device fetch)
-            pending.append((i, res, dev, len(codes), caps, codes))
+            # the 6th element pins the HOST block until its decode ONLY
+            # when the seam veto will read it (it re-verifies hits
+            # against the original codes; an ephemeral streamed block
+            # would otherwise be GC'd and force a device fetch-back) —
+            # unconditionally it would hold depth x blocksize bytes of
+            # peak RSS for nothing on the default depth-256 stream
+            bm = self._bitplane_cc
+            pin = codes if isinstance(bm, dict) and bm.get("seam") \
+                else None
+            pending.append((i, res, dev, len(codes), caps, pin))
             if len(pending) >= depth:
                 if inflight is not None:
                     yield from self._drain_group(inflight, interpret)

@@ -289,7 +289,7 @@ def sharded_pallas_scan_hits(scanner, codes: np.ndarray, mesh: Mesh,
         # multi-chip serving gets the same kernels as single-chip
         W, thr, classes = bm["W"], bm["thr"], bm["classes"]
         alpha_r, eos_r, wconv = bm["alpha_r"], bm["eos_r"], bm["wconv"]
-        codes = np.asarray(bm["lut"])[np.asarray(codes)]
+        codes = _recode_host(codes, bm["lut"])
     else:
         if scanner._pallas_wt is None:
             W, thr, classes = kernel_weights(
@@ -380,7 +380,11 @@ def _sgs_statics(scanner, gt):
     capg = scanner._SLOTS_CAPG
     while (capg * (Ueff // segl)) % 128:  # cap must stay a LANE multiple
         capg += 1
-    scanner._slots_geom = (T, segl, Ueff // segl, fold)
+    # the sharded geometry lives on its OWN attribute: writing
+    # _slots_geom here would clobber (and be clobbered by) the
+    # single-chip dispatch's geometry when the two interleave on one
+    # scanner — _sgs_decode passes this explicitly to _slots_decode
+    scanner._sgs_geom = (T, segl, Ueff // segl, fold)
     cdev = scanner._chain_dev(gt)
     chain, chain_Lg = cdev if cdev is not None else (None, 0)
     chain_args = chain if chain is not None else ()
@@ -388,6 +392,34 @@ def _sgs_statics(scanner, gt):
           fold, Ueff, segl, capg, wbits, use_wpack, chain_args, chain_Lg)
     scanner._sgs_statics_c = (gt, st)
     return st
+
+
+_RECODE_CACHE: dict = {}
+
+
+def _recode_host(codes, lut_dev):
+    """LUT-recoded uint8 host copy for the bit-plane modes, via
+    ``bytes.translate`` (memcpy-speed: the numpy fancy-index gather it
+    replaces measured 0.12-0.25 s per 16 MB — the same lesson as the
+    one-shot ``.seq`` loader, io/compress.py), cached by (codes, lut)
+    identity so the resident serving stream recodes once per database,
+    not once per dispatched run."""
+    import weakref
+
+    key = (id(codes), id(lut_dev))
+    ent = _RECODE_CACHE.get(key)
+    if ent is not None and ent[0]() is codes and ent[2] is lut_dev:
+        return ent[1]
+    arr = np.ascontiguousarray(np.asarray(codes, np.uint8))
+    tbl = bytes(np.asarray(lut_dev, np.uint8))
+    out = np.frombuffer(arr.tobytes().translate(tbl), np.uint8)
+    try:
+        ref = weakref.ref(codes)
+        weakref.finalize(codes, _RECODE_CACHE.pop, key, None)
+        _RECODE_CACHE[key] = (ref, out, lut_dev)
+    except TypeError:
+        pass
+    return out
 
 
 _SHARDS_CACHE: dict = {}
@@ -404,7 +436,11 @@ def _shards_form(codes, scanner, mesh, axis: str):
     halo = 64  # covers Lmax - 1 + the gate window span (<= ~40)
     key = (id(codes), id(mesh), axis, halo, t.eos_code)
     ent = _SHARDS_CACHE.get(key)
-    if ent is not None and ent[0]() is codes:
+    # the mesh must be identity-checked too (held strongly in the
+    # entry): a rebuilt mesh can land on a dead mesh's recycled id
+    # while the resident codes stay alive, and the stale layout was
+    # sharded/device_put for the OLD device set
+    if ent is not None and ent[0]() is codes and ent[3] is mesh:
         return ent[1], ent[2]
     arr = np.asarray(codes)
     shards, shard_len = shard_codes(arr, mesh, halo, t.eos_code, axis)
@@ -412,7 +448,7 @@ def _shards_form(codes, scanner, mesh, axis: str):
     try:
         ref = weakref.ref(codes)
         weakref.finalize(codes, _SHARDS_CACHE.pop, key, None)
-        _SHARDS_CACHE[key] = (ref, shards, shard_len)
+        _SHARDS_CACHE[key] = (ref, shards, shard_len, mesh)
     except TypeError:
         pass
     return shards, shard_len
@@ -474,7 +510,8 @@ def _sgs_decode(scanner, rows, n_local: int, shard_len: int,
     lengths = scanner.tables.lengths
     for i in range(rows.shape[0]):
         a, s, mu = scanner._slots_decode(rows[i], n_local, out_cap,
-                                         oflow_cap)
+                                         oflow_cap,
+                                         geom=scanner._sgs_geom)
         own = (a - lengths[s]) < shard_len
         base = i * shard_len
         anchors_l.append(a[own] + base)
@@ -739,7 +776,6 @@ def sharded_scan_stream(scanner, blocks, mesh, axis: str = "data",
     cache: dict = {}
 
     bm = scanner._bitmode_nomesh()
-    lut = None if bm is None else np.asarray(bm["lut"])
     eos_fill = t.eos_code if bm is None else bm["eos_r"]
 
     def dispatch(codes):
@@ -749,8 +785,8 @@ def sharded_scan_stream(scanner, blocks, mesh, axis: str = "data",
             fn = cache[caps] = _bind_sharded_dispatch(
                 scanner, mesh, axis, caps, interpret)
         arr = np.asarray(codes)
-        if lut is not None:
-            arr = lut[arr]
+        if bm is not None:
+            arr = _recode_host(codes, bm["lut"])
         shards, shard_len = shard_codes(arr, mesh, halo, eos_fill, axis)
         rows = fn(jnp.asarray(shards, jnp.uint8))
         return rows, shard_len, caps

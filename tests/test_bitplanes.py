@@ -83,6 +83,49 @@ def test_bitplane_parity_wide_wc(wide_db):
     assert off == want
 
 
+def test_bitplane_dead_code_mask_alias():
+    """DEAD text codes sharing a 4-bit base mask with a LIVE code must
+    not alias it through the recode: U's CONTAINS mask equals T's (8),
+    so if any code is accepted nowhere (dead) while its mask collides
+    with a live code, recoding it to that mask would make the
+    mask-space rescore score it AS the live code.  Text carries U and
+    unusual letters; parity vs the XLA block path pins the behavior
+    whatever the accept table says about them."""
+    rng = np.random.default_rng(17)
+    table = np.frombuffer(b"ACGTRYSWKMBDHVNU", dtype=np.uint8)
+    base = rng.integers(0, 4, size=100_000)
+    amb = rng.random(100_000) < 0.05
+    base[amb] = rng.integers(4, 16, size=int(amb.sum()))
+    seq = table[base].tobytes().decode()
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".fasta",
+                                     delete=False) as f:
+        f.write(">u\n" + seq + "\n")
+        path = f.name
+    db = SeqDB.from_fasta(path)
+    # patterns avoid every char whose COMPATIBLE row accepts text-U
+    # (no literal T/U/B/D/H/N/...), so U stays DEAD — while K accepts T,
+    # whose 4-bit mask U shares: the pre-fix recode scored text-U as T
+    # at K positions (COMPATIBLE['K'] = 'GTKBDN' excludes U)
+    kpats = []
+    for i in range(500, 90_000, 8_000):
+        p = "".join(ch if ch in "ACG" else "K"
+                    for ch in seq[i : i + 12])
+        kpats.append(p)
+    ps = build_pattern_set(kpats, rev_comp=False)
+    t = build_tables(ps, db, wc=True, textn=False)
+    codes = np.asarray(db.codes)
+    got, sc = _scan(t, codes, interpret=True, bitplanes=True)
+    assert sc._bitplane_cc not in (False, None), \
+        "mode declined: the alias case is untested"
+    acc = np.asarray(t.match)
+    ucode = list(db.table).index(ord("U"))
+    assert not acc[:, :, ucode].any(), "U is live: alias case untested"
+    want, _ = _scan(t, codes, interpret=False, bitplanes=True)
+    assert got == want
+
+
 def test_bitplane_declines_plain_dna():
     rng = np.random.default_rng(3)
     seq = "".join("ACGT"[i] for i in rng.integers(0, 4, size=4096))
