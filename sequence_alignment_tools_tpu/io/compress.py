@@ -90,6 +90,31 @@ def unpack_sqz(data: bytes, alphabet_size: int, n_codes: int) -> np.ndarray:
 # the preprocessor
 
 
+def _census_table(raw: np.ndarray, eos_char: int | None = None,
+                  dna_optimized: bool = True,
+                  add_revcomp: bool = False) -> bytes:
+    """Observed-character census -> ``.tbl`` byte table: the single
+    source for all three build paths (compress -T, compress normalize/
+    bits, and load_db's raw-``.seq`` fallback).  Marks ``eos_char`` when
+    given, applies the IUPAC revcomp closure when ``add_revcomp``
+    (the reference's addrc census runs for normalize, compress AND
+    tableonly alike — compress_seq.cc:566-569), and the dna-optimized
+    ACGT-first order (compress_seq.cc:690-722)."""
+    obs = np.zeros(256, dtype=bool)
+    obs[raw] = True
+    if eos_char is not None:
+        obs[eos_char] = True
+    if add_revcomp:
+        from ..utils.iupac import REVCOMP_MAP
+
+        obs[REVCOMP_MAP[np.flatnonzero(obs)]] = True
+    order = np.arange(256)
+    if dna_optimized:
+        for i, ch in enumerate(b"ACGT"):
+            order[i], order[ch] = ch, i
+    return bytes(int(b) for b in order if obs[b])
+
+
 def compress(
     fasta_path: str,
     eos: bool = True,
@@ -143,7 +168,8 @@ def compress(
     if tableonly:
         need_pass1 = force or stale(".tbl")
         need_norm = need_comp = False
-    if os.path.exists(base + ".grd"):
+    had_grd = os.path.exists(base + ".grd")
+    if had_grd:
         need_pass1 = True
 
     if not (need_pass1 or need_norm or need_comp):
@@ -160,17 +186,18 @@ def compress(
     raw, headers, entry_keys, hdr_offsets, raw_positions = from_raw
 
     if tableonly:
-        # census + .tbl only (compress_seq.cc:690-722 with !normalize)
-        obs = np.zeros(256, dtype=bool)
-        obs[raw] = True
-        obs[eos_char] = True
-        order = np.arange(256)
-        if dna_optimized:
-            for i, ch in enumerate(b"ACGT"):
-                order[i], order[ch] = ch, i
+        # census + .tbl only (compress_seq.cc:690-722 with !normalize);
+        # the census is the SAME one the normalize/compress paths use —
+        # the reference applies addrc to -T too (compress_seq.cc:566-569)
         with open(base + ".tbl", "wb") as f:
-            f.write(bytes(int(b) for b in order if obs[b]))
-        os.unlink(base + ".grd")
+            f.write(_census_table(raw, eos_char, dna_optimized,
+                                  add_revcomp_chars))
+        # a PRE-EXISTING marker was guarding a crashed FULL build whose
+        # partial artifacts (.sqn etc. with fresh mtimes) this -T pass
+        # did NOT rebuild — clearing it would make the next load trust
+        # them; only remove the marker this run itself created
+        if not had_grd:
+            os.unlink(base + ".grd")
         return True
 
     with open(base + ".seq", "wb") as f:
@@ -195,18 +222,8 @@ def compress(
                         f"{end_key} {raw_positions[i]}\n")
 
     if normalize or compress_bits:
-        obs = np.zeros(256, dtype=bool)
-        obs[raw] = True
-        obs[eos_char] = True
-        if add_revcomp_chars:
-            from ..utils.iupac import REVCOMP_MAP
-
-            obs[REVCOMP_MAP[np.flatnonzero(obs)]] = True
-        order = np.arange(256)
-        if dna_optimized:
-            for i, ch in enumerate(b"ACGT"):
-                order[i], order[ch] = ch, i
-        table = bytes(int(b) for b in order if obs[b])
+        table = _census_table(raw, eos_char, dna_optimized,
+                              add_revcomp_chars)
         c2c = np.full(256, 0, dtype=np.uint8)
         for code, ch in enumerate(table):
             c2c[ch] = code
@@ -414,12 +431,7 @@ def load_db(fasta_path: str, eos_char: int = DEFAULT_EOS) -> SeqDB:
         raw = np.frombuffer(data, dtype=np.uint8)
         keys, vals = read_idb(base + ".idb")
         headers = _read_headers(base + ".hdr", vals)
-        obs = np.zeros(256, dtype=bool)
-        obs[raw] = True
-        order = np.arange(256)
-        for i, ch in enumerate(b"ACGT"):
-            order[i], order[ch] = ch, i
-        table = bytes(int(b) for b in order if obs[b])
+        table = _census_table(raw)
         c2c = np.zeros(256, dtype=np.uint8)
         for code, ch in enumerate(table):
             c2c[ch] = code

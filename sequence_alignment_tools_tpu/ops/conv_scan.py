@@ -1138,6 +1138,13 @@ class ConvScanner:
         # lower to multi-op shuffles (~0.8 ms/scan measured at cap=192)
         while (capg * (Ueff // segl)) % 128:
             capg += 1
+        if capg > segl:
+            # _seg_compact's static slice [g*segl : g*segl + capg] would
+            # span into the next segment — a silent slot corruption, so
+            # reject the (env-overridden) geometry loudly
+            raise ValueError(
+                "slots geometry: capg %d > segl %d (SAT_SLOTS_SEGL/"
+                "SAT_SLOTS_CAPG)" % (capg, segl))
         self._slots_geom = (T, segl, Ueff // segl, fold)
         t3 = self._t3_for(codes_dev, T)
         wpk = (_wpk_form(codes_dev, T, t.eos_code) if use_wpack else None)

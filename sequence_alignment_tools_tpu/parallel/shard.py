@@ -122,6 +122,28 @@ def auto_mesh(axis: str = "data") -> Mesh | None:
                 import threading
 
                 threading.Thread(target=refresh, daemon=True).start()
+            elif stale:
+                # one-shot posture: auto_mesh runs at model build,
+                # BEFORE anything initializes the backend, so the
+                # branch above never fires and a 1 -> N topology change
+                # would stick at 1 forever.  Refresh at process EXIT
+                # instead, only if the run ended up initializing the
+                # backend (then jax.devices() is an instant lookup,
+                # and atexit runs on the main thread — none of the
+                # daemon-init teardown aborts).
+                import atexit
+
+                def _exit_refresh():
+                    if _backend_initialized():
+                        try:
+                            n = len(probe_devices())
+                            if n >= 1:
+                                with open(path, "w") as f:
+                                    f.write(str(n))
+                        except Exception:
+                            pass
+
+                atexit.register(_exit_refresh)
             return None
         devices = probe_devices()
         refresh()
@@ -380,6 +402,10 @@ def _sgs_statics(scanner, gt):
     capg = scanner._SLOTS_CAPG
     while (capg * (Ueff // segl)) % 128:  # cap must stay a LANE multiple
         capg += 1
+    if capg > segl:  # see conv_scan._slots_dispatch: silent slot
+        raise ValueError(  # corruption past the segment boundary
+            "slots geometry: capg %d > segl %d (SAT_SLOTS_SEGL/"
+            "SAT_SLOTS_CAPG)" % (capg, segl))
     # the sharded geometry lives on its OWN attribute: writing
     # _slots_geom here would clobber (and be clobbered by) the
     # single-chip dispatch's geometry when the two interleave on one
@@ -486,7 +512,13 @@ def _sgs_fn(scanner, gt, indels: bool, k: int, mesh, axis: str,
             indels=indels, lens=lens, out_cap=out_cap,
             oflow_cap=oflow_cap, work_cap=work_cap,
             chain_Lg=chain_Lg, interpret=interpret, n_pat=t.P,
-            eos_esc=eos_esc, wbits=wbits, segl=segl, fold=fold)
+            eos_esc=eos_esc, wbits=wbits, segl=segl, fold=fold,
+            # forward the measurement/config knobs the single-chip
+            # dispatch passes (conv_scan._slots_dispatch): without
+            # them a sharded A/B silently ignores SAT_SLOTS_ABLATE /
+            # SAT_CHAIN_ECAP and measures the default kernel
+            ablate=scanner._SLOTS_ABLATE,
+            chain_ecap=scanner._CHAIN_ECAP)
         return jax.lax.all_gather(row, axis)[None]
 
     fn = jax.shard_map(

@@ -96,6 +96,33 @@ def test_incremental_rebuild(syn_fasta, tmp_path):
     assert compress(fa, normalize=True, check_only=True) is True
 
 
+def test_tableonly_addrc_parity(oracle, tmp_path):
+    """-T true -R true: the reference applies the addrc revcomp closure
+    to the TABLEONLY census too (compress_seq.cc:566-569) — a corpus
+    with 'R' but no 'Y' must gain Y in the .tbl.  (Round-5 review fix:
+    the -T branch previously skipped add_revcomp entirely.)"""
+    import random
+
+    rng = random.Random(9)
+    seq = "".join(rng.choice("ACGR") for _ in range(3000))
+    src = str(tmp_path / "rc.fasta")
+    with open(src, "w") as f:
+        f.write(">rc asymmetric alphabet\n")
+        for i in range(0, len(seq), 60):
+            f.write(seq[i : i + 60] + "\n")
+    ref_fa = str(tmp_path / "rcr.fasta")
+    shutil.copy(src, ref_fa)
+    _run_ref_compress(oracle, ref_fa, "-T", "true", "-R", "true")
+    mine_fa = str(tmp_path / "rcm.fasta")
+    shutil.copy(src, mine_fa)
+    from sequence_alignment_tools_tpu.apps.compress_seq import main
+
+    assert main(["-i", mine_fa, "-T", "true", "-R", "true"]) == 0
+    want = open(ref_fa + ".tbl", "rb").read()
+    assert open(mine_fa + ".tbl", "rb").read() == want
+    assert b"Y" in want  # the closure actually added a char
+
+
 def test_tableonly_parity(oracle, syn_fasta, tmp_path):
     """-T true writes ONLY the .tbl (dna-optimized census order), byte
     identical to the reference's (compress_seq.cc:213-218,365,690-722),
