@@ -57,7 +57,63 @@ def _honor_platform_env() -> None:
             pass
 
 
-_setup_compilation_cache()
-_honor_platform_env()
+class _LazyJaxBoot:
+    """Deferred jax boot for site-less (``sat`` launcher / ``python -S``)
+    interpreters.
+
+    This image preimports jax at EVERY interpreter start (sitecustomize →
+    ``axon.register``, ~2.5 s measured), which is the whole cold one-shot
+    floor.  The ``sat`` launcher boots with ``-S`` so host-native tools
+    (shift-and, Sellers rows, mer census — the entire one-shot regime)
+    never pay it.  When a device route *does* import jax, this hook fires
+    on the first top-level ``import jax``: it completes the real import,
+    replays the image's sitecustomize (PJRT plugin registration is
+    designed to run after ``import jax`` — the stock boot does exactly
+    that), applies the package's cache/platform config, and hands the
+    import machinery a no-op loader for the already-initialized module
+    (re-exec would double-run jax's init).
+    """
+
+    def find_spec(self, name, path=None, target=None):
+        if name != "jax" or path is not None:
+            return None
+        import importlib
+        import importlib.util
+
+        try:
+            _sys.meta_path.remove(self)
+        except ValueError:  # pragma: no cover - already fired
+            return None
+        mod = importlib.import_module("jax")
+        if "sitecustomize" not in _sys.modules:
+            try:
+                importlib.import_module("sitecustomize")
+            except Exception:  # pragma: no cover - bare env without axon
+                pass
+        _setup_compilation_cache()
+        _honor_platform_env()
+
+        class _Reuse(importlib.abc.Loader):
+            def create_module(self, spec):
+                return mod
+
+            def exec_module(self, module):
+                pass
+
+        return importlib.util.spec_from_loader("jax", _Reuse())
+
+
+import sys as _sys
+
+if "jax" in _sys.modules:
+    # Normal boot: sitecustomize already imported + registered jax.
+    _setup_compilation_cache()
+    _honor_platform_env()
+else:
+    # Site-less boot (sat launcher): defer everything jax until a route
+    # actually needs the device; host-native tools stay jax-free.
+    import importlib.abc  # noqa: F401  (used inside the hook)
+
+    _sys.meta_path.insert(0, _LazyJaxBoot())
 
 from . import utils  # noqa: F401

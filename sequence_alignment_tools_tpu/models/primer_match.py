@@ -37,9 +37,39 @@ from ..engine.verify import (
 )
 from ..io.database import SeqDB
 from ..io.patterns import PatternSet
-from ..ops.conv_scan import ConvScanner
-from ..ops.sellers import SellersScanner
 from ..ops.tables import build_tables, PatternTables
+
+
+class _LazyScanner:
+    """Deferred import of the device scanner classes.
+
+    ``ops.conv_scan`` / ``ops.sellers`` import jax at module level (jit
+    decorators); under the site-less ``sat`` launcher the first jax import
+    costs ~2.5 s (PJRT registration), which host-routed one-shot scans
+    (native shift-and / Sellers rows / mer census) never need.  Resolve
+    the class only when a device route actually constructs a scanner."""
+
+    def __init__(self, modname: str, attr: str):
+        self._modname, self._attr, self._cls = modname, attr, None
+
+    def _load(self):
+        if self._cls is None:
+            import importlib
+
+            mod = importlib.import_module(
+                f"sequence_alignment_tools_tpu.ops.{self._modname}")
+            self._cls = getattr(mod, self._attr)
+        return self._cls
+
+    def __call__(self, *args, **kwargs):
+        return self._load()(*args, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._load(), name)
+
+
+ConvScanner = _LazyScanner("conv_scan", "ConvScanner")
+SellersScanner = _LazyScanner("sellers", "SellersScanner")
 
 
 @dataclass
@@ -282,9 +312,17 @@ class PrimerMatchModel:
         mesh="auto",
     ):
         if mesh == "auto":
-            from ..parallel.shard import auto_mesh
+            # jax-free fast path first: on a known single-device host the
+            # one-shot CLI must not even IMPORT parallel.shard (module-level
+            # jax; ~2.5 s under the site-less sat launcher).
+            from ..parallel.devcache import peek_no_mesh
 
-            mesh = auto_mesh()
+            if peek_no_mesh():
+                mesh = None
+            else:
+                from ..parallel.shard import auto_mesh
+
+                mesh = auto_mesh()
         self.mesh = mesh
         self.db = db
         self.ps = ps

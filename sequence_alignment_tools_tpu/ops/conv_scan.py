@@ -19,13 +19,19 @@ from __future__ import annotations
 import functools
 import os
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
+from ..utils.lazyjax import LazyModule, lazy_jit
 
-@functools.partial(
-    jax.jit, static_argnames=("cap_mb", "hit_cap", "gcap", "long_form"))
+# Deferred: host-routed one-shot runs (native shift-and / census) must not
+# pay the first jax import (~2.5 s PJRT registration under the site-less
+# ``sat`` launcher).  First device-path attribute access swaps in the
+# real modules.
+jax = LazyModule("jax", "jax", globals())
+jnp = LazyModule("jax.numpy", "jnp", globals())
+
+
+@lazy_jit(static_argnames=("cap_mb", "hit_cap", "gcap", "long_form"))
 def _pack_group(stacked, *, cap_mb: int, hit_cap: int, gcap: int,
                 long_form: bool):
     """Compact a stacked group of packed scan results to live entries.
@@ -274,7 +280,7 @@ def _shared_gated_jit(classes, alpha, Lmax, eos_code, T, MB, cap_mb,
     return jfn
 
 
-@functools.partial(jax.jit, static_argnames=("alpha", "cap"))
+@lazy_jit(static_argnames=("alpha", "cap"))
 def _conv_scan_block(codes, weights, thresholds, lengths, alpha, cap):
     """One text block.
 

@@ -24,33 +24,21 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-class _LazyPallasModule:
-    """Import ``jax.experimental.pallas`` on FIRST USE: the import costs
-    ~0.8 s of a cold CLI invocation, and the host-served one-shot paths
-    never trace a kernel.  The first attribute access swaps the real
-    module into this module's globals."""
+from ..utils.lazyjax import LazyModule, lazy_jit
 
-    def __init__(self, name: str, binding: str):
-        self._name = name
-        self._binding = binding
-
-    def __getattr__(self, attr):
-        import importlib
-
-        mod = importlib.import_module(self._name)
-        globals()[self._binding] = mod
-        return getattr(mod, attr)
+# ALL jax bindings deferred to first device-path use: the pallas import
+# costs ~0.8 s, and under the site-less ``sat`` launcher even ``import
+# jax`` costs ~2.5 s (PJRT registration) that host-served one-shot runs
+# (native Sellers rows) never need.
+jax = LazyModule("jax", "jax", globals())
+jnp = LazyModule("jax.numpy", "jnp", globals())
+pl = LazyModule("jax.experimental.pallas", "pl", globals())
+pltpu = LazyModule("jax.experimental.pallas.tpu", "pltpu", globals())
 
 
-pl = _LazyPallasModule("jax.experimental.pallas", "pl")
-pltpu = _LazyPallasModule("jax.experimental.pallas.tpu", "pltpu")
-
-
-@functools.partial(jax.jit, static_argnames=("eos", "k", "indels", "cap"))
+@lazy_jit(static_argnames=("eos", "k", "indels", "cap"))
 def _sellers_block(codes, match, lengths, eos, k, indels, cap):
     """codes: [W] uint8 (left halo Lmax+k, shipped narrow — the tunneled
     transport runs ~56 MB/s); match: [Lmax, P, alpha] bool; lengths: [P]
@@ -228,11 +216,8 @@ def _sellers_kernel(seg_ref, out_ref, cnt_ref, *, bits: tuple,
     cnt_ref[0] = jnp.broadcast_to(rowcnt, (8, 128))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("bits", "lens", "eos", "k", "indels", "cap",
-                     "out_cap", "oflow_cap", "interpret"),
-)
+@lazy_jit(static_argnames=("bits", "lens", "eos", "k", "indels", "cap",
+                           "out_cap", "oflow_cap", "interpret"))
 def pallas_sellers_scan(seg3, *, bits: tuple, lens: tuple, eos: int,
                         k: int, indels: bool, cap: int = SEL_CAP,
                         out_cap: int = 4096, oflow_cap: int = 64,
@@ -292,7 +277,7 @@ def pallas_sellers_scan(seg3, *, bits: tuple, lens: tuple, eos: int,
     ])
 
 
-@functools.partial(jax.jit, static_argnames=("pair_cap", "gcap"))
+@lazy_jit(static_argnames=("pair_cap", "gcap"))
 def _pack_myers_group(stacked, *, pair_cap: int, gcap: int):
     """Compact a stacked group of Myers packed rows to their live pair
     entries (conv_scan._pack_group discipline: tunnel fetch cost scales

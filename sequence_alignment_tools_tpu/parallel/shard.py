@@ -33,13 +33,9 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
 
 
 def _devcount_cache_path():
-    import os
-    import tempfile
+    from .devcache import devcount_cache_path
 
-    key = "%s_%s" % (os.uname().nodename,
-                     os.environ.get("JAX_PLATFORMS", "auto"))
-    key = "".join(c if c.isalnum() else "_" for c in key)
-    return os.path.join(tempfile.gettempdir(), "sat_devcount_" + key)
+    return devcount_cache_path()
 
 
 def probe_devices():
